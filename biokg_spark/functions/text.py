@@ -1,0 +1,83 @@
+"""Column-level text functions — all JVM-side built-ins (no UDFs).
+
+``sanitize_text`` mirrors the reference's identifier normalization
+(reference: parsers.py:116-131 ``sanatize_text`` maps ``[^a-zA-Z0-9]→_``;
+parsers.py:134-135 lowercases and joins on ``_``). The rest are the
+text-analysis primitives a 100 TB training-data pipeline needs: token
+counting, n-gram-free language ID, quality scoring, content
+fingerprinting. Each is a pure Column expression so it rides whole-stage
+codegen and pushes through Catalyst untouched.
+
+Every function here has an exact ANSI-SQL twin used as the DuckDB oracle
+in ``__spark_entry__.py`` — keep the two in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny English stopword list shared by lang_id and quality_score. Fixed and
+# duplicated verbatim in the oracle SQL — do not reorder casually.
+STOPWORDS = [
+    "the", "a", "of", "to", "and", "in", "that", "it", "is", "was",
+    "for", "on", "are", "as", "with", "be", "this", "have", "from", "or",
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def sanitize_text(col: Column | str) -> Column:
+    """Identifier-safe form: non-alphanumerics → ``_`` (reference F5)."""
+    return F.regexp_replace(_c(col), "[^a-zA-Z0-9]", "_")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed, lowercased text (array<string>)."""
+    return F.split(F.lower(F.trim(_c(col))), "\\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Number of whitespace-delimited tokens; 0 for empty/blank text."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, "\\s+")))
+
+
+def _stopword_hits(col: Column | str) -> Column:
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.size(F.filter(tokens(col), lambda w: F.array_contains(stop_arr, w)))
+
+
+def lang_id(col: Column | str, threshold: float = 0.10) -> Column:
+    """Heuristic language ID: 'en' when the stopword ratio clears the
+    threshold, else 'xx'. (The container has no langid library; this is
+    the deterministic n-gram-free stand-in, exact-oracled in SQL.)"""
+    n = token_count(col)
+    ratio = _stopword_hits(col) / F.greatest(n, F.lit(1))
+    return F.when((n > 0) & (ratio >= F.lit(threshold)), F.lit("en")).otherwise(
+        F.lit("xx")
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality in [0,1]: length band + stopword presence +
+    alpha ratio. Deterministic, rounded to 4 dp for cross-engine hashing."""
+    c = _c(col)
+    n = token_count(col)
+    len_ok = F.when((n >= 5) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ratio = _stopword_hits(col) / F.greatest(n, F.lit(1))
+    alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", "")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+    score = 0.4 * len_ok + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.3 * alpha
+    return F.round(score, 4)
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text (lowercased,
+    whitespace collapsed) — the exact-dedup key. md5 is bit-identical in
+    Spark and DuckDB, so the oracle compares directly."""
+    norm = F.regexp_replace(F.lower(F.trim(_c(col))), "\\s+", " ")
+    return F.md5(norm)

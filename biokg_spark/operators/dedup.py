@@ -1,0 +1,212 @@
+"""Deduplication operators for document-scale corpora.
+
+The reference's dedup is exact set-dedup only (``SetWriter``,
+parsers.py:783-832; accumulate-into-set, compile_biokg.py:186-195). A
+100 TB training-data pipeline also needs near-dup detection; implemented
+here as MinHash+LSH banding, SimHash fingerprints, and n-gram Jaccard —
+each a pure DataFrame composition (no UDFs).
+
+Hashing is md5-based on purpose: md5 is bit-identical in Spark and DuckDB,
+so every operator here has an exact SQL oracle. MinHash signatures are the
+per-seed minimum of ``md5(seed || '|' || shingle)`` compared as hex
+strings — a uniform order-preserving hash family, engine-portable.
+
+Scale notes: the shingle explode is the big intermediate (docs × shingles);
+it shuffles once into the per-doc signature aggregate (map-side partial
+min). LSH banding turns the quadratic all-pairs problem into a groupBy on
+(band_idx, band_key) — the candidate join is an equi-join Catalyst can
+plan with AQE skew splitting if one bucket goes hot (boilerplate-heavy
+corpora do this; the salting helper in operators/skew.py applies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(col: Column | str, width: int = 3) -> Column:
+    """w-word shingles of normalized text (array<string>, distinct).
+
+    Tokens = whitespace split of lower(trim(text)); if a document has
+    fewer than ``width`` tokens, the whole token string is one shingle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), "\\s+")
+    n = F.size(toks)
+    full = F.transform(
+        F.sequence(F.lit(1), n - width + 1),
+        lambda i: F.array_join(F.slice(toks, i, width), " "),
+    )
+    short = F.array(F.array_join(toks, " "))
+    return F.array_distinct(F.when(n >= width, full).otherwise(short))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized-content fingerprint; survivor = min id.
+
+    Returns (id_col, fingerprint, dup_count): one row per distinct
+    content, the kept document plus how many rows collapsed into it.
+    """
+    from biokg_spark.functions.text import doc_fingerprint
+
+    return (
+        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, "fingerprint", "dup_count")
+    )
+
+
+def _seed_hash(seed: int, sh: Column) -> Column:
+    return F.md5(F.concat(F.lit(str(seed)), F.lit("|"), sh))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, width: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: (id, sig array<string> of length k).
+
+    One explode + one groupBy; the k per-seed minimums are computed as k
+    aggregate expressions in a single hash aggregate (map-side partial).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, width)).alias("sh")
+    )
+    aggs = [
+        F.min(_seed_hash(s, F.col("sh"))).alias(f"_h{s}") for s in range(num_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[F.col(f"_h{s}") for s in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    width: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their signature → candidate
+    pairs (id_a < id_b, distinct)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, width)
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts)).alias("band_key"))
+        )
+    bucketed = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = bucketed.alias("a")
+    b2 = bucketed.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
+            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold.
+
+    Pairs are generated only through shared shingles (inverted-index
+    join), never a cross join — documents with no shingle in common are
+    never materialized as a pair. Output: (id_a, id_b, jaccard) rounded
+    to 4 dp for cross-engine comparison.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, width)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint per document (bit-string column ``simhash``).
+
+    Bit i of a token's hash = 1 iff hex nibble i of md5(token) ≥ 8; the
+    document bit is the sign of the sum of (±1) votes over its distinct
+    tokens. Returned as a '0'/'1' string so oracle comparison is textual.
+    """
+    assert 1 <= bits <= 32
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
+        ).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    votes = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(bits)),
+                lambda i: F.when(
+                    F.substring(h, i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            )
+        ).alias("bit_pos", "vote"),
+    )
+    per_bit = votes.groupBy(id_col, "bit_pos").agg(F.sum("vote").alias("v"))
+    return (
+        per_bit.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("bit_pos"), (F.col("v") >= 0).cast("int").alias("b"))
+                        )
+                    ),
+                    lambda s: s["b"].cast("string"),
+                ),
+                "",
+            ).alias("simhash")
+        )
+        .select(id_col, "simhash")
+    )

@@ -1,0 +1,87 @@
+"""Edge-algebra operators: canonicalization, conflict handling, ref union.
+
+These are the reference's set-based link builders re-expressed as
+declarative DataFrame ops (SURVEY.md §2.5):
+- undirected canonical form ``(min, max)`` (reference:
+  compile_biokg.py:192-195, build_benchmarks.py:58-60);
+- conflicting INCREASES/DECREASES pairs dropped (reference:
+  parsers.py:1989-1990, build_benchmarks.py:101-105);
+- duplicate edges across sources merged with unioned reference lists
+  (reference: parsers.py:2825-2857).
+
+All are pure built-in compositions — Catalyst plans them as partial+final
+hash aggregates with map-side combine, which is exactly the shuffle
+discipline wanted at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical_undirected(
+    df: DataFrame, s: str = "subj", o: str = "obj", dedup: bool = True
+) -> DataFrame:
+    """Order endpoints (least, greatest) so A-B == B-A, then dedup."""
+    out = df.withColumns(
+        {s: F.least(F.col(s), F.col(o)), o: F.greatest(F.col(s), F.col(o))}
+    )
+    return out.dropDuplicates() if dedup else out
+
+
+def conflict_exclusion(
+    df: DataFrame,
+    keys: list[str],
+    effect_col: str,
+    increases: Column | str = "INCREASES",
+    decreases: Column | str = "DECREASES",
+) -> DataFrame:
+    """Keep (keys) groups carrying exactly one of {INCREASES, DECREASES}.
+
+    Returns one row per surviving group with the winning ``effect``.
+    Groups seen with both directions are inconsistent and dropped
+    (reference: build_benchmarks.py:101-105).
+    """
+    inc = increases if isinstance(increases, Column) else F.lit(increases)
+    dec = decreases if isinstance(decreases, Column) else F.lit(decreases)
+    agg = df.groupBy(*keys).agg(
+        F.max(F.when(F.col(effect_col) == inc, 1).otherwise(0)).alias("_has_inc"),
+        F.max(F.when(F.col(effect_col) == dec, 1).otherwise(0)).alias("_has_dec"),
+    )
+    return (
+        agg.where(F.col("_has_inc") + F.col("_has_dec") == 1)
+        .withColumn(
+            "effect",
+            F.when(F.col("_has_inc") == 1, inc).otherwise(dec),
+        )
+        .drop("_has_inc", "_has_dec")
+    )
+
+
+def union_refs(
+    df: DataFrame,
+    keys: list[str],
+    ref_col: str = "pmids",
+    out_col: str = "refs",
+    drop_values: tuple[str, ...] = ("unassigned",),
+) -> DataFrame:
+    """Merge duplicate edges, unioning their reference lists.
+
+    ``ref_col`` may be ``array<string>`` or a comma-joined string (the
+    reference's on-disk form, parsers.py:901). Output is a sorted distinct
+    array; rows whose merged list is empty are dropped (reference:
+    parsers.py:2854-2856 drops ``unassigned`` and requires non-empty).
+    """
+    col = F.col(ref_col)
+    dtype = dict(df.dtypes)[ref_col]
+    arr = col if dtype.startswith("array") else F.split(col, ",")
+    cleaned = F.filter(
+        arr, lambda x: (~x.isin(*[F.lit(v) for v in drop_values])) & (x != "")
+    )
+    return (
+        df.withColumn("_refs", cleaned)
+        .groupBy(*keys)
+        .agg(F.array_sort(F.array_distinct(F.flatten(F.collect_list("_refs")))).alias(out_col))
+        .where(F.size(out_col) > 0)
+    )

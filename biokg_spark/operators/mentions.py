@@ -1,0 +1,221 @@
+"""Dictionary mention detection over text columns.
+
+This is the Spark-native analog of the reference's per-record extraction
+functions — the stanza/text scanners that pull entity identifiers out of
+free text (reference: biokg/processing/parsers.py:193-372 ``__parse_txt_entry``,
+parsers.py:927-977 ``__extract_side_effects``). The reference walks strings
+one record at a time in pure Python; here the lexicon is broadcast once,
+an automaton/compiled regex is built once per executor, and text flows
+through ``mapInPandas`` in Arrow record batches.
+
+Matching semantics (shared by both backends, and by the DuckDB oracle SQL
+in ``__spark_entry__.py``):
+- case-insensitive, word-boundary anchored (a surface matches only when
+  not flanked by ``[A-Za-z0-9_]``);
+- at a given start offset the LONGEST surface wins;
+- a surface mapping to several entities resolves to the lowest
+  ``priority`` — the first-match-wins rule of the reference's ordered
+  regex cascade (reference: parsers.py:976 ``break`` after first hit).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from typing import NamedTuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_WORD = re.compile(r"[A-Za-z0-9_]")
+
+
+class _Entry(NamedTuple):
+    surface: str
+    entity_id: str
+    entity_type: str
+
+
+class AhoCorasick:
+    """Minimal Aho-Corasick automaton (dict transitions, BFS fail links).
+
+    Pure-Python fallback for very large lexicons where a single regex
+    alternation becomes unwieldy. Returns (start, surface) pairs for every
+    dictionary hit; boundary/longest filtering happens in the scanner.
+    """
+
+    def __init__(self, surfaces: list[str]):
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[str]] = [[]]
+        self.fail: list[int] = [0]
+        for s in surfaces:
+            node = 0
+            for ch in s:
+                nxt = self.goto[node].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append([])
+                    self.fail.append(0)
+                    nxt = len(self.goto) - 1
+                    self.goto[node][ch] = nxt
+                node = nxt
+            self.out[node].append(s)
+        # BFS fail links
+        from collections import deque
+
+        q = deque()
+        for child in self.goto[0].values():
+            q.append(child)
+        while q:
+            node = q.popleft()
+            for ch, child in self.goto[node].items():
+                q.append(child)
+                f = self.fail[node]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[child] = self.goto[f].get(ch, 0)
+                if self.fail[child] == child:
+                    self.fail[child] = 0
+                self.out[child].extend(self.out[self.fail[child]])
+
+    def matches(self, text: str) -> Iterator[tuple[int, str]]:
+        node = 0
+        for i, ch in enumerate(text):
+            while node and ch not in self.goto[node]:
+                node = self.fail[node]
+            node = self.goto[node].get(ch, 0)
+            for surf in self.out[node]:
+                yield i - len(surf) + 1, surf
+
+
+class MentionScanner:
+    """Serializable scanner shipped to executors inside the pandas UDF.
+
+    The lexicon rides along as plain tuples (small dim by design — the
+    reference's lexicons are curated files of 10^2..10^5 names); the
+    automaton/regex is compiled lazily once per executor process.
+    """
+
+    def __init__(self, lexicon: list[tuple[str, str, str, int]], backend: str = "regex"):
+        if backend not in ("regex", "ac"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        # priority resolution: lowest priority wins per surface
+        best: dict[str, tuple[int, str, str]] = {}
+        for surface, entity_id, entity_type, priority in lexicon:
+            s = surface.lower()
+            cur = best.get(s)
+            cand = (priority, entity_id, entity_type)
+            if cur is None or cand < cur:
+                best[s] = cand
+        self.surface_map: dict[str, _Entry] = {
+            s: _Entry(s, eid, etype) for s, (_p, eid, etype) in best.items()
+        }
+        self._rx: re.Pattern | None = None
+        self._ac: AhoCorasick | None = None
+
+    # -- lazy per-executor compilation ------------------------------------
+    def _regex(self) -> re.Pattern:
+        if self._rx is None:
+            # longest-first alternation => Python re picks the longest
+            # surface at a given start (leftmost alternative that matches)
+            alts = sorted(self.surface_map, key=len, reverse=True)
+            pat = r"(?<![A-Za-z0-9_])(?:%s)(?![A-Za-z0-9_])" % "|".join(
+                re.escape(a) for a in alts
+            )
+            self._rx = re.compile(pat, re.IGNORECASE)
+        return self._rx
+
+    def _automaton(self) -> AhoCorasick:
+        if self._ac is None:
+            self._ac = AhoCorasick(list(self.surface_map))
+        return self._ac
+
+    # -- scanning ----------------------------------------------------------
+    def scan_text(self, text: str) -> list[tuple[int, _Entry]]:
+        if not text:
+            return []
+        if self.backend == "regex":
+            out = []
+            for m in self._regex().finditer(text):
+                out.append((m.start(), self.surface_map[m.group(0).lower()]))
+            return out
+        # AC backend: all hits, then boundary check + longest-at-start
+        low = text.lower()
+        by_start: dict[int, str] = {}
+        for start, surf in self._automaton().matches(low):
+            end = start + len(surf)
+            if start > 0 and _WORD.match(low[start - 1]):
+                continue
+            if end < len(low) and _WORD.match(low[end]):
+                continue
+            prev = by_start.get(start)
+            if prev is None or len(surf) > len(prev):
+                by_start[start] = surf
+        return [(s, self.surface_map[surf]) for s, surf in sorted(by_start.items())]
+
+    def scan_frame(self, pdf: pd.DataFrame, text_col: str, keys: list[str]) -> pd.DataFrame:
+        rows: list[tuple] = []
+        key_vals = pdf[list(keys)].itertuples(index=False, name=None)
+        for kv, text in zip(key_vals, pdf[text_col].tolist()):
+            for start, e in self.scan_text(text):
+                rows.append(kv + (e.surface, e.entity_id, e.entity_type, start))
+        cols = list(keys) + ["surface", "entity_id", "entity_type", "span_start"]
+        return pd.DataFrame(rows, columns=cols)
+
+
+def scan_mentions(
+    df: DataFrame,
+    lexicon: DataFrame,
+    text_col: str = "text",
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    backend: str = "regex",
+) -> DataFrame:
+    """Scan ``df[text_col]`` for lexicon surfaces → mention rows.
+
+    Output: ``keys + (surface, entity_id, entity_type, span_start)``.
+    The lexicon DataFrame (surface, entity_id, entity_type, priority) is
+    collected on the driver (small dim) and shipped inside the UDF closure
+    — the Spark-task equivalent of a broadcast variable.
+    """
+    lex_rows = [
+        (r["surface"], r["entity_id"], r["entity_type"], r["priority"])
+        for r in lexicon.select("surface", "entity_id", "entity_type", "priority").collect()
+    ]
+    scanner = MentionScanner(lex_rows, backend=backend)
+    key_fields = [df.schema[k] for k in keys]
+    schema = StructType(
+        key_fields
+        + [
+            StructField("surface", StringType()),
+            StructField("entity_id", StringType()),
+            StructField("entity_type", StringType()),
+            StructField("span_start", IntegerType()),
+        ]
+    )
+    keys_l = list(keys)
+    sel = df.select(*keys_l, text_col)
+
+    def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = scanner.scan_frame(pdf, text_col, keys_l)
+            if len(out):
+                yield out
+
+    return sel.mapInPandas(scan_batches, schema=schema)
+
+
+def mentions_sql_oracle_predicate(surface_col: str, text_col: str) -> str:
+    """DuckDB boolean predicate with the same word-boundary semantics as
+    the scanner (used to build oracle SQL)."""
+    return (
+        f"regexp_matches(lower({text_col}), "
+        f"'(^|[^a-z0-9_])' || {surface_col} || '($|[^a-z0-9_])')"
+    )

@@ -1,0 +1,314 @@
+"""The flagship parse→map/link→aggregate→emit KG-construction pipeline.
+
+Reference lifecycle being re-expressed (SURVEY.md §3):
+``preprocess_graph`` (parse, main.py:13) → ``compile_graph`` (link/emit,
+compile_biokg.py:1175) → ``build_benchmarks`` (derive,
+build_benchmarks.py:23) — re-architected as checkpointed DataFrame stages
+over a transcript table instead of a single-threaded file walk.
+
+Stages (each a checkpointed parquet table, resumable):
+
+1. **ingest** — order/validate transcripts: duplicate (conv_id, turn_idx)
+   keys are a hard error; per-turn text equality is checked by key-join
+   (never positional zip). Repartitioned on hash(conv_id) so every
+   downstream per-conversation op is co-located.
+2. **mentions** — Arrow-batched dictionary scan (operators/mentions.py)
+   against the broadcast lexicon → (conv_id, turn_idx, entity, type).
+3. **linked** — canonicalization: broadcast join against id_mapping maps
+   raw ``ALT:`` ids to canonical ids (1:N fan-out preserved, reference:
+   parsers.py:1970-1988); unmapped ids pass through (already canonical).
+4. **triples** — emit the graph:
+   - MENTIONS (turn → entity) with provenance refs;
+   - typed co-occurrence links per entity-type pair (PPI, DPI, DDI, …)
+     with the reference's undirected canonical form (least, greatest)
+     for symmetric predicates (compile_biokg.py:192-195);
+   - DPI effect quads via the ordered cue cascade (first-match-wins,
+     reference: parsers.py:927-977) with conflict exclusion: a (drug,
+     protein) pair seen with both INCREASES and DECREASES is dropped
+     (reference: build_benchmarks.py:101-105);
+   - ontology passthrough (NAME/TYPE) + TREE prefix expansion
+     (reference: parsers.py:3073-3083).
+   Closed predicate vocabulary enforced exactly like the reference's
+   fan-out writers raise on unknown predicates (compile_biokg.py:969).
+5. **emit** — partitioned-by-predicate parquet table families
+   (links / properties / metadata), the Spark analog of the reference's
+   per-predicate file tree (compile_biokg.py:292-305).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biokg_spark.operators.edges import canonical_undirected, conflict_exclusion
+from biokg_spark.operators.hierarchy import expand_prefixes
+from biokg_spark.operators.mentions import scan_mentions
+from biokg_spark.plans.checkpoint import CheckpointManager, fingerprint
+
+# Typed predicate per unordered entity-type pair; bool = undirected
+# (canonical least/greatest form). Vocabulary mirrors the reference's
+# links_description.txt naming.
+LINK_PREDICATES: dict[tuple[str, str], tuple[str, bool]] = {
+    ("PROTEIN", "PROTEIN"): ("PPI", True),
+    ("DRUG", "DRUG"): ("DDI", True),
+    ("DRUG", "PROTEIN"): ("DPI", False),
+    ("DRUG", "DISEASE"): ("DRUG_DISEASE_ASSOCIATION", False),
+    ("PROTEIN", "DISEASE"): ("PROTEIN_DISEASE_ASSOCIATION", False),
+    ("PROTEIN", "PATHWAY"): ("MEMBER_OF_PATHWAY", False),
+    ("DRUG", "PATHWAY"): ("DRUG_PATHWAY_ASSOCIATION", False),
+    ("DISEASE", "PATHWAY"): ("DISEASE_PATHWAY_ASSOCIATION", False),
+}
+
+PREDICATE_VOCABULARY = frozenset(
+    [p for p, _ in LINK_PREDICATES.values()]
+    + ["MENTIONS", "NAME", "TYPE", "TREE", "TREE_PREFIX", "DPI_EFFECT"]
+)
+
+# Ordered effect cascade — earlier pattern wins (reference: parsers.py:976).
+EFFECT_CASCADE: list[tuple[str, str]] = [
+    (r"\bincreases\b", "INCREASES"),
+    (r"\bdecreases\b", "DECREASES"),
+    (r"\baffects\b", "AFFECTS"),
+]
+
+
+def extract_effect(text_col: str = "text") -> F.Column:
+    """First-match-wins ordered cascade as a single coalesce chain."""
+    branches = [
+        F.when(F.col(text_col).rlike(pat), F.lit(label))
+        for pat, label in EFFECT_CASCADE
+    ]
+    return F.coalesce(*branches, F.lit(None).cast("string"))
+
+
+class KGPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        lexicon: DataFrame,
+        id_mapping: DataFrame,
+        ontology: DataFrame | None = None,
+        scanner_backend: str = "regex",
+        buckets: int = 32,
+    ):
+        self.spark = spark
+        self.ckpt = CheckpointManager(spark, workdir)
+        self.lexicon = lexicon
+        self.id_mapping = id_mapping
+        self.ontology = ontology
+        self.scanner_backend = scanner_backend
+        self.buckets = buckets
+
+    # ------------------------------------------------------------------
+    def run(self, transcripts: DataFrame, run_key: str = "default") -> dict[str, DataFrame]:
+        fp0 = fingerprint("ingest", run_key, str(self.buckets))
+        ingested = self.ckpt.run("ingest", fp0, lambda: self._ingest(transcripts))
+
+        fp1 = fingerprint("mentions", fp0, self.scanner_backend)
+        mentions = self.ckpt.run("mentions", fp1, lambda: self._mentions(ingested))
+
+        fp2 = fingerprint("linked", fp1)
+        linked = self.ckpt.run("linked", fp2, lambda: self._link(mentions))
+
+        fp3 = fingerprint("links", fp2)
+        links = self.ckpt.run(
+            "links", fp3, lambda: self._links(linked), partition_by=["pred"]
+        )
+
+        fp4 = fingerprint("quads", fp2)
+        quads = self.ckpt.run(
+            "quads", fp4, lambda: self._effect_quads(linked, ingested)
+        )
+
+        fp5 = fingerprint("metadata", fp2)
+        metadata = self.ckpt.run(
+            "metadata", fp5, lambda: self._metadata(linked), partition_by=["pred"]
+        )
+
+        out = {
+            "ingest": ingested,
+            "mentions": mentions,
+            "linked": linked,
+            "links": links,
+            "quads": quads,
+            "metadata": metadata,
+        }
+        if self.ontology is not None:
+            fp6 = fingerprint("properties", run_key)
+            out["properties"] = self.ckpt.run(
+                "properties", fp6, lambda: self._properties(), partition_by=["pred"]
+            )
+        self._assert_vocabulary(out)
+        return out
+
+    # -- stage 1: ingest/order ------------------------------------------
+    def _ingest(self, transcripts: DataFrame) -> DataFrame:
+        dupes = (
+            transcripts.groupBy("conv_id", "turn_idx")
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dupes:
+            raise ValueError("duplicate (conv_id, turn_idx) keys in transcripts")
+        # hash(conv_id) bucketing: all per-conversation work co-located;
+        # at cluster scale this is the table's bucket spec, not a shuffle
+        # per run.
+        return transcripts.repartition(self.buckets, "conv_id")
+
+    # -- stage 2: parse/mention-detect ------------------------------------
+    def _mentions(self, ingested: DataFrame) -> DataFrame:
+        return scan_mentions(
+            ingested,
+            self.lexicon,
+            text_col="text",
+            keys=("conv_id", "turn_idx"),
+            backend=self.scanner_backend,
+        )
+
+    # -- stage 3: map/link (canonicalization) -----------------------------
+    def _link(self, mentions: DataFrame) -> DataFrame:
+        mapping = F.broadcast(
+            self.id_mapping.select(
+                F.col("src_id"), F.col("dst_id").alias("canonical_id")
+            )
+        )
+        return (
+            mentions.join(mapping, mentions.entity_id == mapping.src_id, "left")
+            .withColumn("canonical_id", F.coalesce("canonical_id", "entity_id"))
+            .drop("src_id")
+        )
+
+    # -- stage 4a: typed co-occurrence links ------------------------------
+    def _links(self, linked: DataFrame) -> DataFrame:
+        ents = linked.select(
+            "conv_id", "turn_idx", F.col("canonical_id").alias("eid"), "entity_type"
+        ).dropDuplicates()
+        a, b = ents.alias("a"), ents.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.turn_idx") == F.col("b.turn_idx"))
+            & (F.col("a.eid") < F.col("b.eid")),
+        ).select(
+            F.col("a.eid").alias("e1"),
+            F.col("a.entity_type").alias("t1"),
+            F.col("b.eid").alias("e2"),
+            F.col("b.entity_type").alias("t2"),
+        )
+        # typed predicate per type pair; direction fixed by the vocabulary
+        pred = F.lit(None).cast("string")
+        directed_first = F.lit(None).cast("string")
+        for (ta, tb), (pname, _undirected) in LINK_PREDICATES.items():
+            hit_ab = (F.col("t1") == ta) & (F.col("t2") == tb)
+            hit_ba = (F.col("t1") == tb) & (F.col("t2") == ta)
+            pred = F.when(hit_ab | hit_ba, F.lit(pname)).otherwise(pred)
+            directed_first = F.when(hit_ab, F.col("e1")).when(hit_ba, F.col("e2")).otherwise(directed_first)
+        typed = pairs.select(
+            "e1", "e2", pred.alias("pred"), directed_first.alias("dfirst")
+        ).where(F.col("pred").isNotNull())
+        undirected_names = [p for p, und in LINK_PREDICATES.values() if und]
+        subj = F.when(
+            F.col("pred").isin(undirected_names), F.least("e1", "e2")
+        ).otherwise(F.col("dfirst"))
+        obj = F.when(
+            F.col("pred").isin(undirected_names), F.greatest("e1", "e2")
+        ).otherwise(F.when(F.col("dfirst") == F.col("e1"), F.col("e2")).otherwise(F.col("e1")))
+        return (
+            typed.select(subj.alias("subj"), F.col("pred"), obj.alias("obj"))
+            .dropDuplicates()
+        )
+
+    # -- stage 4b: DPI effect quads with conflict exclusion ---------------
+    def _effect_quads(self, linked: DataFrame, ingested: DataFrame) -> DataFrame:
+        effects = ingested.select(
+            "conv_id", "turn_idx", extract_effect("text").alias("effect")
+        ).where(F.col("effect").isNotNull())
+        drugs = linked.where(F.col("entity_type") == "DRUG").select(
+            "conv_id", "turn_idx", F.col("canonical_id").alias("drug")
+        )
+        prots = linked.where(F.col("entity_type") == "PROTEIN").select(
+            "conv_id", "turn_idx", F.col("canonical_id").alias("prot")
+        )
+        dpi = (
+            drugs.join(prots, ["conv_id", "turn_idx"])
+            .join(effects, ["conv_id", "turn_idx"])
+            .select(
+                "drug",
+                "prot",
+                "effect",
+                F.concat_ws("#", "conv_id", "turn_idx").alias("ref"),
+            )
+            .dropDuplicates()
+        )
+        # AFFECTS rows always survive; INCREASES/DECREASES must be
+        # consistent per (drug, prot) (reference: parsers.py:1989-1990)
+        directional = conflict_exclusion(
+            dpi.where(F.col("effect") != "AFFECTS"), ["drug", "prot"], "effect"
+        )
+        refs = (
+            dpi.groupBy("drug", "prot", "effect")
+            .agg(F.array_sort(F.collect_set("ref")).alias("refs"))
+        )
+        affect = refs.where(F.col("effect") == "AFFECTS")
+        keep_dir = refs.join(directional, ["drug", "prot", "effect"], "left_semi")
+        return (
+            affect.unionByName(keep_dir)
+            .select(
+                F.col("drug").alias("subj"),
+                F.lit("DPI_EFFECT").alias("pred"),
+                F.col("prot").alias("obj"),
+                F.col("effect").alias("qual"),
+                F.lit("CURATED").alias("status"),
+                F.col("refs"),
+            )
+        )
+
+    # -- stage 4c: MENTIONS metadata --------------------------------------
+    def _metadata(self, linked: DataFrame) -> DataFrame:
+        return (
+            linked.select(
+                F.concat_ws("#", "conv_id", "turn_idx").alias("subj"),
+                F.lit("MENTIONS").alias("pred"),
+                F.col("canonical_id").alias("obj"),
+            )
+            .dropDuplicates()
+        )
+
+    # -- stage 4d: ontology properties (tree expansion) -------------------
+    def _properties(self) -> DataFrame:
+        assert self.ontology is not None
+        # non-TREE rows pass through untouched (the reference's "other"
+        # copy-through, compile_biokg.py:1276-1384); unknown predicates
+        # surface at the vocabulary assert, like the fan-out raise
+        base = self.ontology.select(
+            F.col("entity_id").alias("subj"), "pred", F.col("value").alias("obj")
+        ).where(F.col("pred") != "TREE")
+        trees = self.ontology.where(F.col("pred") == "TREE")
+        expanded = expand_prefixes(trees, "value", out_col="prefix").select(
+            F.col("entity_id").alias("subj"),
+            F.lit("TREE_PREFIX").alias("pred"),
+            F.col("prefix").alias("obj"),
+        )
+        return base.unionByName(expanded).dropDuplicates()
+
+    # -- vocabulary closure (reference: compile_biokg.py:969) -------------
+    def _assert_vocabulary(self, outputs: dict[str, DataFrame]) -> None:
+        for name in ("links", "quads", "metadata", "properties"):
+            df = outputs.get(name)
+            if df is None:
+                continue
+            bad = (
+                df.select("pred")
+                .where(~F.col("pred").isin(*PREDICATE_VOCABULARY))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(f"Predicate not recognized {bad[0]['pred']!r} in {name}")
+
+    # ------------------------------------------------------------------
+    def metrics(self) -> dict[str, dict]:
+        return self.ckpt.metrics()

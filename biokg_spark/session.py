@@ -1,0 +1,74 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs in one Python thread with no execution configuration at
+all (reference: run_all.py:6-14, dockerfile:1-6). Here the execution
+discipline lives in Spark configs: AQE (runtime re-planning + skew-join
+splitting), Arrow for every pandas-UDF exchange, and shuffle-partition
+counts sized to the local test harness but overridable for a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] sandbox; on a 1000-executor cluster the
+# same code runs with shuffle partitions sized via
+# spark.sql.adaptive.coalescePartitions (AQE picks the real number) and a
+# larger advisory partition size.
+_DEFAULTS = {
+    # --- adaptive execution: runtime re-plan, partition coalescing, skew ---
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # --- Arrow for pandas UDF / toPandas exchanges (vectorized Python) ---
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # --- shuffle sizing: overridden per-test; AQE coalesces down ---
+    "spark.sql.shuffle.partitions": "32",
+    # --- parquet scan sizing (100 TB: bigger splits amortize task setup) ---
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # --- broadcast joins for dimension tables (lexicons, id mappings) ---
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # quieter, deterministic local runs
+    "spark.ui.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    app_name: str = "biokg_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback 32)
+    so the same entrypoint serves unit tests, the bench harness, and a real
+    ``spark-submit`` (where ``master`` stays None and the cluster manager
+    decides).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_MASTER" in os.environ:
+        master = os.environ["SPARK_GRAFT_MASTER"]
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    """Stop the active session (bench harness restarts at a new core count)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+from biokg_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over a lazy dog"),  # near dup of 1
+    (4, "completely different words entirely here now today friends"),
+    (5, "  The   quick brown fox JUMPS over the lazy dog "),  # normalized dup of 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_id = {r.doc_id: r.dup_count for r in out}
+    # 1, 2, 5 collapse (case/whitespace-normalized); survivor is min id
+    assert by_id == {1: 3, 3: 1, 4: 1}
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(_docs(spark), "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2] == sigs[5]
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_lsh_candidates(spark):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(_docs(spark), "text", "doc_id").collect()
+    }
+    # exact dups must bucket together in every band
+    assert {(1, 2), (1, 5), (2, 5)} <= pairs
+    # the unrelated doc must not pair with anything
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), "text", "doc_id", threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_simhash_deterministic_and_discriminative(spark):
+    fps = {r.doc_id: r.simhash for r in simhash(_docs(spark), "text", "doc_id").collect()}
+    assert fps[1] == fps[2] == fps[5]
+    assert len(fps[1]) == 16 and set(fps[1]) <= {"0", "1"}
+    hamming_14 = sum(a != b for a, b in zip(fps[1], fps[4]))
+    hamming_13 = sum(a != b for a, b in zip(fps[1], fps[3]))
+    assert hamming_13 <= hamming_14

@@ -1,0 +1,79 @@
+from __future__ import annotations
+
+import pytest
+
+from biokg_spark.operators.mentions import AhoCorasick, MentionScanner, scan_mentions
+
+LEX = [
+    ("aspirin", "DB001", "DRUG", 0),
+    ("aspirin complex", "DB002", "DRUG", 0),  # longer surface wins
+    ("tp53", "P001", "PROTEIN", 0),
+    ("ambig", "P999", "PROTEIN", 1),
+    ("ambig", "DB999", "DRUG", 0),  # lower priority wins
+]
+
+
+@pytest.mark.parametrize("backend", ["regex", "ac"])
+class TestScanner:
+    def test_word_boundaries(self, backend):
+        s = MentionScanner(LEX, backend=backend)
+        assert [e.entity_id for _, e in s.scan_text("take aspirin daily")] == ["DB001"]
+        # substring inside a word must not match
+        assert s.scan_text("aspirinx and xaspirin") == []
+        assert [e.entity_id for _, e in s.scan_text("aspirin, twice")] == ["DB001"]
+
+    def test_longest_match_wins(self, backend):
+        s = MentionScanner(LEX, backend=backend)
+        got = [e.entity_id for _, e in s.scan_text("use aspirin complex now")]
+        assert got == ["DB002"]
+
+    def test_priority_tiebreak(self, backend):
+        s = MentionScanner(LEX, backend=backend)
+        got = [e.entity_id for _, e in s.scan_text("ambig here")]
+        assert got == ["DB999"]
+
+    def test_case_insensitive(self, backend):
+        s = MentionScanner(LEX, backend=backend)
+        assert [e.entity_id for _, e in s.scan_text("TP53 and Aspirin")] == [
+            "P001",
+            "DB001",
+        ]
+
+    def test_empty_and_none(self, backend):
+        s = MentionScanner(LEX, backend=backend)
+        assert s.scan_text("") == []
+        assert s.scan_text(None) == []
+
+
+def test_backend_parity():
+    texts = [
+        "aspirin complex with tp53 and ambig",
+        "no hits at all",
+        "ASPIRIN tp53 aspirin",
+        "",
+    ]
+    rx = MentionScanner(LEX, backend="regex")
+    ac = MentionScanner(LEX, backend="ac")
+    for t in texts:
+        assert rx.scan_text(t) == ac.scan_text(t), t
+
+
+def test_aho_corasick_finds_all_overlapping():
+    a = AhoCorasick(["he", "she", "his", "hers"])
+    got = sorted(a.matches("ushers"))
+    assert got == [(1, "she"), (2, "he"), (2, "hers")]
+
+
+def test_scan_mentions_dataframe(spark):
+    df = spark.createDataFrame(
+        [("c1", 0, "aspirin and tp53"), ("c1", 1, "nothing"), ("c2", 0, "TP53 TP53")],
+        "conv_id string, turn_idx int, text string",
+    )
+    lex = spark.createDataFrame(
+        LEX, "surface string, entity_id string, entity_type string, priority int"
+    )
+    out = scan_mentions(df, lex).collect()
+    got = {(r.conv_id, r.turn_idx, r.entity_id) for r in out}
+    assert got == {("c1", 0, "DB001"), ("c1", 0, "P001"), ("c2", 0, "P001")}
+    # two occurrences in c2 turn 0 → two rows with distinct spans
+    assert len([r for r in out if r.conv_id == "c2"]) == 2

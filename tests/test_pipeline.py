@@ -1,0 +1,118 @@
+from __future__ import annotations
+
+import pytest
+
+from biokg_spark.datagen import entity_lexicon, id_mapping, ontology, transcripts
+from biokg_spark.pipeline import PREDICATE_VOCABULARY, KGPipeline
+from tests.oracle_kg import expected_outputs, precision_recall
+
+
+@pytest.fixture(scope="module")
+def fixture_inputs(spark):
+    tx = transcripts(spark, n_conversations=30).cache()
+    lex = entity_lexicon(spark)
+    mp = id_mapping(spark)
+    onto = ontology(spark)
+    return tx, lex, mp, onto
+
+
+@pytest.fixture(scope="module")
+def outputs(spark, fixture_inputs, tmp_path_factory):
+    tx, lex, mp, onto = fixture_inputs
+    wd = str(tmp_path_factory.mktemp("kgwork"))
+    pipe = KGPipeline(spark, wd, lex, mp, onto, buckets=4)
+    return pipe.run(tx, run_key="golden"), pipe, wd
+
+
+def _expected(fixture_inputs):
+    tx, lex, mp, onto = fixture_inputs
+    rows = [r.asDict() for r in tx.collect()]
+    lex_rows = [tuple(r) for r in lex.collect()]
+    map_rows = [tuple(r) for r in mp.collect()]
+    onto_rows = [tuple(r) for r in onto.collect()]
+    return expected_outputs(rows, lex_rows, map_rows, onto_rows)
+
+
+def test_golden_triples_exact(fixture_inputs, outputs):
+    out, _pipe, _wd = outputs
+    exp = _expected(fixture_inputs)
+    for family, cols in [
+        ("links", ("subj", "pred", "obj")),
+        ("metadata", ("subj", "pred", "obj")),
+        ("properties", ("subj", "pred", "obj")),
+        ("quads", ("subj", "pred", "obj", "qual")),
+    ]:
+        actual = {tuple(r[c] for c in cols) for r in out[family].collect()}
+        p, r = precision_recall(actual, exp[family])
+        # P/R ≥ 0.95 is the contract; exact match expected at fixture scale
+        assert p == 1.0 and r == 1.0, f"{family}: P={p} R={r}"
+
+
+def test_predicate_vocabulary_closed(outputs):
+    out, _pipe, _wd = outputs
+    for family in ("links", "quads", "metadata", "properties"):
+        preds = {r.pred for r in out[family].select("pred").distinct().collect()}
+        assert preds <= set(PREDICATE_VOCABULARY)
+
+
+def test_per_turn_text_equality_invariant(spark, fixture_inputs, outputs):
+    """Per-turn text equality under stable ordering, verified by key-join
+    (never positional zip): re-reading the ingested checkpoint and joining
+    back on (conv_id, turn_idx) must reproduce every text exactly."""
+    tx, *_ = fixture_inputs
+    out, _pipe, _wd = outputs
+    ing = out["ingest"].select("conv_id", "turn_idx", "text")
+    orig = tx.select("conv_id", "turn_idx", "text")
+    mismatches = (
+        orig.join(ing, ["conv_id", "turn_idx"], "full")
+        .where(
+            (orig.text != ing.text)
+            | orig.text.isNull()
+            | ing.text.isNull()
+        )
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_resume_skips_all_stages(spark, fixture_inputs, outputs):
+    tx, lex, mp, onto = fixture_inputs
+    _out, _pipe, wd = outputs
+    pipe2 = KGPipeline(spark, wd, lex, mp, onto, buckets=4)
+    out2 = pipe2.run(tx, run_key="golden")
+    assert all(m["skipped"] for m in pipe2.metrics().values())
+    assert out2["links"].count() == _out["links"].count()
+
+
+def test_changed_key_invalidates(spark, fixture_inputs, outputs):
+    tx, lex, mp, onto = fixture_inputs
+    _out, _pipe, wd = outputs
+    pipe3 = KGPipeline(spark, wd, lex, mp, onto, buckets=4)
+    pipe3.run(tx, run_key="other-key")
+    assert not pipe3.metrics()["ingest"]["skipped"]
+
+
+def test_duplicate_turn_key_raises(spark, fixture_inputs, tmp_path):
+    _tx, lex, mp, onto = fixture_inputs
+    bad = spark.createDataFrame(
+        [("c1", 0, "u", "x", None, None), ("c1", 0, "u", "y", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    pipe = KGPipeline(spark, str(tmp_path), lex, mp, onto, buckets=2)
+    with pytest.raises(ValueError, match="duplicate"):
+        pipe.run(bad, run_key="dup")
+
+
+def test_unknown_predicate_raises(spark, fixture_inputs, tmp_path):
+    """Vocabulary closure is enforced like the reference's fan-out raise
+    (compile_biokg.py:969)."""
+    _tx, lex, mp, onto = fixture_inputs
+    bad_onto = onto.unionByName(
+        spark.createDataFrame(
+            [("P00001", "BOGUS_PRED", "v")], "entity_id string, pred string, value string"
+        )
+    )
+    tx_small = transcripts(spark, n_conversations=2)
+    pipe = KGPipeline(spark, str(tmp_path), lex, mp, bad_onto, buckets=2)
+    with pytest.raises(ValueError, match="Predicate not recognized"):
+        pipe.run(tx_small, run_key="bad-vocab")

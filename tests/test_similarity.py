@@ -1,0 +1,45 @@
+from __future__ import annotations
+
+import math
+
+from biokg_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.5, 0.5, 0.0, 0.0]),
+    (4, [-1.0, 0.0, 0.0, 0.0]),
+    (5, [0.99, 0.01, 0.0, 0.0]),
+]
+
+
+def _emb(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def _np_cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def test_cosine_topk_matches_oracle(spark):
+    emb = _emb(spark)
+    q = emb.where("vec_id = 0")
+    got = [(r.c_id, r.rank) for r in cosine_topk(emb, q, k=3).orderBy("rank").collect()]
+    sims = sorted(
+        ((round(_np_cos(VECS[0][1], v), 4), -i) for i, v in VECS[1:]),
+        reverse=True,
+    )
+    expected = [(-i, rank + 1) for rank, (_s, i) in enumerate(sims[:3])]
+    assert got == expected  # 5 (.9999) then 1 (.9939) then 3 (.7071)
+
+
+def test_lsh_bucketed_is_subset_of_bruteforce_candidates(spark):
+    emb = _emb(spark)
+    q = emb.where("vec_id = 0")
+    approx = {(r.q_id, r.c_id) for r in lsh_bucketed_topk(emb, q, k=5, sign_bits=1).collect()}
+    # bucket '1' on dim1>0: ids 1, 3, 5 share it; 2 and 4 don't
+    assert approx == {(0, 5), (0, 1), (0, 3)}

@@ -1,0 +1,40 @@
+from __future__ import annotations
+
+import tempfile
+
+from biokg_spark.datagen import transcripts
+from biokg_spark.streaming import streaming_mention_counts
+
+
+def test_streaming_mention_counts_matches_batch(spark):
+    tx = transcripts(spark, n_conversations=10)
+    surfaces = ["protkin1", "drugamab1"]
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        tx.write.parquet(src)
+        stream = spark.readStream.schema(tx.schema).parquet(src)
+        out = streaming_mention_counts(stream, surfaces, window="1 hour")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("mention_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT surface, sum(n_mentions) AS n FROM mention_counts GROUP BY surface"
+        ).collect()
+        stream_totals = {r.surface: r.n for r in got}
+
+    from pyspark.sql import functions as F
+
+    batch_totals = {
+        r.w: r.n
+        for r in tx.select(F.explode(F.split(F.lower("text"), "\\s+")).alias("w"))
+        .where(F.col("w").isin(surfaces))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert stream_totals == batch_totals and stream_totals
