@@ -81,6 +81,57 @@ def extract_effect(text_col: str = "text") -> F.Column:
     return F.coalesce(*branches, F.lit(None).cast("string"))
 
 
+def cooccurrence_links(
+    ents: DataFrame,
+    keys: list[str],
+    id_col: str = "eid",
+    type_col: str = "entity_type",
+) -> DataFrame:
+    """Typed co-occurrence edges from per-group entity sets.
+
+    ``ents``: one row per (group keys, entity id, entity type); entities
+    sharing a group become edges typed by LINK_PREDICATES, with undirected
+    predicates stored in canonical (least, greatest) form (reference:
+    compile_biokg.py:192-195) and directed predicates oriented by the
+    vocabulary's subject type. Output: distinct (subj, pred, obj).
+    """
+    ents = ents.select(
+        *keys, F.col(id_col).alias("eid"), F.col(type_col).alias("entity_type")
+    ).dropDuplicates()
+    a, b = ents.alias("a"), ents.alias("b")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    pairs = a.join(b, cond & (F.col("a.eid") < F.col("b.eid"))).select(
+        F.col("a.eid").alias("e1"),
+        F.col("a.entity_type").alias("t1"),
+        F.col("b.eid").alias("e2"),
+        F.col("b.entity_type").alias("t2"),
+    )
+    pred = F.lit(None).cast("string")
+    directed_first = F.lit(None).cast("string")
+    for (ta, tb), (pname, _und) in LINK_PREDICATES.items():
+        hit_ab = (F.col("t1") == ta) & (F.col("t2") == tb)
+        hit_ba = (F.col("t1") == tb) & (F.col("t2") == ta)
+        pred = F.when(hit_ab | hit_ba, F.lit(pname)).otherwise(pred)
+        directed_first = (
+            F.when(hit_ab, F.col("e1")).when(hit_ba, F.col("e2")).otherwise(directed_first)
+        )
+    typed = pairs.select(
+        "e1", "e2", pred.alias("pred"), directed_first.alias("dfirst")
+    ).where(F.col("pred").isNotNull())
+    undirected_names = [p for p, und in LINK_PREDICATES.values() if und]
+    subj = F.when(
+        F.col("pred").isin(undirected_names), F.least("e1", "e2")
+    ).otherwise(F.col("dfirst"))
+    obj = F.when(
+        F.col("pred").isin(undirected_names), F.greatest("e1", "e2")
+    ).otherwise(
+        F.when(F.col("dfirst") == F.col("e1"), F.col("e2")).otherwise(F.col("e1"))
+    )
+    return typed.select(subj.alias("subj"), F.col("pred"), obj.alias("obj")).dropDuplicates()
+
+
 class KGPipeline:
     def __init__(
         self,
@@ -183,42 +234,11 @@ class KGPipeline:
 
     # -- stage 4a: typed co-occurrence links ------------------------------
     def _links(self, linked: DataFrame) -> DataFrame:
-        ents = linked.select(
-            "conv_id", "turn_idx", F.col("canonical_id").alias("eid"), "entity_type"
-        ).dropDuplicates()
-        a, b = ents.alias("a"), ents.alias("b")
-        pairs = a.join(
-            b,
-            (F.col("a.conv_id") == F.col("b.conv_id"))
-            & (F.col("a.turn_idx") == F.col("b.turn_idx"))
-            & (F.col("a.eid") < F.col("b.eid")),
-        ).select(
-            F.col("a.eid").alias("e1"),
-            F.col("a.entity_type").alias("t1"),
-            F.col("b.eid").alias("e2"),
-            F.col("b.entity_type").alias("t2"),
-        )
-        # typed predicate per type pair; direction fixed by the vocabulary
-        pred = F.lit(None).cast("string")
-        directed_first = F.lit(None).cast("string")
-        for (ta, tb), (pname, _undirected) in LINK_PREDICATES.items():
-            hit_ab = (F.col("t1") == ta) & (F.col("t2") == tb)
-            hit_ba = (F.col("t1") == tb) & (F.col("t2") == ta)
-            pred = F.when(hit_ab | hit_ba, F.lit(pname)).otherwise(pred)
-            directed_first = F.when(hit_ab, F.col("e1")).when(hit_ba, F.col("e2")).otherwise(directed_first)
-        typed = pairs.select(
-            "e1", "e2", pred.alias("pred"), directed_first.alias("dfirst")
-        ).where(F.col("pred").isNotNull())
-        undirected_names = [p for p, und in LINK_PREDICATES.values() if und]
-        subj = F.when(
-            F.col("pred").isin(undirected_names), F.least("e1", "e2")
-        ).otherwise(F.col("dfirst"))
-        obj = F.when(
-            F.col("pred").isin(undirected_names), F.greatest("e1", "e2")
-        ).otherwise(F.when(F.col("dfirst") == F.col("e1"), F.col("e2")).otherwise(F.col("e1")))
-        return (
-            typed.select(subj.alias("subj"), F.col("pred"), obj.alias("obj"))
-            .dropDuplicates()
+        return cooccurrence_links(
+            linked.select(
+                "conv_id", "turn_idx", F.col("canonical_id").alias("eid"), "entity_type"
+            ),
+            keys=["conv_id", "turn_idx"],
         )
 
     # -- stage 4b: DPI effect quads with conflict exclusion ---------------

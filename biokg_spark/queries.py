@@ -1,0 +1,791 @@
+"""Operator-coverage query registry: Spark builder + DuckDB oracle per op.
+
+Each entry exercises one operator family from SURVEY.md §2 (or a
+training-data-pipeline op) on the driver's testdata tables, with an exact
+ANSI-SQL twin for the DuckDB oracle. Naming contract: every computed
+column is aliased identically on both sides; doubles are rounded (4 dp,
+money 2 dp); no arrays/timestamps in outputs (strings instead) so the
+order-insensitive value hash compares cleanly across engines.
+
+The KG queries derive a transcript table from ``documents`` (conv_id =
+doc_id % 40, turn order by doc_id) and use a fixed literal lexicon of
+words that occur in the corpus — the same parse→map→link path as the
+flagship pipeline, oracle-checkable because document text is clean
+space-separated words.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from biokg_spark.functions.text import (
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    sanitize_text,
+    token_count,
+)
+from biokg_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from biokg_spark.operators.edges import canonical_undirected, conflict_exclusion
+from biokg_spark.operators.hierarchy import expand_prefixes
+from biokg_spark.operators.mentions import scan_mentions
+from biokg_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+from biokg_spark.pipeline.kg import cooccurrence_links
+from biokg_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared KG fixtures over the documents table
+# ---------------------------------------------------------------------------
+
+# (surface, entity_id, entity_type): words known to occur in the corpus
+KG_LEXICON = [
+    ("join", "P00001", "PROTEIN"),
+    ("scan", "P00002", "PROTEIN"),
+    ("merge", "P00003", "PROTEIN"),
+    ("filter", "P00004", "PROTEIN"),
+    ("hash", "DB00001", "DRUG"),
+    ("sort", "DB00002", "DRUG"),
+    ("agg", "DB00003", "DRUG"),
+    ("batch", "D000001", "DISEASE"),
+    ("stream", "D000002", "DISEASE"),
+    ("window", "R-HSA-1", "PATHWAY"),
+    ("query", "R-HSA-2", "PATHWAY"),
+]
+
+_LEX_SQL_VALUES = ",".join(f"('{s}','{e}','{t}')" for s, e, t in KG_LEXICON)
+
+# transcripts derived from documents: 40 conversations, turn order = doc_id
+_TX_SQL = (
+    "SELECT 'conv' || CAST(doc_id % 40 AS VARCHAR) AS conv_id, "
+    "CAST(row_number() OVER (PARTITION BY doc_id % 40 ORDER BY doc_id) - 1 AS INT) AS turn_idx, "
+    "text FROM documents"
+)
+
+_MENTIONS_SQL = f"""
+  tx AS ({_TX_SQL}),
+  lex(surface, entity_id, entity_type) AS (VALUES {_LEX_SQL_VALUES}),
+  tok AS (SELECT conv_id, turn_idx, unnest(string_split(lower(text), ' ')) AS w FROM tx),
+  m AS (SELECT DISTINCT conv_id, turn_idx, entity_id, entity_type
+        FROM tok JOIN lex ON tok.w = lex.surface)
+"""
+
+
+def doc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.col("doc_id") % 40).orderBy("doc_id")
+    return docs.select(
+        F.concat(F.lit("conv"), (F.col("doc_id") % 40).cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "text",
+    )
+
+
+def kg_lexicon_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(s, e, t, 0) for s, e, t in KG_LEXICON],
+        "surface string, entity_id string, entity_type string, priority int",
+    )
+
+
+def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched dictionary scan over the derived transcripts."""
+    return scan_mentions(
+        doc_transcripts(spark, sf_dir), kg_lexicon_df(spark)
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry: name -> (spark_fn, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def q(name: str, sql: str | None):
+    def wrap(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return wrap
+
+
+# ===== A. reference operator analogs (SURVEY.md §2) ========================
+
+
+@q(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    """Grouped aggregation with partial (map-side) combine — A6 analog."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "join_broadcast_enrich",
+    """
+    SELECT r_name AS region_name, n_name AS nation_name,
+           count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_enrich(spark, sf_dir):
+    """Dim-enrichment broadcast joins — J1/J7 analog."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@q(
+    "semi_join_universe",
+    """
+    SELECT l_returnflag, count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE EXISTS (
+      SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey AND s_acctbal > 0)
+    GROUP BY l_returnflag
+    """,
+)
+def semi_join_universe(spark, sf_dir):
+    """Entity-universe semijoin filter — F4 analog (compile_biokg.py:38-57)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    univ = load_table(spark, sf_dir, "supplier").where("s_acctbal > 0")
+    return (
+        li.join(
+            F.broadcast(univ), li.l_suppkey == univ.s_suppkey, "left_semi"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@q(
+    "anti_join_exclusion",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def anti_join_exclusion(spark, sf_dir):
+    """Anti-join exclusion — J5 analog (build_benchmarks.py:101-105)."""
+    orders = load_table(spark, sf_dir, "orders")
+    returned = load_table(spark, sf_dir, "lineitem").where("l_returnflag = 'R'")
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_anti"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "union_dedup",
+    """
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders
+      UNION
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def union_dedup(spark, sf_dir):
+    """Multi-source union then dedup — A5+A1 analog."""
+    a = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    b = (
+        load_table(spark, sf_dir, "customer")
+        .where("c_mktsegment = 'BUILDING'")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return a.unionByName(b).dropDuplicates()
+
+
+@q(
+    "canonical_undirected_edges",
+    """
+    SELECT DISTINCT least(l_partkey, l_suppkey) AS subj,
+                    greatest(l_partkey, l_suppkey) AS obj
+    FROM lineitem
+    """,
+)
+def canonical_undirected_edges(spark, sf_dir):
+    """Undirected-edge canonical form — A2 (compile_biokg.py:192-195)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("subj"), F.col("l_suppkey").alias("obj")
+    )
+    return canonical_undirected(li)
+
+
+@q(
+    "group_union_refs",
+    """
+    SELECT l_partkey,
+           string_agg(DISTINCT CAST(l_orderkey AS VARCHAR), ','
+                      ORDER BY CAST(l_orderkey AS VARCHAR)) AS refs,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def group_union_refs(spark, sf_dir):
+    """Reference-list union per edge — A4 (parsers.py:2825-2857)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set(F.col("l_orderkey").cast("string")))
+            ).alias("refs"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "conflict_exclusion_effects",
+    """
+    WITH fx AS (
+      SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CASE WHEN event_type = 'purchase' THEN 'INCREASES'
+                  WHEN event_type = 'error' THEN 'DECREASES' END AS effect
+      FROM events WHERE event_type IN ('purchase', 'error')),
+    agg AS (
+      SELECT user_id, day,
+             max(CASE WHEN effect = 'INCREASES' THEN 1 ELSE 0 END) AS hi,
+             max(CASE WHEN effect = 'DECREASES' THEN 1 ELSE 0 END) AS lo
+      FROM fx GROUP BY user_id, day)
+    SELECT user_id, day,
+           CASE WHEN hi = 1 THEN 'INCREASES' ELSE 'DECREASES' END AS effect
+    FROM agg WHERE hi + lo = 1
+    """,
+)
+def conflict_exclusion_effects(spark, sf_dir):
+    """Inconsistent-direction exclusion — A3/J5 (parsers.py:1989-1990):
+    per (user, day), groups seen with both directions are dropped."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "error")
+    )
+    fx = ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("event_type") == "purchase", "INCREASES")
+        .otherwise("DECREASES")
+        .alias("effect"),
+    )
+    return conflict_exclusion(fx, ["user_id", "day"], "effect")
+
+
+@q(
+    "window_lag_boundary",
+    """
+    SELECT user_id, event_id,
+           lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+    FROM events
+    """,
+)
+def window_lag_boundary(spark, sf_dir):
+    """Previous-row boundary detection — §2.6 lag analog (parsers.py:1953-1996)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+@q(
+    "window_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) WHERE rnk <= 2
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 2)
+    )
+
+
+@q(
+    "hierarchy_expand",
+    """
+    WITH codes AS (
+      SELECT p_partkey, p_type || '.' || p_brand || '.' || CAST(p_size AS VARCHAR) AS code
+      FROM part)
+    SELECT p_partkey, i AS level,
+           array_to_string(list_slice(string_split(code, '.'), 1, i), '.') AS prefix
+    FROM codes, unnest(generate_series(1, len(string_split(code, '.')))) AS t(i)
+    """,
+)
+def hierarchy_expand(spark, sf_dir):
+    """Tree-path prefix expansion — MeSH/ATC analog (parsers.py:3073-3083)."""
+    codes = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat_ws(
+            ".", F.col("p_type"), F.col("p_brand"), F.col("p_size").cast("string")
+        ).alias("code"),
+    )
+    return expand_prefixes(codes, "code").select(
+        "p_partkey", F.col("level").cast("long").alias("level"), "prefix"
+    )
+
+
+@q(
+    "regex_extract_codes",
+    """
+    SELECT regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS prio_num,
+           count(*) AS n
+    FROM orders GROUP BY prio_num
+    """,
+)
+def regex_extract_codes(spark, sf_dir):
+    """Regex code extraction — F1 (parsers.py:14-22)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(F.regexp_extract("o_orderpriority", "^([0-9]+)", 1).alias("prio_num"))
+        .groupBy("prio_num")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "sanitize_whitelist",
+    """
+    SELECT c_custkey, regexp_replace(c_name, '[^a-zA-Z0-9]', '_', 'g') AS name_clean,
+           c_mktsegment
+    FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    """,
+)
+def sanitize_whitelist(spark, sf_dir):
+    """Text sanitization + whitelist filter — F3/F5 (parsers.py:116-169)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(
+            "c_custkey", sanitize_text("c_name").alias("name_clean"), "c_mktsegment"
+        )
+    )
+
+
+@q(
+    "count_summaries",
+    """
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def count_summaries(spark, sf_dir):
+    """Per-type profiling counts — A6 (summarize_preprocessed.py:17-52)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@q(
+    "json_extract_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+    FROM events GROUP BY k
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """Semi-structured payload extraction (events.props JSON)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ===== B. KG construction over derived transcripts =========================
+
+
+@q(
+    "kg_mention_scan",
+    f"WITH {_MENTIONS_SQL} SELECT conv_id, turn_idx, entity_id, entity_type FROM m",
+)
+def kg_mention_scan(spark, sf_dir):
+    """Dictionary mention detection (Arrow pandas UDF) — the parse stage."""
+    return kg_mentions(spark, sf_dir).select(
+        "conv_id", "turn_idx", "entity_id", "entity_type"
+    ).dropDuplicates()
+
+
+@q(
+    "kg_mention_counts",
+    f"""
+    WITH tx AS ({_TX_SQL}),
+    lex(surface, entity_id, entity_type) AS (VALUES {_LEX_SQL_VALUES}),
+    tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM tx)
+    SELECT entity_id, count(*) AS n_mentions
+    FROM tok JOIN lex ON tok.w = lex.surface GROUP BY entity_id
+    """,
+)
+def kg_mention_counts(spark, sf_dir):
+    """Occurrence counts per entity (scanner emits one row per hit)."""
+    return (
+        kg_mentions(spark, sf_dir)
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+
+
+_KG_UNDIRECTED = "('PPI','DDI')"
+_KG_PRED_CASE = """
+      CASE WHEN t1 = 'PROTEIN' AND t2 = 'PROTEIN' THEN 'PPI'
+           WHEN t1 = 'DRUG' AND t2 = 'DRUG' THEN 'DDI'
+           WHEN (t1 = 'DRUG' AND t2 = 'PROTEIN') OR (t1 = 'PROTEIN' AND t2 = 'DRUG') THEN 'DPI'
+           WHEN (t1 = 'DRUG' AND t2 = 'DISEASE') OR (t1 = 'DISEASE' AND t2 = 'DRUG') THEN 'DRUG_DISEASE_ASSOCIATION'
+           WHEN (t1 = 'PROTEIN' AND t2 = 'DISEASE') OR (t1 = 'DISEASE' AND t2 = 'PROTEIN') THEN 'PROTEIN_DISEASE_ASSOCIATION'
+           WHEN (t1 = 'PROTEIN' AND t2 = 'PATHWAY') OR (t1 = 'PATHWAY' AND t2 = 'PROTEIN') THEN 'MEMBER_OF_PATHWAY'
+           WHEN (t1 = 'DRUG' AND t2 = 'PATHWAY') OR (t1 = 'PATHWAY' AND t2 = 'DRUG') THEN 'DRUG_PATHWAY_ASSOCIATION'
+           WHEN (t1 = 'DISEASE' AND t2 = 'PATHWAY') OR (t1 = 'PATHWAY' AND t2 = 'DISEASE') THEN 'DISEASE_PATHWAY_ASSOCIATION'
+      END"""
+_KG_FIRST_TYPE = """
+      CASE pred WHEN 'DPI' THEN 'DRUG'
+                WHEN 'DRUG_DISEASE_ASSOCIATION' THEN 'DRUG'
+                WHEN 'PROTEIN_DISEASE_ASSOCIATION' THEN 'PROTEIN'
+                WHEN 'MEMBER_OF_PATHWAY' THEN 'PROTEIN'
+                WHEN 'DRUG_PATHWAY_ASSOCIATION' THEN 'DRUG'
+                WHEN 'DISEASE_PATHWAY_ASSOCIATION' THEN 'DISEASE'
+      END"""
+
+
+@q(
+    "kg_cooccurrence_links",
+    f"""
+    WITH {_MENTIONS_SQL},
+    pairs AS (
+      SELECT a.entity_id AS e1, a.entity_type AS t1,
+             b.entity_id AS e2, b.entity_type AS t2
+      FROM m a JOIN m b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.entity_id < b.entity_id),
+    typed AS (
+      SELECT e1, t1, e2, t2, {_KG_PRED_CASE} AS pred FROM pairs),
+    oriented AS (
+      SELECT pred,
+             CASE WHEN pred IN {_KG_UNDIRECTED} THEN least(e1, e2)
+                  WHEN t1 = {_KG_FIRST_TYPE} THEN e1 ELSE e2 END AS subj,
+             CASE WHEN pred IN {_KG_UNDIRECTED} THEN greatest(e1, e2)
+                  WHEN t1 = {_KG_FIRST_TYPE} THEN e2 ELSE e1 END AS obj
+      FROM typed WHERE pred IS NOT NULL)
+    SELECT DISTINCT subj, pred, obj FROM oriented
+    """,
+)
+def kg_cooccurrence_links(spark, sf_dir):
+    """Full parse→map→link→emit slice: typed co-occurrence triples."""
+    ents = kg_mentions(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.col("entity_id").alias("eid"), "entity_type"
+    )
+    return cooccurrence_links(ents, keys=["conv_id", "turn_idx"])
+
+
+@q(
+    "kg_turn_ordering",
+    f"""
+    WITH tx AS ({_TX_SQL})
+    SELECT conv_id, count(*) AS n_turns,
+           md5(string_agg(text, '|' ORDER BY turn_idx)) AS text_hash
+    FROM tx GROUP BY conv_id
+    """,
+)
+def kg_turn_ordering(spark, sf_dir):
+    """Stable per-conversation turn ordering invariant (input_hint):
+    ordered concat hash must be reproducible under any partitioning."""
+    tx = doc_transcripts(spark, sf_dir)
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    return tx.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.md5(
+            F.array_join(F.transform(ordered, lambda s: s["text"]), "|")
+        ).alias("text_hash"),
+    )
+
+
+# ===== C. training-data pipeline ops =======================================
+
+
+@q(
+    "dedup_exact",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents)
+    SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS dup_count
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_SHINGLES_SQL = """
+  tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id,
+           CASE WHEN len(ts) >= 3
+                THEN array_to_string(list_slice(ts, i, i + 2), ' ')
+                ELSE array_to_string(ts, ' ') END AS sh
+    FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS t(i))
+"""
+
+
+@q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    sig AS (
+      SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+      FROM sh, seeds GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, seed // 2)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        num_hashes=8, bands=4, width=3,
+    )
+
+
+@q(
+    "dedup_minhash_signature",
+    f"""
+    WITH {_SHINGLES_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    sig AS (
+      SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+      FROM sh, seeds GROUP BY doc_id, seed)
+    SELECT doc_id, string_agg(mh, '|' ORDER BY seed) AS sig
+    FROM sig GROUP BY doc_id
+    """,
+)
+def dedup_minhash_signature(spark, sf_dir):
+    sigs = minhash_signatures(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=8
+    )
+    return sigs.select("doc_id", F.array_join("sig", "|").alias("sig"))
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    )
+
+
+@q(
+    "dedup_simhash",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+      FROM documents),
+    votes AS (
+      SELECT doc_id, i AS bit_pos,
+             CASE WHEN substr(md5(w), i, 1) IN ('8','9','a','b','c','d','e','f')
+                  THEN 1 ELSE -1 END AS vote
+      FROM tok, unnest(generate_series(1, 16)) AS t(i)),
+    per_bit AS (
+      SELECT doc_id, bit_pos, sum(vote) AS v FROM votes GROUP BY doc_id, bit_pos)
+    SELECT doc_id,
+           string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY bit_pos) AS simhash
+    FROM per_bit GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    return simhash(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_STOP_SQL = "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+    m AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len(ts) END AS n_tokens,
+             len(list_filter(ts, w -> w IN {_STOP_SQL})) AS n_stop
+      FROM t)
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens > 0
+                 AND CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= 0.10
+                THEN 'en' ELSE 'xx' END AS lang,
+           round(0.4 * (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+               + 0.3 * least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 5, 1.0)
+               + 0.3 * (CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                        / greatest(len(text), 1)), 4) AS quality
+    FROM m
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Language ID + quality scoring + token counting over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        lang_id("text").alias("lang"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@q(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+_COS_SQL = """
+      round(
+        list_sum(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        4)"""
+
+
+@q(
+    "embed_cosine_topk",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id, {_COS_SQL} AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT q_id, c_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+      FROM scored)
+    SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def embed_cosine_topk(spark, sf_dir):
+    """Brute-force exact ANN baseline: cosine top-3 for query ids < 5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where("vec_id < 5"), k=3).select(
+        "q_id", "c_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@q(
+    "embed_ann_lsh",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST(embedding[1] > 0 AS INT) || CAST(embedding[2] > 0 AS INT) ||
+             CAST(embedding[3] > 0 AS INT) || CAST(embedding[4] > 0 AS INT) AS bucket
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id, {_COS_SQL} AS sim
+      FROM b q JOIN b c ON q.bucket = c.bucket
+       AND q.vec_id < 5 AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT q_id, c_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+      FROM scored)
+    SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def embed_ann_lsh(spark, sf_dir):
+    """Sign-bucketed approximate ANN: search only the query's bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, emb.where("vec_id < 5"), k=3, sign_bits=4).select(
+        "q_id", "c_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
