@@ -36,3 +36,32 @@ def salt_join(
     salted_right = right.withColumn("_salt", salts)
     out = salted_left.join(salted_right, on=[on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def salted_collect_set(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    out_col: str = "values",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Distinct-set aggregation that survives hot keys.
+
+    A plain ``groupBy(keys).agg(collect_set(v))`` funnels every partial set
+    of a hot key into ONE reducer whose set grows unbounded (a
+    high-frequency entity mentioned in a large share of turns → millions of
+    refs on one task). Two phases fix the merge-side skew: phase 1 groups by
+    ``(keys, salt(v))`` so each reducer builds at most ``1/n_salts`` of a
+    hot key's set; phase 2 merges ``n_salts`` pre-deduped arrays per key.
+    Output: one row per key group with a sorted distinct ``out_col`` array.
+    """
+    partial = (
+        df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts)).cast("int")
+        )
+        .groupBy(*keys, "_salt")
+        .agg(F.collect_set(value_col).alias("_part"))
+    )
+    return partial.groupBy(*keys).agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_part")))).alias(out_col)
+    )

@@ -40,9 +40,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from biokg_spark.operators.edges import canonical_undirected, conflict_exclusion
 from biokg_spark.operators.hierarchy import expand_prefixes
 from biokg_spark.operators.mentions import scan_mentions
+from biokg_spark.operators.skew import salted_collect_set
 from biokg_spark.plans.checkpoint import CheckpointManager, fingerprint
 
 # Typed predicate per unordered entity-type pair; bool = undirected
@@ -94,19 +94,47 @@ def cooccurrence_links(
     predicates stored in canonical (least, greatest) form (reference:
     compile_biokg.py:192-195) and directed predicates oriented by the
     vocabulary's subject type. Output: distinct (subj, pred, obj).
+
+    Physical plan: ONE linear shuffle. The naive fact-fact self-join on the
+    group keys shuffles the mention table twice, joins, then shuffles again
+    to dedup — three wide stages whose cost at 10^12 turns is dominated by
+    re-shuffling the same rows. Instead each group's (small, bounded)
+    entity set is collected once and pairs are expanded array-side inside
+    the same stage; the final distinct collapses map-side because the
+    output key space (entity × entity) is tiny relative to the input.
     """
     ents = ents.select(
         *keys, F.col(id_col).alias("eid"), F.col(type_col).alias("entity_type")
-    ).dropDuplicates()
-    a, b = ents.alias("a"), ents.alias("b")
-    cond = F.lit(True)
-    for k in keys:
-        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-    pairs = a.join(b, cond & (F.col("a.eid") < F.col("b.eid"))).select(
-        F.col("a.eid").alias("e1"),
-        F.col("a.entity_type").alias("t1"),
-        F.col("b.eid").alias("e2"),
-        F.col("b.entity_type").alias("t2"),
+    )
+    per_group = (
+        ents.groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("eid"), F.col("entity_type")))
+            ).alias("ms")
+        )
+        .where(F.size("ms") >= 2)
+    )
+    ms = F.col("ms")
+    # ordered pairs (i < j) from the sorted set: a.eid <= b.eid by sort order
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda a, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms)),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        per_group.select(F.explode(pair_arr).alias("p"))
+        .select(
+            F.col("p.a.eid").alias("e1"),
+            F.col("p.a.entity_type").alias("t1"),
+            F.col("p.b.eid").alias("e2"),
+            F.col("p.b.entity_type").alias("t2"),
+        )
+        .where(F.col("e1") != F.col("e2"))
     )
     pred = F.lit(None).cast("string")
     directed_first = F.lit(None).cast("string")
@@ -195,14 +223,14 @@ class KGPipeline:
 
     # -- stage 1: ingest/order ------------------------------------------
     def _ingest(self, transcripts: DataFrame) -> DataFrame:
-        dupes = (
-            transcripts.groupBy("conv_id", "turn_idx")
-            .count()
-            .where(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
-        if dupes:
+        # key-uniqueness gate as ONE aggregation job over just the key
+        # columns (column-pruned scan; the groupBy+filter+limit variant
+        # costs an extra shuffle stage and a second job)
+        stats = transcripts.select(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.struct("conv_id", "turn_idx")).alias("nd"),
+        ).first()
+        if stats["n"] != stats["nd"]:
             raise ValueError("duplicate (conv_id, turn_idx) keys in transcripts")
         # hash(conv_id) bucketing: all per-conversation work co-located;
         # at cluster scale this is the table's bucket spec, not a shuffle
@@ -243,46 +271,65 @@ class KGPipeline:
 
     # -- stage 4b: DPI effect quads with conflict exclusion ---------------
     def _effect_quads(self, linked: DataFrame, ingested: DataFrame) -> DataFrame:
+        """Plan notes (10^12-turn discipline): the per-turn drug and protein
+        sets come from ONE aggregation over ``linked`` (the two-filtered-
+        copies-then-join alternative shuffles the mention table twice and
+        materializes the drug×prot blow-up before any reduction). The
+        drug×prot expansion happens array-side after the turns are already
+        reduced to (drugs, prots, effect) triples, refs are merged with a
+        salted two-phase set agg (hot pairs), and the INCREASES/DECREASES
+        conflict rule (reference: parsers.py:1989-1990) is an array filter
+        over the ≤3 effect rows per pair — no extra join."""
         effects = ingested.select(
             "conv_id", "turn_idx", extract_effect("text").alias("effect")
         ).where(F.col("effect").isNotNull())
-        drugs = linked.where(F.col("entity_type") == "DRUG").select(
-            "conv_id", "turn_idx", F.col("canonical_id").alias("drug")
-        )
-        prots = linked.where(F.col("entity_type") == "PROTEIN").select(
-            "conv_id", "turn_idx", F.col("canonical_id").alias("prot")
+        per_turn = (
+            linked.groupBy("conv_id", "turn_idx")
+            .agg(
+                F.collect_set(
+                    F.when(F.col("entity_type") == "DRUG", F.col("canonical_id"))
+                ).alias("drugs"),
+                F.collect_set(
+                    F.when(F.col("entity_type") == "PROTEIN", F.col("canonical_id"))
+                ).alias("prots"),
+            )
+            .where((F.size("drugs") > 0) & (F.size("prots") > 0))
         )
         dpi = (
-            drugs.join(prots, ["conv_id", "turn_idx"])
-            .join(effects, ["conv_id", "turn_idx"])
+            per_turn.join(effects, ["conv_id", "turn_idx"])
             .select(
-                "drug",
-                "prot",
+                F.explode("drugs").alias("drug"),
+                "prots",
                 "effect",
                 F.concat_ws("#", "conv_id", "turn_idx").alias("ref"),
             )
-            .dropDuplicates()
+            .select("drug", F.explode("prots").alias("prot"), "effect", "ref")
         )
-        # AFFECTS rows always survive; INCREASES/DECREASES must be
-        # consistent per (drug, prot) (reference: parsers.py:1989-1990)
-        directional = conflict_exclusion(
-            dpi.where(F.col("effect") != "AFFECTS"), ["drug", "prot"], "effect"
+        # hot (drug, prot) pairs carry a huge share of refs — salted
+        # two-phase set aggregation keeps the merge off a single reducer
+        refs = salted_collect_set(
+            dpi, ["drug", "prot", "effect"], "ref", out_col="refs"
         )
-        refs = (
-            dpi.groupBy("drug", "prot", "effect")
-            .agg(F.array_sort(F.collect_set("ref")).alias("refs"))
+        # AFFECTS rows always survive; INCREASES/DECREASES only when the
+        # pair is direction-consistent across the whole table
+        per_pair = refs.groupBy("drug", "prot").agg(
+            F.collect_list(F.struct("effect", "refs")).alias("fx")
         )
-        affect = refs.where(F.col("effect") == "AFFECTS")
-        keep_dir = refs.join(directional, ["drug", "prot", "effect"], "left_semi")
+        has_inc = F.exists("fx", lambda x: x["effect"] == F.lit("INCREASES"))
+        has_dec = F.exists("fx", lambda x: x["effect"] == F.lit("DECREASES"))
+        keep = F.filter(
+            F.col("fx"),
+            lambda x: (x["effect"] == F.lit("AFFECTS")) | ~(has_inc & has_dec),
+        )
         return (
-            affect.unionByName(keep_dir)
+            per_pair.select("drug", "prot", F.explode(keep).alias("x"))
             .select(
                 F.col("drug").alias("subj"),
                 F.lit("DPI_EFFECT").alias("pred"),
                 F.col("prot").alias("obj"),
-                F.col("effect").alias("qual"),
+                F.col("x.effect").alias("qual"),
                 F.lit("CURATED").alias("status"),
-                F.col("refs"),
+                F.col("x.refs").alias("refs"),
             )
         )
 
@@ -316,18 +363,31 @@ class KGPipeline:
 
     # -- vocabulary closure (reference: compile_biokg.py:969) -------------
     def _assert_vocabulary(self, outputs: dict[str, DataFrame]) -> None:
+        # ONE job for all families instead of one collect per table. For
+        # the pred-partitioned tables (links/metadata/properties) the scan
+        # is partition-pruned: distinct pred values come from directory
+        # names, no data pages are read.
+        preds = None
+        tagged = []
         for name in ("links", "quads", "metadata", "properties"):
             df = outputs.get(name)
             if df is None:
                 continue
-            bad = (
-                df.select("pred")
-                .where(~F.col("pred").isin(*PREDICATE_VOCABULARY))
-                .limit(1)
-                .collect()
+            p = df.select(F.col("pred"), F.lit(name).alias("family"))
+            preds = p if preds is None else preds.unionByName(p)
+            tagged.append(name)
+        if preds is None:
+            return
+        bad = (
+            preds.where(~F.col("pred").isin(*PREDICATE_VOCABULARY))
+            .select("pred", "family")
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"Predicate not recognized {bad[0]['pred']!r} in {bad[0]['family']}"
             )
-            if bad:
-                raise ValueError(f"Predicate not recognized {bad[0]['pred']!r} in {name}")
 
     # ------------------------------------------------------------------
     def metrics(self) -> dict[str, dict]:

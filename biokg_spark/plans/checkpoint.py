@@ -20,11 +20,11 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from dataclasses import dataclass
+import time
+from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_MANIFEST.json"
 
@@ -46,6 +46,7 @@ class StageResult:
     row_count: int
     skipped: bool  # True when served from a valid checkpoint
     lineage: list[dict]  # per-file row counts
+    wall_sec: float = field(default=0.0)
 
 
 class CheckpointManager:
@@ -73,6 +74,26 @@ class CheckpointManager:
         except (json.JSONDecodeError, OSError):
             return None
 
+    @staticmethod
+    def _footer_lineage(data_dir: str) -> list[dict]:
+        """Row count per data file from parquet footer metadata (also covers
+        ``partitionBy`` subdirectories like ``pred=PPI/part-*.parquet``)."""
+        import pyarrow.parquet as pq
+
+        lineage = []
+        for root, _dirs, files in os.walk(data_dir):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, fn)
+                lineage.append(
+                    {
+                        "file": os.path.relpath(full, data_dir),
+                        "rows": pq.ParquetFile(full).metadata.num_rows,
+                    }
+                )
+        return sorted(lineage, key=lambda d: d["file"])
+
     def is_valid(self, name: str, fp: str) -> bool:
         m = self._load_manifest(name)
         return bool(m) and m.get("fingerprint") == fp
@@ -90,6 +111,7 @@ class CheckpointManager:
         — the stage's table is read back, which also truncates lineage for
         everything downstream (no recomputation on failure recovery).
         """
+        t0 = time.perf_counter()
         stage_dir = self._stage_dir(name)
         data_dir = os.path.join(stage_dir, "data")
         manifest = self._load_manifest(name)
@@ -99,7 +121,8 @@ class CheckpointManager:
             self.spark.catalog.refreshByPath(data_dir)
             df = self.spark.read.parquet(data_dir)
             self.results[name] = StageResult(
-                name, data_dir, fp, manifest["row_count"], True, manifest["lineage"]
+                name, data_dir, fp, manifest["row_count"], True, manifest["lineage"],
+                round(time.perf_counter() - t0, 3),
             )
             return df
 
@@ -111,15 +134,12 @@ class CheckpointManager:
 
         self.spark.catalog.refreshByPath(data_dir)
         persisted = self.spark.read.parquet(data_dir)
-        lineage_rows = (
-            persisted.groupBy(F.input_file_name().alias("file"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        )
-        lineage = sorted(
-            ({"file": os.path.basename(r["file"]), "rows": r["rows"]} for r in lineage_rows),
-            key=lambda d: d["file"],
-        )
+        # Per-partition lineage from parquet FOOTERS — metadata-only, no
+        # second scan of the data (the naive groupBy(input_file_name())
+        # alternative re-reads the whole stage output; at 100 TB that
+        # doubles every stage). Local-FS walk here; on object storage this
+        # becomes a listing + parallel footer fetch, still O(files) metadata.
+        lineage = self._footer_lineage(data_dir)
         row_count = sum(d["rows"] for d in lineage)
         manifest = {
             "stage": name,
@@ -131,12 +151,20 @@ class CheckpointManager:
         }
         with open(self._manifest_path(name), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
-        self.results[name] = StageResult(name, data_dir, fp, row_count, False, lineage)
+        self.results[name] = StageResult(
+            name, data_dir, fp, row_count, False, lineage,
+            round(time.perf_counter() - t0, 3),
+        )
         return persisted
 
     def metrics(self) -> dict[str, dict]:
-        """Per-stage metrics summary (row counts, skip status)."""
+        """Per-stage metrics summary (row counts, skip status, wall time)."""
         return {
-            n: {"rows": r.row_count, "skipped": r.skipped, "files": len(r.lineage)}
+            n: {
+                "rows": r.row_count,
+                "skipped": r.skipped,
+                "files": len(r.lineage),
+                "wall_sec": r.wall_sec,
+            }
             for n, r in self.results.items()
         }

@@ -31,6 +31,10 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # --- broadcast joins for dimension tables (lexicons, id mappings) ---
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # --- local-mode JVM sizing (only effective before JVM launch; a real
+    #     cluster sets executor/driver memory via spark-submit) ---
+    "spark.driver.memory": "48g",
+    "spark.driver.maxResultSize": "4g",
     # quieter, deterministic local runs
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
