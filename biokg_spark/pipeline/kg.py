@@ -190,34 +190,45 @@ class KGPipeline:
         fp2 = fingerprint("linked", fp1)
         linked = self.ckpt.run("linked", fp2, lambda: self._link(mentions))
 
-        fp3 = fingerprint("links", fp2)
-        links = self.ckpt.run(
-            "links", fp3, lambda: self._links(linked), partition_by=["pred"]
-        )
+        # The four output families are independent given (linked, ingested)
+        # — submit them as CONCURRENT Spark jobs (SparkSession is
+        # thread-safe for job submission). Sequential execution would
+        # serialize four driver-side latency floors and leave executor
+        # slots idle between stages; on a real cluster these are exactly
+        # the jobs you overlap.
+        from concurrent.futures import ThreadPoolExecutor
 
-        fp4 = fingerprint("quads", fp2)
-        quads = self.ckpt.run(
-            "quads", fp4, lambda: self._effect_quads(linked, ingested)
-        )
-
-        fp5 = fingerprint("metadata", fp2)
-        metadata = self.ckpt.run(
-            "metadata", fp5, lambda: self._metadata(linked), partition_by=["pred"]
-        )
-
-        out = {
-            "ingest": ingested,
-            "mentions": mentions,
-            "linked": linked,
-            "links": links,
-            "quads": quads,
-            "metadata": metadata,
+        tasks: dict[str, tuple] = {
+            "links": (
+                fingerprint("links", fp2),
+                lambda: self._links(linked),
+                ["pred"],
+            ),
+            "quads": (
+                fingerprint("quads", fp2),
+                lambda: self._effect_quads(linked, ingested),
+                None,
+            ),
+            "metadata": (
+                fingerprint("metadata", fp2),
+                lambda: self._metadata(linked),
+                ["pred"],
+            ),
         }
         if self.ontology is not None:
-            fp6 = fingerprint("properties", run_key)
-            out["properties"] = self.ckpt.run(
-                "properties", fp6, lambda: self._properties(), partition_by=["pred"]
+            tasks["properties"] = (
+                fingerprint("properties", run_key),
+                lambda: self._properties(),
+                ["pred"],
             )
+        out = {"ingest": ingested, "mentions": mentions, "linked": linked}
+        with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+            futures = {
+                name: pool.submit(self.ckpt.run, name, fp, build, partition_by=pb)
+                for name, (fp, build, pb) in tasks.items()
+            }
+            for name, fut in futures.items():
+                out[name] = fut.result()
         self._assert_vocabulary(out)
         return out
 

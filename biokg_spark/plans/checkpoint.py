@@ -127,10 +127,19 @@ class CheckpointManager:
             return df
 
         df = build()
+        t_build = time.perf_counter()
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
+        t_write = time.perf_counter()
+        if os.environ.get("BIOKG_STAGE_DEBUG"):
+            import sys
+
+            print(
+                f"[stage {name}] build={t_build - t0:.2f}s write={t_write - t_build:.2f}s",
+                file=sys.stderr,
+            )
 
         self.spark.catalog.refreshByPath(data_dir)
         persisted = self.spark.read.parquet(data_dir)

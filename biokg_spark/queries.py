@@ -462,6 +462,49 @@ def json_extract_props(spark, sf_dir):
     )
 
 
+@q(
+    "stanza_assembly",
+    """
+    WITH lines AS (
+      SELECT 'f' || CAST(doc_id % 20 AS VARCHAR) AS src,
+             CAST(row_number() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) - 1
+                  AS BIGINT) AS line_no,
+             text, (doc_id % 5 = 4) AS term
+      FROM documents),
+    seg AS (
+      SELECT *, coalesce(sum(CASE WHEN term THEN 1 ELSE 0 END) OVER (
+          PARTITION BY src ORDER BY line_no
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS segment
+      FROM lines)
+    SELECT src, segment, count(*) AS n_lines,
+           min(line_no) AS first_line_no,
+           md5(string_agg(text, '|' ORDER BY line_no)) AS body_hash
+    FROM seg WHERE NOT term GROUP BY src, segment
+    """,
+)
+def stanza_assembly(spark, sf_dir):
+    """Flat-file record reassembly — S2 analog (parsers.py:447-481): lines
+    stream in per source file; a terminator closes each stanza."""
+    from biokg_spark.operators.stanzas import assemble_stanzas
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.col("doc_id") % 20).orderBy("doc_id")
+    lines = docs.select(
+        F.concat(F.lit("f"), (F.col("doc_id") % 20).cast("string")).alias("src"),
+        (F.row_number().over(w) - 1).cast("long").alias("line_no"),
+        "text",
+        (F.col("doc_id") % 5 == 4).alias("term"),
+    )
+    st = assemble_stanzas(lines, F.col("term"))
+    return st.select(
+        "src",
+        "segment",
+        "n_lines",
+        "first_line_no",
+        F.md5(F.array_join("lines", "|")).alias("body_hash"),
+    )
+
+
 # ===== B. KG construction over derived transcripts =========================
 
 

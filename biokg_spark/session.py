@@ -37,6 +37,7 @@ _DEFAULTS = {
     "spark.driver.maxResultSize": "4g",
     # quieter, deterministic local runs
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
     "spark.sql.session.timeZone": "UTC",
 }
 
