@@ -45,6 +45,17 @@ def token_count(col: Column | str) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, "\\s+")))
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-style word/number/punct splits,
+# ASCII-simplified so Spark's Java regex and DuckDB's RE2 agree exactly):
+# letter runs, digit runs, and single non-alphanumeric non-space marks.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish pre-tokenizer (0 for empty text)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_PATTERN), 0))
+
+
 def _stopword_hits(col: Column | str) -> Column:
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     return F.size(F.filter(tokens(col), lambda w: F.array_contains(stop_arr, w)))

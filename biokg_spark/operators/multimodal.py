@@ -86,6 +86,80 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
+    """Resize images to fit ``max_dim`` (STUB decode/encode, real plumbing).
+
+    A real deployment swaps the body for PIL resize + re-encode; the stub
+    clamps the fake-decoded dimensions preserving aspect ratio and
+    truncates the payload proportionally so size assertions are exact.
+    Narrow transformation: no shuffle, payload column pruned for any
+    downstream metadata-only consumer.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                raw = bytes(p)
+                w, h = _fake_decode(raw)
+                scale = min(1.0, max_dim / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                keep = max(1, int(len(raw) * (nw * nh) / (w * h)))
+                out_rows.append((mid, kind, raw[:keep], nw, nh))
+            yield pd.DataFrame(
+                out_rows, columns=["media_id", "kind", "payload", "width", "height"]
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 4, frame_bytes: int = 4) -> DataFrame:
+    """Sample frames from video payloads — the 1→N (UDTF-shaped) media op.
+
+    STUB decoder: treats the payload as ``frame_bytes``-sized frames and
+    emits every ``every_nth`` one. The real version swaps the body for a
+    container demuxer; the Spark contract (mapInPandas fan-out, one input
+    batch → many output rows, binary frame column) is what is under test.
+    Only ``kind='video'`` rows produce output.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            vids = pdf[pdf["kind"] == "video"]
+            for mid, p in zip(vids["media_id"], vids["payload"]):
+                raw = bytes(p)
+                n_frames = len(raw) // frame_bytes
+                for i in range(0, n_frames, every_nth):
+                    rows.append((mid, i, raw[i * frame_bytes:(i + 1) * frame_bytes]))
+            if rows:
+                yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
 def synth_media(spark, n: int = 100) -> DataFrame:
     """Deterministic synthetic media table (payload = md5-chain bytes)."""
     return spark.range(n).select(

@@ -764,6 +764,28 @@ def text_quality(spark, sf_dir):
 
 
 @q(
+    "text_tokenize_bpe",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split(lower(trim(text)), ' ')) END AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_tokenize_bpe(spark, sf_dir):
+    """Token counting two ways: whitespace + BPE-ish regex pre-tokenizer."""
+    from biokg_spark.functions.text import bpe_token_count
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@q(
     "doc_fingerprints",
     """
     SELECT doc_id,

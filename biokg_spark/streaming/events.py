@@ -38,3 +38,75 @@ def streaming_mention_counts(
         .agg(F.count(F.lit(1)).alias("n_mentions"))
         .select("win.start", "win.end", "surface", "n_mentions")
     )
+
+
+def sessionize_conversations(turns_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-conversation running session state.
+
+    ``applyInPandasWithState`` keyed on conv_id: the state store carries
+    (n_turns, min/max event time, turn-index checksum) across micro-batches
+    and each batch emits the updated session row (Update mode). This is the
+    streaming-incremental analog of the batch ingest stage's per-
+    conversation bookkeeping — the turn-index sum lets a downstream
+    consumer detect gaps (missing turns) without replaying history.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("n_turns", LongType()),
+            StructField("first_ts", TimestampType()),
+            StructField("last_ts", TimestampType()),
+            StructField("turn_idx_sum", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_turns", LongType()),
+            StructField("min_ts", LongType()),
+            StructField("max_ts", LongType()),
+            StructField("idx_sum", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        n, mn, mx, s = state.get if state.exists else (0, None, None, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += int(pdf["turn_idx"].sum())
+            ts_ns = pdf["ts"].astype("int64")
+            lo, hi = int(ts_ns.min()), int(ts_ns.max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        state.update((n, mn, mx, s))
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "n_turns": [n],
+                "first_ts": [pd.Timestamp(mn)],
+                "last_ts": [pd.Timestamp(mx)],
+                "turn_idx_sum": [s],
+            }
+        )
+
+    return (
+        turns_stream.select("conv_id", "turn_idx", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

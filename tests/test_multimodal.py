@@ -32,3 +32,29 @@ def test_media_metadata_query_prunes_payload(spark):
         scan = spark.read.parquet(d).select("media_id", "kind")
         plan = scan._jdf.queryExecution().executedPlan().toString()
         assert "payload" not in plan
+
+
+def test_resize_media_clamps_dimensions(spark):
+    from biokg_spark.operators.multimodal import resize_media, synth_media
+
+    out = resize_media(synth_media(spark, 30), max_dim=20).collect()
+    assert len(out) == 30
+    for r in out:
+        assert max(r.width, r.height) <= 20
+        assert len(r.payload) >= 1
+
+
+def test_sample_frames_video_only(spark):
+    from biokg_spark.operators.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, 30)
+    out = sample_frames(media, every_nth=2, frame_bytes=4).collect()
+    assert out, "no frames sampled"
+    vids = {r.media_id for r in media.where("kind = 'video'").collect()}
+    assert {r.media_id for r in out} <= vids
+    # md5 payload = 16 bytes -> 4 frames of 4 bytes -> sampled idx {0, 2}
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 2] for v in by_id.values())
+    assert all(len(r.frame) == 4 for r in out)

@@ -38,3 +38,41 @@ def test_streaming_mention_counts_matches_batch(spark):
         .collect()
     }
     assert stream_totals == batch_totals and stream_totals
+
+
+def test_sessionize_conversations_stateful(spark):
+    from biokg_spark.streaming.events import sessionize_conversations
+
+    tx = transcripts(spark, n_conversations=8)
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        tx.write.parquet(src)
+        stream = spark.readStream.schema(tx.schema).parquet(src)
+        out = sessionize_conversations(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # last update per conv must equal the batch ground truth
+        got = {
+            r.conv_id: (r.n_turns, r.turn_idx_sum)
+            for r in spark.sql(
+                "SELECT * FROM (SELECT *, row_number() OVER "
+                "(PARTITION BY conv_id ORDER BY n_turns DESC) rk FROM sessions) "
+                "WHERE rk = 1"
+            ).collect()
+        }
+
+    from pyspark.sql import functions as F
+
+    want = {
+        r.conv_id: (r.n, r.s)
+        for r in tx.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("turn_idx").alias("s"))
+        .collect()
+    }
+    assert got == want and len(got) == 8
