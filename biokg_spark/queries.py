@@ -463,6 +463,47 @@ def json_extract_props(spark, sf_dir):
 
 
 @q(
+    "partitioned_fanout_species",
+    """
+    SELECT CASE WHEN c.c_nationkey = s.s_nationkey THEN n.n_name
+                ELSE 'INTERSPECIES' END AS species_bucket,
+           count(*) AS n_edges,
+           count(DISTINCT o.o_custkey) AS n_customers
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY species_bucket
+    """,
+)
+def partitioned_fanout_species(spark, sf_dir):
+    """Key-partitioned fan-out with mismatch bucket — K4 analog
+    (compile_biokg.py:215-272: one PPI file per species, cross-species
+    pairs routed to INTERSPECIES). The bucket expression doubles as the
+    write.partitionBy column at emit time."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    bucket = F.when(
+        F.col("c_nationkey") == F.col("s_nationkey"), F.col("n_name")
+    ).otherwise(F.lit("INTERSPECIES"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy(bucket.alias("species_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@q(
     "stanza_assembly",
     """
     WITH lines AS (

@@ -1,0 +1,80 @@
+import pytest
+from pyspark.sql import functions as F
+
+from biokg_spark.pipeline.benchmarks import (
+    approved_dpi,
+    ddi_by_effect,
+    derive_benchmarks,
+    expression_direction,
+    undirected_benchmark,
+)
+
+QUADS = [
+    # subj, pred, obj, qual, status, refs
+    ("DB1", "DPI_EFFECT", "P1", "INCREASES", "CURATED", ["c0#1"]),
+    ("DB1", "DPI_EFFECT", "P2", "DECREASES", "CURATED", ["c0#2"]),
+    ("DB2", "DPI_EFFECT", "P1", "AFFECTS", "CURATED", ["c1#0"]),
+    ("DB2", "DPI_EFFECT", "P1", "INCREASES", "CURATED", ["c1#3"]),
+]
+LINKS = [
+    ("A", "PPI", "B"),
+    ("A", "PPI", "C"),
+    ("DB1", "DDI", "DB2"),
+    ("DB1", "DPI", "P1"),
+]
+
+
+@pytest.fixture()
+def quads(spark):
+    return spark.createDataFrame(
+        QUADS, "subj string, pred string, obj string, qual string, status string, refs array<string>"
+    )
+
+
+@pytest.fixture()
+def links(spark):
+    return spark.createDataFrame(LINKS, "subj string, pred string, obj string")
+
+
+def test_ddi_by_effect(spark, quads):
+    got = {(r.subj, r.obj) for r in ddi_by_effect(quads, "INCREASES").collect()}
+    assert got == {("DB1", "P1"), ("DB2", "P1")}
+
+
+def test_approved_dpi(spark, quads):
+    approved = spark.createDataFrame([("DB2",)], "drug_id string")
+    got = {(r.subj, r.obj) for r in approved_dpi(quads, approved).collect()}
+    assert got == {("DB2", "P1")}
+
+
+def test_expression_direction(spark, quads):
+    got = {(r.subj, r.pred, r.obj) for r in expression_direction(quads).collect()}
+    assert got == {
+        ("DB1", "INCREASES_EXPRESSION", "P1"),
+        ("DB1", "DECREASES_EXPRESSION", "P2"),
+        ("DB2", "INCREASES_EXPRESSION", "P1"),
+    }
+
+
+def test_expression_direction_conflict_raises(spark):
+    bad = spark.createDataFrame(
+        [
+            ("DB1", "DPI_EFFECT", "P1", "INCREASES", "CURATED", ["r1"]),
+            ("DB1", "DPI_EFFECT", "P1", "DECREASES", "CURATED", ["r2"]),
+        ],
+        "subj string, pred string, obj string, qual string, status string, refs array<string>",
+    )
+    with pytest.raises(ValueError, match="conflicting"):
+        expression_direction(bad)
+
+
+def test_undirected_and_derive_all(spark, links, quads):
+    ppi = undirected_benchmark(links, "PPI")
+    assert {(r.subj, r.obj) for r in ppi.collect()} == {("A", "B"), ("A", "C")}
+    approved = spark.createDataFrame([("DB1",), ("DB2",)], "drug_id string")
+    out = derive_benchmarks(links, quads, approved)
+    assert set(out) == {
+        "ddi_increases", "dpi_approved", "expression_direction",
+        "ppi_benchmark", "ddi_benchmark",
+    }
+    assert out["ddi_benchmark"].count() == 1
