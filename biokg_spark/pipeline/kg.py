@@ -166,11 +166,21 @@ class KGPipeline:
         spark: SparkSession,
         workdir: str,
         lexicon: DataFrame,
-        id_mapping: DataFrame,
+        id_mapping: DataFrame | None = None,
         ontology: DataFrame | None = None,
         scanner_backend: str = "regex",
         buckets: int = 32,
+        canonicalizer: str = "mapping",
     ):
+        """``canonicalizer``: 'mapping' uses the curated ``id_mapping`` dim
+        (the reference's biodblinker analog, J3); 'lsh' DERIVES the mapping
+        from the lexicon's surface forms via MinHash/LSH (north-star
+        replacement for the hand-curated tables — no ``id_mapping``
+        needed)."""
+        if canonicalizer not in ("mapping", "lsh"):
+            raise ValueError(f"unknown canonicalizer {canonicalizer!r}")
+        if canonicalizer == "mapping" and id_mapping is None:
+            raise ValueError("canonicalizer='mapping' requires id_mapping")
         self.spark = spark
         self.ckpt = CheckpointManager(spark, workdir)
         self.lexicon = lexicon
@@ -178,6 +188,7 @@ class KGPipeline:
         self.ontology = ontology
         self.scanner_backend = scanner_backend
         self.buckets = buckets
+        self.canonicalizer = canonicalizer
 
     # ------------------------------------------------------------------
     def run(self, transcripts: DataFrame, run_key: str = "default") -> dict[str, DataFrame]:
@@ -187,7 +198,7 @@ class KGPipeline:
         fp1 = fingerprint("mentions", fp0, self.scanner_backend)
         mentions = self.ckpt.run("mentions", fp1, lambda: self._mentions(ingested))
 
-        fp2 = fingerprint("linked", fp1)
+        fp2 = fingerprint("linked", fp1, self.canonicalizer)
         linked = self.ckpt.run("linked", fp2, lambda: self._link(mentions))
 
         # The four output families are independent given (linked, ingested)
@@ -260,8 +271,14 @@ class KGPipeline:
 
     # -- stage 3: map/link (canonicalization) -----------------------------
     def _link(self, mentions: DataFrame) -> DataFrame:
+        if self.canonicalizer == "lsh":
+            from biokg_spark.operators.canonicalize import derive_id_mapping_lsh
+
+            raw_mapping = derive_id_mapping_lsh(self.lexicon)
+        else:
+            raw_mapping = self.id_mapping
         mapping = F.broadcast(
-            self.id_mapping.select(
+            raw_mapping.select(
                 F.col("src_id"), F.col("dst_id").alias("canonical_id")
             )
         )
