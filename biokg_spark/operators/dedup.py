@@ -165,6 +165,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.999,
+    sign_bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH bucketing.
+
+    Candidates are generated only within a sign bucket (identical/near-
+    identical vectors share one), so the all-pairs problem becomes a
+    self-equi-join on the bucket key — never a cross join. At 100 TB the
+    bucket is the table's partition key and each bucket joins co-located.
+    Output: (id_a, id_b, sim) with id_a < id_b and sim ≥ threshold.
+    """
+    from biokg_spark.operators.similarity import cosine_similarity, sign_bucket
+
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), sign_bits).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprint per document (bit-string column ``simhash``).
 

@@ -850,6 +850,37 @@ _COS_SQL = """
 
 
 @q(
+    "dedup_embedding_cosine",
+    f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    b AS (
+      SELECT vec_id, embedding,
+             CAST(embedding[1] > 0 AS INT) || CAST(embedding[2] > 0 AS INT) ||
+             CAST(embedding[3] > 0 AS INT) || CAST(embedding[4] > 0 AS INT) AS bucket
+      FROM aug),
+    p AS (
+      SELECT q.vec_id AS id_a, c.vec_id AS id_b, {_COS_SQL} AS sim
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
+    SELECT id_a, id_b, sim FROM p WHERE sim >= 0.999
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup detection (planted exact duplicates:
+    copies of vec_id<20 re-enter as vec_id+10000 and must pair with their
+    originals through the sign-LSH bucket join)."""
+    from biokg_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where("vec_id < 20").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_dup_pairs(emb.unionByName(copies), threshold=0.999)
+
+
+@q(
     "embed_cosine_topk",
     f"""
     WITH scored AS (
