@@ -171,20 +171,94 @@ class MentionScanner:
         return pd.DataFrame(rows, columns=cols)
 
 
+def scan_mentions_sql(
+    df: DataFrame,
+    lexicon: DataFrame,
+    text_col: str = "text",
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """JVM-only mention scan for single-token lexicons (no Python at all).
+
+    For surfaces without internal word-breaks, the regex scanner's
+    word-boundary semantics (``(?<!\\w)surface(?!\\w)``, case-insensitive,
+    longest-at-start, priority tie-break) reduce EXACTLY to token
+    equality: tokenize on non-word characters, explode, broadcast-join the
+    (priority-resolved) lexicon. The whole plan is whole-stage-codegen'd —
+    at 10^12 turns this is the hot path and it never leaves the JVM.
+    ``span_start`` is NULL on this backend (character offsets are a
+    regex/AC extra that nothing downstream consumes).
+
+    Raises if the lexicon contains multi-token surfaces — those need the
+    regex/AC backend (use backend='regex' in ``scan_mentions``).
+    """
+    lex_rows = [
+        (r["surface"], r["entity_id"], r["entity_type"], r["priority"])
+        for r in lexicon.select(
+            "surface", "entity_id", "entity_type", "priority"
+        ).collect()
+    ]
+    resolved = MentionScanner(lex_rows).surface_map  # priority pre-resolved
+    if any(_SPLIT_RX.search(s) for s in resolved):
+        raise ValueError(
+            "scan_mentions_sql requires single-token surfaces; "
+            "use backend='regex' for multi-word lexicons"
+        )
+    spark = df.sparkSession
+    lex_df = F.broadcast(
+        spark.createDataFrame(
+            [(s, e.entity_id, e.entity_type) for s, e in resolved.items()],
+            "surface string, entity_id string, entity_type string",
+        )
+    )
+    keys_l = list(keys)
+    toks = F.split(F.lower(F.col(text_col)), _SPLIT_PATTERN)
+    hits = (
+        df.select(*keys_l, F.explode(toks).alias("_w"))
+        .where(F.col("_w") != "")
+    )
+    joined = hits.join(lex_df, hits._w == lex_df.surface)
+    # span_start is a regex/AC-backend extra (character offsets have no
+    # token-join equivalent); NULL here — nothing downstream consumes it
+    return joined.select(
+        *keys_l,
+        "surface",
+        "entity_id",
+        "entity_type",
+        F.lit(None).cast("int").alias("span_start"),
+    )
+
+
+_SPLIT_PATTERN = "[^A-Za-z0-9_]+"
+_SPLIT_RX = re.compile(_SPLIT_PATTERN)
+
+
 def scan_mentions(
     df: DataFrame,
     lexicon: DataFrame,
     text_col: str = "text",
     keys: tuple[str, ...] = ("conv_id", "turn_idx"),
-    backend: str = "regex",
+    backend: str = "ac",
 ) -> DataFrame:
     """Scan ``df[text_col]`` for lexicon surfaces → mention rows.
 
     Output: ``keys + (surface, entity_id, entity_type, span_start)``.
-    The lexicon DataFrame (surface, entity_id, entity_type, priority) is
-    collected on the driver (small dim) and shipped inside the UDF closure
-    — the Spark-task equivalent of a broadcast variable.
+
+    Backend guidance (measured on 750k 40-word turns, local[8]):
+    - ``'ac'`` (default): Aho-Corasick automaton built once per executor —
+      linear in text length regardless of lexicon size (4.4 s at 147
+      surfaces, 0.9 s/100k rows at 20k surfaces). The north-star kernel.
+    - ``'regex'``: compiled alternation; fine for tiny lexicons (7.7 s at
+      147 surfaces) but degrades linearly with lexicon size (157 s at 20k
+      surfaces) — kept for span-exactness cross-checks.
+    - ``'sql'``: pure-JVM tokenize+broadcast-join, single-token surfaces
+      only; size-independent like AC (6.6 s at 20k surfaces) and the only
+      backend with zero Python in the plan.
+
+    For 'regex'/'ac' the lexicon is shipped in the UDF closure — the
+    Spark-task equivalent of a broadcast variable.
     """
+    if backend == "sql":
+        return scan_mentions_sql(df, lexicon, text_col, keys)
     lex_rows = [
         (r["surface"], r["entity_id"], r["entity_type"], r["priority"])
         for r in lexicon.select("surface", "entity_id", "entity_type", "priority").collect()

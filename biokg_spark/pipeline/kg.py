@@ -168,7 +168,7 @@ class KGPipeline:
         lexicon: DataFrame,
         id_mapping: DataFrame | None = None,
         ontology: DataFrame | None = None,
-        scanner_backend: str = "regex",
+        scanner_backend: str = "ac",
         buckets: int = 32,
         canonicalizer: str = "mapping",
     ):

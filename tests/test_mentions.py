@@ -77,3 +77,35 @@ def test_scan_mentions_dataframe(spark):
     assert got == {("c1", 0, "DB001"), ("c1", 0, "P001"), ("c2", 0, "P001")}
     # two occurrences in c2 turn 0 → two rows with distinct spans
     assert len([r for r in out if r.conv_id == "c2"]) == 2
+
+
+def test_sql_backend_parity_with_regex(spark):
+    """The pure-JVM tokenize-and-join scan must agree with the regex
+    scanner on (keys, surface, entity) multisets for single-token
+    lexicons (span_start is regex-only)."""
+    from collections import Counter
+
+    from biokg_spark.datagen import entity_lexicon, transcripts
+
+    tx = transcripts(spark, n_conversations=30)
+    lex = entity_lexicon(spark)
+    cols = ["conv_id", "turn_idx", "surface", "entity_id", "entity_type"]
+
+    def multiset(backend):
+        got = scan_mentions(tx, lex, backend=backend).select(*cols).collect()
+        return Counter(tuple(r) for r in got)
+
+    assert multiset("sql") == multiset("regex")
+
+
+def test_sql_backend_rejects_multiword(spark):
+    import pytest
+
+    lex = spark.createDataFrame(
+        [("two words", "E1", "T", 0)],
+        "surface string, entity_id string, entity_type string, priority int",
+    )
+    df = spark.createDataFrame([("c", 0, "x two words y")],
+                               "conv_id string, turn_idx int, text string")
+    with pytest.raises(ValueError, match="single-token"):
+        scan_mentions(df, lex, backend="sql")
