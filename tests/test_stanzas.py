@@ -55,3 +55,18 @@ def test_prefix_multiplex(spark):
     assert rows[("f1", 0)] == {"ID": "alpha", "AC": "A1"}
     # repeated prefixes concatenate in line order (parsers.py:225-232)
     assert rows[("f1", 1)]["AC"] == "B1 B2"
+
+
+def test_tsv_round_trip(spark, tmp_path):
+    """K1/S6 analog: reference-compatible TSV dump reads back losslessly
+    with an explicit schema (positional columns, no header)."""
+    from biokg_spark.sources.tables import write_tsv
+
+    df = spark.createDataFrame(
+        [("P1", "PPI", "P2"), ("DB1", "DPI", "P1")],
+        "subj string, pred string, obj string",
+    )
+    path = str(tmp_path / "triples_tsv")
+    write_tsv(df, path)
+    back = spark.read.csv(path, sep="\t", schema="subj string, pred string, obj string")
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
