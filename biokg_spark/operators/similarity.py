@@ -90,6 +90,79 @@ def sign_bucket(vec: Column, sign_bits: int = 4) -> Column:
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer + multi-probe.
+
+    Train ``n_cells`` centroids on the corpus (pyspark.ml KMeans — one
+    pass per iteration, the model is tiny and broadcast), assign every
+    corpus vector to its nearest cell at write time (at 100 TB the cell id
+    is the table's partition key), then search each query only in its
+    ``n_probe`` nearest cells. Recall grows with n_probe; n_probe =
+    n_cells degenerates to brute force. Deterministic via fixed seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    dense = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell")
+    model = km.fit(dense)
+    assigned = model.transform(dense).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "_cell"
+    )
+    # centroid table (tiny): cell -> centroid array
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = corpus.sparkSession.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    # rank this query's cells by centroid cosine, keep n_probe
+    q_cells = (
+        q.join(F.broadcast(cent_df))
+        .select(
+            "q_id",
+            "q_vec",
+            "cell",
+            cosine_similarity(F.col("q_vec"), F.col("centroid"), 6).alias("_csim"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("_csim"), F.asc("cell"))
+    probes = (
+        q_cells.withColumn("_crk", F.row_number().over(wq))
+        .where(F.col("_crk") <= n_probe)
+        .select("q_id", "q_vec", F.col("cell").alias("_cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="_cell")
+        .where(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -901,6 +901,18 @@ def embed_cosine_topk(spark, sf_dir):
     )
 
 
+@q("embed_ann_ivf", None)  # KMeans quantizer is not SQL-expressible: rows-only check
+def embed_ann_ivf(spark, sf_dir):
+    """IVF approximate ANN: k-means coarse cells + multi-probe search —
+    the partition-pruning scale path (cell id = table partition key)."""
+    from biokg_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivf_topk(emb, emb.where("vec_id < 5"), k=3, n_cells=8, n_probe=2).select(
+        "q_id", "c_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 @q(
     "embed_ann_lsh",
     f"""

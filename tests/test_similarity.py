@@ -43,3 +43,26 @@ def test_lsh_bucketed_is_subset_of_bruteforce_candidates(spark):
     approx = {(r.q_id, r.c_id) for r in lsh_bucketed_topk(emb, q, k=5, sign_bits=1).collect()}
     # bucket '1' on dim1>0: ids 1, 3, 5 share it; 2 and 4 don't
     assert approx == {(0, 5), (0, 1), (0, 3)}
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from biokg_spark.operators.similarity import cosine_topk, ivf_topk
+
+    from biokg_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qs = emb.where("vec_id < 5")
+    exact = cosine_topk(emb, qs, k=3)
+    approx = ivf_topk(emb, qs, k=3, n_cells=8, n_probe=8)  # full probe = exact
+    a = {(r.q_id, r.c_id, r.rank) for r in exact.collect()}
+    b = {(r.q_id, r.c_id, r.rank) for r in approx.collect()}
+    assert a == b, "full-probe IVF must equal brute force"
+    # partial probe: results are a valid subset ranking with plausible recall
+    part = ivf_topk(emb, qs, k=3, n_cells=8, n_probe=2)
+    got = {(r.q_id, r.c_id) for r in part.collect()}
+    assert got, "partial-probe IVF returned nothing"
+    exact_pairs = {(r.q_id, r.c_id) for r in exact.collect()}
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"IVF recall suspiciously low: {recall}"
