@@ -417,6 +417,47 @@ class KGPipeline:
                 f"Predicate not recognized {bad[0]['pred']!r} in {bad[0]['family']}"
             )
 
+    # -- stage 5: derived benchmarks (reference: build_benchmarks.py) ------
+    def derive_benchmarks_stage(
+        self, outputs: dict[str, DataFrame], approved_drugs: DataFrame,
+        run_key: str = "default",
+    ) -> dict[str, DataFrame]:
+        """Checkpoint the five benchmark extractions over the emitted graph
+        (reference lifecycle stage 3, SURVEY.md §3.4)."""
+        from biokg_spark.pipeline.benchmarks import derive_benchmarks
+
+        derived = derive_benchmarks(
+            outputs["links"], outputs["quads"], approved_drugs
+        )
+        out = {}
+        for name, df in derived.items():
+            fp = fingerprint("bench_" + name, run_key)
+            out[name] = self.ckpt.run("bench_" + name, fp, lambda df=df: df)
+        return out
+
+    # -- stage 6: core export (reference: compile_biokg.py:1083-1127 + K5) -
+    def export_core(self, outputs: dict[str, DataFrame], path: str) -> None:
+        """Reference-compatible core dumps: one TSV directory per family,
+        quad refs comma-joined exactly like the reference's on-disk form
+        (parsers.py:901); links+metadata concatenated into the core edge
+        table the way generate_core_links cats per-predicate files."""
+        from biokg_spark.sources.tables import write_tsv
+
+        core_links = outputs["links"].unionByName(
+            outputs["metadata"].select("subj", "pred", "obj")
+        )
+        write_tsv(core_links.select("subj", "pred", "obj"), f"{path}/links")
+        quads = outputs["quads"].select(
+            "subj", "pred", "obj", "qual", "status",
+            F.concat_ws(",", "refs").alias("refs"),
+        )
+        write_tsv(quads, f"{path}/quads")
+        if "properties" in outputs:
+            write_tsv(
+                outputs["properties"].select("subj", "pred", "obj"),
+                f"{path}/properties",
+            )
+
     # ------------------------------------------------------------------
     def metrics(self) -> dict[str, dict]:
         return self.ckpt.metrics()

@@ -78,3 +78,44 @@ def test_undirected_and_derive_all(spark, links, quads):
         "ppi_benchmark", "ddi_benchmark",
     }
     assert out["ddi_benchmark"].count() == 1
+
+
+def test_pipeline_benchmarks_and_core_export(spark, tmp_path):
+    """Full lifecycle parity: run -> derive benchmarks -> export core
+    (reference: run_all.py:6-14 four-stage sequence)."""
+    from pyspark.sql import functions as F
+
+    from biokg_spark.datagen import entity_lexicon, id_mapping, ontology, transcripts
+    from biokg_spark.pipeline import KGPipeline
+
+    pipe = KGPipeline(
+        spark, str(tmp_path / "wd"), entity_lexicon(spark),
+        id_mapping(spark), ontology(spark),
+    )
+    out = pipe.run(transcripts(spark, n_conversations=60), run_key="t")
+    approved = entity_lexicon(spark).where(
+        "entity_type = 'DRUG' AND priority = 0"
+    ).select(F.col("entity_id").alias("drug_id"))
+    bench = pipe.derive_benchmarks_stage(out, approved, run_key="t")
+    assert set(bench) == {
+        "ddi_increases", "dpi_approved", "expression_direction",
+        "ppi_benchmark", "ddi_benchmark",
+    }
+    assert bench["ppi_benchmark"].count() > 0
+    # benchmarks are checkpointed: rerun skips
+    bench2 = pipe.derive_benchmarks_stage(out, approved, run_key="t")
+    assert all(
+        pipe.metrics()["bench_" + n]["skipped"] for n in bench2
+    )
+    # core export round-trips through TSV
+    pipe.export_core(out, str(tmp_path / "core"))
+    links_back = spark.read.csv(
+        str(tmp_path / "core" / "links"), sep="\t",
+        schema="subj string, pred string, obj string",
+    )
+    assert links_back.count() == out["links"].count() + out["metadata"].count()
+    quads_back = spark.read.csv(
+        str(tmp_path / "core" / "quads"), sep="\t",
+        schema="subj string, pred string, obj string, qual string, status string, refs string",
+    )
+    assert quads_back.where("refs LIKE '%#%'").count() == quads_back.count()
