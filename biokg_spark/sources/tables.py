@@ -44,3 +44,26 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
 def write_tsv(df: DataFrame, path: str, sep: str = "\t") -> None:
     """Reference-compatible TSV dump (no header, positional columns)."""
     df.write.mode("overwrite").option("sep", sep).option("header", "false").csv(path)
+
+
+def read_excel_table(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
+    """Excel source — S7 analog (reference: parsers.py:3261-3290 reads the
+    Hijazi20 supplement with pd.read_excel, then splits ``sub(site)`` via
+    regex; the regex split maps to ``regexp_extract`` downstream).
+
+    Gated on an Excel engine being installed (this container ships none):
+    the pandas read happens driver-side — Excel files are small curated
+    supplements, never the distributed fact data — then distributes via
+    ``createDataFrame``.
+    """
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env without openpyxl
+        raise NotImplementedError(
+            "read_excel_table needs openpyxl (not in this container); "
+            "the reference's excel inputs are small curated supplements — "
+            "convert to CSV/parquet upstream or install openpyxl"
+        ) from exc
+    import pandas as pd
+
+    return spark.createDataFrame(pd.read_excel(path, sheet_name=sheet))

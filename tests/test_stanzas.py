@@ -70,3 +70,20 @@ def test_tsv_round_trip(spark, tmp_path):
     write_tsv(df, path)
     back = spark.read.csv(path, sep="\t", schema="subj string, pred string, obj string")
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_excel_source_gated(spark, tmp_path):
+    """S7 Excel source raises a clear gate error when no engine exists
+    (and works when one does)."""
+    import pytest
+
+    from biokg_spark.sources.tables import read_excel_table
+
+    try:
+        import openpyxl  # noqa: F401
+        has_engine = True
+    except ImportError:
+        has_engine = False
+    if not has_engine:
+        with pytest.raises(NotImplementedError, match="openpyxl"):
+            read_excel_table(spark, str(tmp_path / "x.xlsx"))
