@@ -1,0 +1,129 @@
+"""Temporal/interval joins Spark lacks as built-ins: as-of and range join.
+
+Not present in the reference (no timestamps there at all, SURVEY §2.8) —
+these are the standard missing operators a transcript/event engine needs
+(the task brief names them explicitly). Both are built from shuffle-
+friendly primitives; neither ever degenerates to a cross join.
+
+- ``asof_join``: for every left row, the latest right row with
+  ``right.ts <= left.ts`` per key. Implemented with the union+window
+  trick: tag both sides, union, sort within key by (ts, right-first),
+  carry the last-seen right payload forward with ``last(ignorenulls)``
+  over an unbounded-preceding frame, keep left rows. ONE shuffle on the
+  key — same cost as a groupBy, no join explosion, no per-row probing.
+- ``range_join_binned``: equi-join accelerator for point-in-interval
+  predicates. Intervals are exploded onto fixed-width bins, points land
+  in exactly one bin, the join becomes an equi-join on (key?, bin) with
+  a residual BETWEEN filter. Bin width trades replication (wide
+  intervals → many bins) against candidate pruning; a cross/BNLJ never
+  appears in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Left as-of join: latest right row at-or-before each left row's time.
+
+    ``right_cols``: payload columns carried from the right side (default:
+    everything except the key and timestamp). Left rows with no prior
+    right row keep NULL payloads (left-outer semantics, like DuckDB's
+    ``ASOF LEFT JOIN``). ``tolerance``: optional max staleness as an SQL
+    interval string (e.g. ``'3600 seconds'``) — matches older than that
+    become NULL.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, ts_col)]
+    l_tag = left.withColumn("_side", F.lit(1))
+    r_tag = right.select(
+        on, ts_col, *right_cols
+    ).withColumn("_side", F.lit(0))
+    # align schemas: left gets NULL right-payload columns, right gets NULL
+    # left-payload columns
+    left_cols = [c for c in left.columns if c not in (on, ts_col)]
+    for c in right_cols:
+        l_tag = l_tag.withColumn(f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    r_sel = [F.col(on), F.col(ts_col), F.lit(0).alias("_side")]
+    r_sel += [F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols]
+    r_sel += [F.col(c).alias(f"_r_{c}") for c in right_cols]
+    unioned = l_tag.select(
+        on, ts_col, "_side", *left_cols, *[f"_r_{c}" for c in right_cols]
+    ).unionByName(r_tag.select(*r_sel))
+    # right rows sort before left rows at equal ts => <= semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in right_cols
+        ],
+        F.last(F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True)
+        .over(w)
+        .alias("_match_ts"),
+    )
+    out = carried.where(F.col("_side") == 1)
+    stale: Column = F.lit(False)
+    if tolerance is not None:
+        stale = F.col("_match_ts") < F.col(ts_col) - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+    sel = [F.col(on), F.col(ts_col), *left_cols]
+    sel += [
+        F.when(stale, F.lit(None)).otherwise(F.col(f"_c_{c}")).alias(c)
+        for c in right_cols
+    ]
+    return out.select(*sel)
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bin_width: float = 1.0,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval join via fixed-width binning.
+
+    Every interval row is exploded onto the bins it overlaps; every point
+    lands in exactly one bin; the equi-join on (keys + bin) prunes to
+    co-binned candidates and the residual BETWEEN keeps exact matches.
+    Result: one row per (point row × matching interval row), inner
+    semantics, no duplicates (each pair meets in exactly the point's bin).
+    """
+    keys = keys or []
+    p_bin = F.floor(F.col(point_col) / bin_width).cast("long")
+    binned_points = points.withColumn("_bin", p_bin)
+    spread = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_width).cast("long"),
+                F.floor(F.col(hi_col) / bin_width).cast("long"),
+            )
+        ),
+    )
+    cond = [binned_points["_bin"] == spread["_bin"]] + [
+        binned_points[k] == spread[k] for k in keys
+    ]
+    joined = binned_points.join(spread, cond).where(
+        binned_points[point_col].between(spread[lo_col], spread[hi_col])
+    )
+    return joined.drop(spread["_bin"]).drop(binned_points["_bin"]).drop(
+        *[spread[k] for k in keys]
+    )

@@ -652,6 +652,61 @@ def kg_turn_ordering(spark, sf_dir):
     )
 
 
+@q(
+    "asof_join_events",
+    """
+    WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT l.user_id, l.event_id, round(r.value, 4) AS last_purchase_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join: each click gets the user's latest prior purchase value.
+    Spark lacks the operator; built as ONE key-shuffle via union+window
+    (operators/temporal.py) — oracled against DuckDB's native ASOF JOIN."""
+    from biokg_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where("event_type = 'click'").select("user_id", "ts", "event_id")
+    right = ev.where("event_type = 'purchase'").select("user_id", "ts", "value")
+    return asof_join(left, right, on="user_id").select(
+        "user_id", "event_id", F.round("value", 4).alias("last_purchase_value")
+    )
+
+
+@q(
+    "range_join_intervals",
+    """
+    WITH iv AS (
+      SELECT s_suppkey AS name, s_acctbal % 50 AS lo, s_acctbal % 50 + 5 AS hi
+      FROM supplier)
+    SELECT name, count(*) AS n_points
+    FROM events JOIN iv ON value BETWEEN lo AND hi
+    WHERE value IS NOT NULL
+    GROUP BY name
+    """,
+)
+def range_join_intervals(spark, sf_dir):
+    """Point-in-interval range join via fixed-width binning (equi-join on
+    the bin + residual filter — never a cross/BNLJ at scale)."""
+    from biokg_spark.operators.temporal import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value").where(
+        "value IS NOT NULL"
+    )
+    iv = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("name"),
+        (F.col("s_acctbal") % 50).alias("lo"),
+        (F.col("s_acctbal") % 50 + 5).alias("hi"),
+    )
+    return (
+        range_join_binned(ev, iv, "value", bin_width=7.0)
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
 # ===== C. training-data pipeline ops =======================================
 
 

@@ -1,0 +1,116 @@
+from datetime import datetime
+
+from biokg_spark.operators.temporal import asof_join, range_join_binned
+
+
+def _t(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", _t("2024-01-01 10:00:00"), "e1"),
+            ("u1", _t("2024-01-01 12:00:00"), "e2"),
+            ("u2", _t("2024-01-01 09:00:00"), "e3"),
+        ],
+        "user_id string, ts timestamp, event string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _t("2024-01-01 09:30:00"), 100.0),
+            ("u1", _t("2024-01-01 11:00:00"), 200.0),
+            ("u2", _t("2024-01-01 09:00:00"), 50.0),  # equal ts -> matches (<=)
+        ],
+        "user_id string, ts timestamp, price double",
+    )
+    out = {
+        (r.user_id, r.event): r.price
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    assert out == {("u1", "e1"): 100.0, ("u1", "e2"): 200.0, ("u2", "e3"): 50.0}
+
+
+def test_asof_join_no_prior_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [("u1", _t("2024-01-01 08:00:00"), "early"),
+         ("u1", _t("2024-01-01 20:00:00"), "late")],
+        "user_id string, ts timestamp, event string",
+    )
+    right = spark.createDataFrame(
+        [("u1", _t("2024-01-01 09:00:00"), 1.0)],
+        "user_id string, ts timestamp, price double",
+    )
+    out = {r.event: r.price for r in asof_join(left, right, on="user_id").collect()}
+    assert out == {"early": None, "late": 1.0}  # no prior row -> NULL
+    tol = {
+        r.event: r.price
+        for r in asof_join(left, right, on="user_id", tolerance="2 HOURS").collect()
+    }
+    assert tol == {"early": None, "late": None}  # 11h stale > 2h tolerance
+
+
+def test_asof_matches_duckdb_oracle(spark):
+    """Cross-engine check on a bigger derived input: DuckDB ASOF JOIN is
+    the ground truth."""
+    import duckdb
+
+    from biokg_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    left = ev.where("event_type = 'click'").select("user_id", "ts", "event_id")
+    right = ev.where("event_type = 'purchase'").select("user_id", "ts", "value")
+    got = {
+        (r.user_id, r.event_id): (None if r.value is None else round(r.value, 4))
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want_rows = con.execute("""
+        WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type='click'),
+             r AS (SELECT user_id, ts, value FROM events WHERE event_type='purchase')
+        SELECT l.user_id, l.event_id, r.value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+    """).fetchall()
+    want = {
+        (u, e): (None if v is None else round(v, 4)) for u, e, v in want_rows
+    }
+    assert got == want and got
+
+
+def test_range_join_binned(spark):
+    points = spark.createDataFrame(
+        [(1, 0.5), (2, 3.7), (3, 9.99), (4, 20.0)], "pid int, v double"
+    )
+    intervals = spark.createDataFrame(
+        [("a", 0.0, 1.0), ("b", 3.0, 10.0), ("c", 9.5, 25.0)],
+        "name string, lo double, hi double",
+    )
+    out = range_join_binned(points, intervals, "v", bin_width=2.0)
+    got = {(r.pid, r.name) for r in out.collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "b"), (3, "c"), (4, "c")}
+    # no duplicate pairs despite interval bin replication
+    assert out.count() == len(got)
+
+
+def test_range_join_binned_matches_plain_sql(spark):
+    from pyspark.sql import functions as F
+
+    from biokg_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_id", "value").where(
+        "value IS NOT NULL"
+    )
+    iv = (
+        load_table(spark, sf, "supplier")
+        .select(
+            F.col("s_suppkey").alias("name"),
+            (F.col("s_acctbal") % 50).alias("lo"),
+            (F.col("s_acctbal") % 50 + 5).alias("hi"),
+        )
+    )
+    fast = range_join_binned(ev, iv, "value", bin_width=7.0)
+    slow = ev.join(iv, ev.value.between(iv.lo, iv.hi))
+    assert fast.count() == slow.count()
