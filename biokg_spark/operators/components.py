@@ -1,0 +1,94 @@
+"""Connected components over candidate-pair edges (dedup clustering).
+
+Near-dup detection (MinHash/LSH, SimHash, embedding-cosine) yields
+candidate PAIRS; deduplication needs CLUSTERS — the transitive closure of
+the pair graph — plus a survivor per cluster. GraphFrames is not in this
+container, so this is the standard alternating large-star/small-star-style
+min-label propagation implemented with plain DataFrame joins:
+
+    label(v) ← min(label(v), min over neighbors(label(u)))
+
+iterated to fixpoint. Each iteration is one shuffle join + one aggregate;
+convergence is O(log n) iterations for typical dedup graphs (shallow,
+clustered). Every k-th iteration localCheckpoints to truncate the lineage
+chain — without it the plan doubles each round and the driver dies
+planning, the classic iterative-DataFrame failure at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Label every vertex of the pair graph with its component's min id.
+
+    Output: (id, component). Isolated vertices never appear in ``pairs``
+    and so are their own components by definition (callers union them in
+    if needed). Converges early when an iteration changes no label.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    # undirected: keep both directions so propagation flows both ways
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).dropDuplicates()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .dropDuplicates()
+        .withColumn("component", F.col("id"))
+    )
+    for i in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("_nbr_min", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("_nbr_min", F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.where(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster near-dup candidate pairs and pick the survivor (min id).
+
+    Output: (id, survivor, is_survivor) — one row per clustered document;
+    downstream keeps ``is_survivor`` rows and drops the rest.
+    """
+    cc = connected_components(pairs, src, dst)
+    return cc.select(
+        "id",
+        F.col("component").alias("survivor"),
+        (F.col("id") == F.col("component")).alias("is_survivor"),
+    )

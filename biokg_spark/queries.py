@@ -653,6 +653,36 @@ def kg_turn_ordering(spark, sf_dir):
 
 
 @q(
+    "hypertable_rollup",
+    """
+    WITH g AS (
+      SELECT 'hour' AS grain, strftime(ts, '%Y-%m-%d %H:00:00') AS bucket,
+             event_type, value FROM events
+      UNION ALL
+      SELECT 'day', strftime(ts, '%Y-%m-%d'), event_type, value FROM events)
+    SELECT grain, bucket, event_type, count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM g GROUP BY grain, bucket, event_type
+    """,
+)
+def hypertable_rollup(spark, sf_dir):
+    """Multi-granularity continuous-aggregate rollup: hour + day buckets
+    per event type in ONE scan (operators/rollup.py)."""
+    from biokg_spark.operators.rollup import time_rollup
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    return time_rollup(
+        ev,
+        grains=("hour", "day"),
+        keys=("event_type",),
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+
+
+@q(
     "asof_join_events",
     """
     WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
@@ -759,6 +789,46 @@ def dedup_minhash_lsh(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), "text", "doc_id",
         num_hashes=8, bands=4, width=3,
     )
+
+
+@q(
+    "dedup_cluster_components",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    sig AS (
+      SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+      FROM sh, seeds GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, seed // 2),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, comp) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.id)
+    SELECT id, min(comp) AS component FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_components(spark, sf_dir):
+    """Near-dup clustering: LSH candidate pairs → connected components
+    (min-label propagation, operators/components.py) — the transitive
+    closure step between pair detection and survivor selection."""
+    from biokg_spark.operators.components import connected_components
+
+    pairs = minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        num_hashes=8, bands=4, width=3,
+    )
+    return connected_components(pairs)
 
 
 @q(

@@ -1,0 +1,52 @@
+from biokg_spark.operators.components import connected_components, dedup_clusters
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = connected_components(df)
+    return {r.id: r.component for r in got.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: needs several propagation rounds
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_two_components_and_self_loop(spark):
+    got = _cc(spark, [(10, 11), (11, 12), (20, 21), (7, 7)])
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_direction_against_min_label(spark):
+    # edges oriented so min label must flow "backwards"
+    got = _cc(spark, [(5, 4), (4, 3), (3, 2), (2, 1)])
+    assert set(got.values()) == {1}
+
+
+def test_dedup_clusters_with_lsh_pairs(spark):
+    """End-to-end: LSH candidate pairs on documents with planted dups ->
+    clusters -> survivors."""
+    from pyspark.sql import functions as F
+
+    from biokg_spark.operators.dedup import minhash_lsh_candidates
+
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the lazy dog again and again"),
+        (4, "completely different text about spark physical plans and shuffles"),
+        (5, "completely different text about spark physical plans and shuffles"),
+        (6, "an unrelated singleton document with its own unique words here"),
+    ]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=8, bands=4)
+    out = dedup_clusters(pairs)
+    rows = {r.id: (r.survivor, r.is_survivor) for r in out.collect()}
+    assert rows[1] == (1, True) and rows[2] == (1, False) and rows[3] == (1, False)
+    assert rows[4] == (4, True) and rows[5] == (4, False)
+    assert 6 not in rows  # isolated: never a candidate, kept by default
+    kept = docs.join(
+        out.where("NOT is_survivor"), docs.doc_id == F.col("id"), "left_anti"
+    )
+    assert {r.doc_id for r in kept.collect()} == {1, 4, 6}
