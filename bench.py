@@ -47,12 +47,20 @@ HEADLINE = [
     "anti_join_exclusion",
     "window_topk_per_group",
     "hierarchy_expand",
+    "partitioned_fanout_species",
+    "stanza_assembly",
+    "hypertable_rollup",
+    "asof_join_events",
+    "range_join_intervals",
     "kg_mention_scan",
     "kg_cooccurrence_links",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_cluster_components",
+    "dedup_embedding_cosine",
     "text_quality",
+    "text_tokenize_bpe",
     "embed_cosine_topk",
     "embed_ann_lsh",
 ]

@@ -8,11 +8,15 @@ min-label propagation implemented with plain DataFrame joins:
 
     label(v) ← min(label(v), min over neighbors(label(u)))
 
-iterated to fixpoint. Each iteration is one shuffle join + one aggregate;
-convergence is O(log n) iterations for typical dedup graphs (shallow,
-clustered). Every k-th iteration localCheckpoints to truncate the lineage
-chain — without it the plan doubles each round and the driver dies
-planning, the classic iterative-DataFrame failure at scale.
+iterated to fixpoint. Each iteration is one shuffle join + one aggregate.
+Two materialization rules make iteration viable (the classic iterative-
+DataFrame traps at scale):
+- the edge set is localCheckpointed ONCE up front — otherwise every
+  iteration recomputes the (possibly expensive: LSH banding, shingling)
+  pair-generation lineage from scratch;
+- every iteration's labels are eagerly localCheckpointed — otherwise the
+  plan doubles per round and the convergence-check job recomputes the
+  join twice.
 """
 
 from __future__ import annotations
@@ -26,7 +30,6 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Label every vertex of the pair graph with its component's min id.
 
@@ -39,16 +42,22 @@ def connected_components(
         .where(F.col("a") != F.col("b"))
         .dropDuplicates()
     )
-    # undirected: keep both directions so propagation flows both ways
-    sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).dropDuplicates()
+    # undirected: keep both directions so propagation flows both ways;
+    # materialize ONCE — the upstream pair generation never re-runs
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("id"))
         .dropDuplicates()
         .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
     )
-    for i in range(max_iter):
+    for _i in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy(F.col("a").alias("id"))
@@ -66,9 +75,8 @@ def connected_components(
                     < F.col("component")
                 ).alias("_changed"),
             )
+            .localCheckpoint(eager=True)
         )
-        if (i + 1) % checkpoint_every == 0:
-            updated = updated.localCheckpoint(eager=True)
         n_changed = updated.where(F.col("_changed")).limit(1).count()
         labels = updated.drop("_changed")
         if n_changed == 0:

@@ -76,3 +76,37 @@ def test_sessionize_conversations_stateful(spark):
         .collect()
     }
     assert got == want and len(got) == 8
+
+
+def test_incremental_mentions_matches_batch(spark, tmp_path):
+    """Streamed mention extraction must equal the batch scan, and a second
+    run over the same source must append NOTHING (offset bookkeeping)."""
+    from collections import Counter
+
+    from biokg_spark.datagen import entity_lexicon
+    from biokg_spark.operators.mentions import scan_mentions
+    from biokg_spark.streaming.ingest import incremental_mentions
+
+    tx = transcripts(spark, n_conversations=12)
+    lex = entity_lexicon(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "mentions")
+    ckpt = str(tmp_path / "ckpt")
+    tx.write.parquet(src)
+
+    stream = spark.readStream.schema(tx.schema).parquet(src)
+    q = incremental_mentions(stream, lex, out, ckpt)
+    q.awaitTermination(120)
+
+    cols = ["conv_id", "turn_idx", "surface", "entity_id"]
+    got = Counter(tuple(r) for r in spark.read.parquet(out).select(*cols).collect())
+    want = Counter(tuple(r) for r in scan_mentions(tx, lex).select(*cols).collect())
+    assert got == want and got
+
+    # replay: same source, same checkpoint -> no duplicate appends
+    q2 = incremental_mentions(
+        spark.readStream.schema(tx.schema).parquet(src), lex, out, ckpt
+    )
+    q2.awaitTermination(120)
+    again = Counter(tuple(r) for r in spark.read.parquet(out).select(*cols).collect())
+    assert again == want
