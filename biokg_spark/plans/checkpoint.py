@@ -119,7 +119,10 @@ class CheckpointManager:
             # drop any stale FileStatusCache entries from earlier reads of
             # this path in the same session (stage dirs get rewritten)
             self.spark.catalog.refreshByPath(data_dir)
-            df = self.spark.read.parquet(data_dir)
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(manifest["schema"])
+            df = self.spark.read.schema(schema).parquet(data_dir)
             self.results[name] = StageResult(
                 name, data_dir, fp, manifest["row_count"], True, manifest["lineage"],
                 round(time.perf_counter() - t0, 3),
@@ -142,7 +145,10 @@ class CheckpointManager:
             )
 
         self.spark.catalog.refreshByPath(data_dir)
-        persisted = self.spark.read.parquet(data_dir)
+        # read back with the build plan's schema: no footer-inference job,
+        # and an EMPTY stage output (zero data files) stays a valid empty
+        # table instead of failing schema inference
+        persisted = self.spark.read.schema(df.schema).parquet(data_dir)
         # Per-partition lineage from parquet FOOTERS — metadata-only, no
         # second scan of the data (the naive groupBy(input_file_name())
         # alternative re-reads the whole stage output; at 100 TB that

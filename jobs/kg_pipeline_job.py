@@ -45,15 +45,21 @@ def main() -> None:
     ap.add_argument("--run-key", default="default")
     args = ap.parse_args()
 
+    from pyspark import SparkConf
     from pyspark.sql import SparkSession
 
     from biokg_spark.datagen import transcripts as synth_transcripts
     from biokg_spark.datagen import entity_lexicon, id_mapping, ontology
     from biokg_spark.pipeline import KGPipeline
+    from biokg_spark.session import get_spark
 
-    # under spark-submit the session inherits the submit-time master/conf;
-    # session.py's local[] fallback is only for the sandbox
-    spark = SparkSession.builder.appName("biokg-kg-pipeline").getOrCreate()
+    # under spark-submit the submit-time conf carries the master — honor
+    # it untouched; bare `python jobs/...` (sandbox) falls back to the
+    # engine's local session factory
+    if SparkConf().get("spark.master", None):
+        spark = SparkSession.builder.appName("biokg-kg-pipeline").getOrCreate()
+    else:
+        spark = get_spark(app_name="biokg-kg-pipeline")
 
     if args.synth_conversations:
         tx = synth_transcripts(spark, n_conversations=args.synth_conversations)

@@ -116,3 +116,28 @@ def test_unknown_predicate_raises(spark, fixture_inputs, tmp_path):
     pipe = KGPipeline(spark, str(tmp_path), lex, mp, bad_onto, buckets=2)
     with pytest.raises(ValueError, match="Predicate not recognized"):
         pipe.run(tx_small, run_key="bad-vocab")
+
+
+def test_empty_input_produces_empty_outputs(spark, tmp_path):
+    """Zero matching transcripts must flow through every stage and emit
+    valid EMPTY tables (resume-readable), not crash on schema inference."""
+    from biokg_spark.datagen import entity_lexicon, id_mapping, transcripts
+
+    tx = transcripts(spark, n_conversations=3).where("conv_id = 'no-such-conv'")
+    pipe = KGPipeline(
+        spark, str(tmp_path / "empty"), entity_lexicon(spark), id_mapping(spark),
+        buckets=2,
+    )
+    out = pipe.run(tx, run_key="empty")
+    assert {k: v.count() for k, v in out.items()} == {
+        "ingest": 0, "mentions": 0, "linked": 0,
+        "links": 0, "quads": 0, "metadata": 0,
+    }
+    # resume over the empty checkpoints also works
+    pipe2 = KGPipeline(
+        spark, str(tmp_path / "empty"), entity_lexicon(spark), id_mapping(spark),
+        buckets=2,
+    )
+    out2 = pipe2.run(tx, run_key="empty")
+    assert all(m["skipped"] for m in pipe2.metrics().values())
+    assert out2["links"].count() == 0
