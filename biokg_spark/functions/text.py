@@ -86,6 +86,30 @@ def quality_score(col: Column | str) -> Column:
     return F.round(score, 4)
 
 
+def split_assign(col: Column | str, fractions: dict[str, float]) -> Column:
+    """Label each row 'train'/'val'/… deterministically by content hash.
+
+    The split primitive every training-data pipeline needs: assignment
+    depends only on the id value, so it is stable across runs, partitions,
+    engines, and dataset growth (unlike ``randomSplit``, which reshuffles
+    whenever the input changes). Implementation is engine-portable by
+    construction: the first 4 hex chars of md5 compare LEXICOGRAPHICALLY
+    like the number they encode, so thresholds are hex-string literals any
+    SQL engine evaluates identically (granularity 1/65536). ``fractions``
+    maps label → share (sum ≤ 1; remainder labeled NULL)."""
+    h = F.substring(F.md5(_c(col).cast("string")), 1, 4)
+    expr = F.lit(None).cast("string")
+    acc = 0.0
+    for label, frac in fractions.items():
+        lo, acc = acc, acc + frac * 65536
+        # clamp to 'ffff' so a cumulative 1.0 stays a 4-char hex compare
+        # (the single 'ffff' hash value lands in the NULL remainder)
+        lo_hex = format(min(int(lo), 65535), "04x")
+        hi_hex = format(min(int(acc), 65535), "04x")
+        expr = F.when((h >= lo_hex) & (h < hi_hex), F.lit(label)).otherwise(expr)
+    return expr
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 of the normalized text (lowercased,
     whitespace collapsed) — the exact-dedup key. md5 is bit-identical in

@@ -546,6 +546,57 @@ def stanza_assembly(spark, sf_dir):
     )
 
 
+@q(
+    "stanza_prefix_multiplex",
+    """
+    WITH lines AS (
+      SELECT 'f' || CAST(doc_id % 20 AS VARCHAR) AS src,
+             CAST(row_number() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) - 1
+                  AS BIGINT) AS line_no,
+             text, (doc_id % 5 = 4) AS term
+      FROM documents),
+    seg AS (
+      SELECT *, coalesce(sum(CASE WHEN term THEN 1 ELSE 0 END) OVER (
+          PARTITION BY src ORDER BY line_no
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS segment
+      FROM lines),
+    body AS (SELECT * FROM seg WHERE NOT term),
+    fields AS (
+      SELECT src, segment, substr(text, 1, 2) AS prefix,
+             string_agg(ltrim(substr(text, 3)), ' ' ORDER BY line_no) AS value
+      FROM body GROUP BY src, segment, substr(text, 1, 2))
+    SELECT src, segment,
+           string_agg(prefix || '=' || value, ';' ORDER BY prefix) AS fields_str
+    FROM fields GROUP BY src, segment
+    """,
+)
+def stanza_prefix_multiplex(spark, sf_dir):
+    """Line-prefix multiplexing — S3 analog (parsers.py:193-372): stanza
+    lines folded into a prefix→payload map, rendered as a sorted string
+    for cross-engine comparison."""
+    from biokg_spark.operators.stanzas import assemble_stanzas, prefix_multiplex
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.col("doc_id") % 20).orderBy("doc_id")
+    lines = docs.select(
+        F.concat(F.lit("f"), (F.col("doc_id") % 20).cast("string")).alias("src"),
+        (F.row_number().over(w) - 1).cast("long").alias("line_no"),
+        "text",
+        (F.col("doc_id") % 5 == 4).alias("term"),
+    )
+    mux = prefix_multiplex(assemble_stanzas(lines, F.col("term")))
+    rendered = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries("fields"),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        ";",
+    )
+    return mux.select("src", "segment", rendered.alias("fields_str"))
+
+
 # ===== B. KG construction over derived transcripts =========================
 
 
@@ -948,6 +999,37 @@ def text_tokenize_bpe(spark, sf_dir):
         "doc_id",
         token_count("text").alias("n_ws_tokens"),
         bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@q(
+    "train_val_split",
+    """
+    WITH h AS (
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+      FROM documents)
+    SELECT CASE WHEN hx < 'cccc' THEN 'train'
+                WHEN hx < 'e666' THEN 'val'
+                WHEN hx < 'ffff' THEN 'test' END AS split,
+           count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM h GROUP BY split
+    """,
+)
+def train_val_split(spark, sf_dir):
+    """Deterministic 80/10/10 split by content hash — stable across runs,
+    partitions and engines (hex-prefix thresholds; functions/text.py)."""
+    from biokg_spark.functions.text import split_assign
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            split_assign(
+                "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+            ).alias("split"),
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
     )
 
 
