@@ -788,6 +788,67 @@ def range_join_intervals(spark, sf_dir):
     )
 
 
+# ambiguity-injected lexicon for the candidate-scoring query: "join" can
+# be the PROTEIN P00001 (prio 0) or the DRUG DB90001 (prio 1)
+_AMBIG_LEX = KG_LEXICON + [("join", "DB90001", "DRUG")]
+_AMBIG_PRIO = {("join", "DB90001"): 1}
+_AMBIG_SQL_VALUES = ",".join(
+    f"('{s}','{e}','{t}',{_AMBIG_PRIO.get((s, e), 0)})" for s, e, t in _AMBIG_LEX
+)
+
+
+@q(
+    "kg_candidate_link_scoring",
+    f"""
+    WITH tx AS ({_TX_SQL}),
+    lex(surface, entity_id, entity_type, priority) AS (VALUES {_AMBIG_SQL_VALUES}),
+    tok AS (SELECT conv_id, turn_idx, unnest(string_split(lower(text), ' ')) AS w
+            FROM tx),
+    m AS (SELECT conv_id, turn_idx, w AS surface FROM tok
+          WHERE w IN (SELECT surface FROM lex)),
+    nc AS (SELECT surface, count(DISTINCT entity_id) AS n FROM lex GROUP BY surface),
+    ctx AS (
+      SELECT m.conv_id, m.turn_idx, l.entity_type, count(*) AS ctx_n
+      FROM m JOIN nc ON m.surface = nc.surface AND nc.n = 1
+             JOIN lex l ON m.surface = l.surface
+      GROUP BY m.conv_id, m.turn_idx, l.entity_type),
+    scored AS (
+      SELECT m.conv_id, m.turn_idx, m.surface, l.entity_id, l.entity_type,
+             l.priority,
+             round(1.0 * coalesce(ctx.ctx_n, 0) - 0.01 * l.priority, 4) AS score
+      FROM m JOIN lex l ON m.surface = l.surface
+             LEFT JOIN ctx ON ctx.conv_id = m.conv_id
+                          AND ctx.turn_idx = m.turn_idx
+                          AND ctx.entity_type = l.entity_type),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx, surface
+        ORDER BY score DESC, priority, entity_id) AS rk
+      FROM scored)
+    SELECT DISTINCT conv_id, turn_idx, surface, entity_id, entity_type, score
+    FROM ranked WHERE rk = 1
+    """,
+)
+def kg_candidate_link_scoring(spark, sf_dir):
+    """Candidate entity-link scoring (north star): ambiguous surfaces
+    resolve by per-turn type context, falling back to lexicon priority."""
+    from biokg_spark.operators.linking import candidate_links
+
+    lex = spark.createDataFrame(
+        [(s, e, t, _AMBIG_PRIO.get((s, e), 0)) for s, e, t in _AMBIG_LEX],
+        "surface string, entity_id string, entity_type string, priority int",
+    )
+    tx = doc_transcripts(spark, sf_dir)
+    surfaces = F.broadcast(lex.select("surface").dropDuplicates())
+    toks = tx.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.split(F.lower("text"), " ")).alias("surface"),
+    )
+    mentions = toks.join(surfaces, "surface").select("conv_id", "turn_idx", "surface")
+    return candidate_links(mentions, lex).dropDuplicates()
+
+
 # ===== C. training-data pipeline ops =======================================
 
 
