@@ -171,14 +171,24 @@ class KGPipeline:
         scanner_backend: str = "ac",
         buckets: int = 32,
         canonicalizer: str = "mapping",
+        disambiguation: str = "priority",
     ):
         """``canonicalizer``: 'mapping' uses the curated ``id_mapping`` dim
         (the reference's biodblinker analog, J3); 'lsh' DERIVES the mapping
         from the lexicon's surface forms via MinHash/LSH (north-star
         replacement for the hand-curated tables — no ``id_mapping``
-        needed)."""
+        needed).
+
+        ``disambiguation``: 'priority' resolves ambiguous surfaces at scan
+        time by static lexicon priority (the reference's first-match-wins,
+        parsers.py:976); 'context' emits surface occurrences and scores
+        every candidate entity by per-turn type context
+        (operators/linking.py — the north star's candidate entity-link
+        scoring stage)."""
         if canonicalizer not in ("mapping", "lsh"):
             raise ValueError(f"unknown canonicalizer {canonicalizer!r}")
+        if disambiguation not in ("priority", "context"):
+            raise ValueError(f"unknown disambiguation {disambiguation!r}")
         if canonicalizer == "mapping" and id_mapping is None:
             raise ValueError("canonicalizer='mapping' requires id_mapping")
         self.spark = spark
@@ -189,13 +199,14 @@ class KGPipeline:
         self.scanner_backend = scanner_backend
         self.buckets = buckets
         self.canonicalizer = canonicalizer
+        self.disambiguation = disambiguation
 
     # ------------------------------------------------------------------
     def run(self, transcripts: DataFrame, run_key: str = "default") -> dict[str, DataFrame]:
         fp0 = fingerprint("ingest", run_key, str(self.buckets))
         ingested = self.ckpt.run("ingest", fp0, lambda: self._ingest(transcripts))
 
-        fp1 = fingerprint("mentions", fp0, self.scanner_backend)
+        fp1 = fingerprint("mentions", fp0, self.scanner_backend, self.disambiguation)
         mentions = self.ckpt.run("mentions", fp1, lambda: self._mentions(ingested))
 
         fp2 = fingerprint("linked", fp1, self.canonicalizer)
@@ -261,12 +272,29 @@ class KGPipeline:
 
     # -- stage 2: parse/mention-detect ------------------------------------
     def _mentions(self, ingested: DataFrame) -> DataFrame:
-        return scan_mentions(
+        raw = scan_mentions(
             ingested,
             self.lexicon,
             text_col="text",
             keys=("conv_id", "turn_idx"),
             backend=self.scanner_backend,
+        )
+        if self.disambiguation == "priority":
+            return raw
+        # context mode: the scanner found WHERE surfaces occur; WHICH
+        # candidate entity each ambiguous surface denotes is re-decided by
+        # per-turn type context (north star: candidate entity-link scoring)
+        from biokg_spark.operators.linking import candidate_links
+
+        resolved = candidate_links(
+            raw.select("conv_id", "turn_idx", "surface"), self.lexicon
+        )
+        occurrences = raw.select("conv_id", "turn_idx", "surface", "span_start")
+        return occurrences.join(
+            resolved.select("conv_id", "turn_idx", "surface", "entity_id", "entity_type"),
+            ["conv_id", "turn_idx", "surface"],
+        ).select(
+            "conv_id", "turn_idx", "surface", "entity_id", "entity_type", "span_start"
         )
 
     # -- stage 3: map/link (canonicalization) -----------------------------

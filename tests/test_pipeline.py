@@ -141,3 +141,47 @@ def test_empty_input_produces_empty_outputs(spark, tmp_path):
     out2 = pipe2.run(tx, run_key="empty")
     assert all(m["skipped"] for m in pipe2.metrics().values())
     assert out2["links"].count() == 0
+
+
+def test_context_disambiguation_mode(spark, tmp_path):
+    """disambiguation='context': the ambiguous surface resolves per turn
+    by type context instead of static priority."""
+    from datetime import datetime
+
+    from biokg_spark.datagen import entity_lexicon, id_mapping
+
+    rows = [
+        # protein-heavy turn -> ambigterm should link to P00001 (PROTEIN)
+        ("c0", 0, "user", "ambigterm near protkin2 and protkin3", None,
+         datetime(2024, 1, 1)),
+        # drug-heavy turn -> ambigterm should link to DB00002 side? no:
+        # context counts unambiguous DRUG mentions -> DB00001 wins
+        ("c0", 1, "user", "ambigterm with drugamab2 and drugamab3", None,
+         datetime(2024, 1, 1)),
+    ]
+    tx = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    pipe = KGPipeline(
+        spark, str(tmp_path / "ctx"), entity_lexicon(spark), id_mapping(spark),
+        buckets=2, disambiguation="context",
+    )
+    out = pipe.run(tx, run_key="ctx")
+    got = {
+        (r.conv_id, r.turn_idx): r.entity_id
+        for r in out["mentions"].where("surface = 'ambigterm'").collect()
+    }
+    assert got == {("c0", 0): "P00001", ("c0", 1): "DB00001"}
+
+    # priority mode resolves both turns to the static winner (P00001)
+    pipe2 = KGPipeline(
+        spark, str(tmp_path / "prio"), entity_lexicon(spark), id_mapping(spark),
+        buckets=2, disambiguation="priority",
+    )
+    out2 = pipe2.run(tx, run_key="ctx")
+    got2 = {
+        (r.conv_id, r.turn_idx): r.entity_id
+        for r in out2["mentions"].where("surface = 'ambigterm'").collect()
+    }
+    assert got2 == {("c0", 0): "P00001", ("c0", 1): "P00001"}
