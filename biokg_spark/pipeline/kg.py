@@ -168,7 +168,7 @@ class KGPipeline:
         lexicon: DataFrame,
         id_mapping: DataFrame | None = None,
         ontology: DataFrame | None = None,
-        scanner_backend: str = "ac",
+        scanner_backend: str = "auto",
         buckets: int = 32,
         canonicalizer: str = "mapping",
         disambiguation: str = "priority",

@@ -95,7 +95,7 @@ def test_sql_backend_parity_with_regex(spark):
         got = scan_mentions(tx, lex, backend=backend).select(*cols).collect()
         return Counter(tuple(r) for r in got)
 
-    assert multiset("sql") == multiset("regex")
+    assert multiset("sql") == multiset("regex") == multiset("dict") == multiset("auto")
 
 
 def test_sql_backend_rejects_multiword(spark):

@@ -31,10 +31,11 @@ LEXICON = [
 
 @settings(max_examples=300, deadline=None)
 @given(TEXT)
-def test_regex_and_ac_backends_agree(text):
+def test_all_backends_agree(text):
     rx = MentionScanner(LEXICON, backend="regex")
     ac = MentionScanner(LEXICON, backend="ac")
-    assert rx.scan_text(text) == ac.scan_text(text)
+    dc = MentionScanner(LEXICON, backend="dict")  # lexicon is single-token
+    assert rx.scan_text(text) == ac.scan_text(text) == dc.scan_text(text)
 
 
 @settings(max_examples=300, deadline=None)
