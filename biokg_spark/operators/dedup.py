@@ -165,6 +165,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection).
+
+    The standard rolling-hash fingerprint scheme (Schleimer/Wilkerson/
+    Aiken winnowing): hash every character k-gram of the normalized text,
+    slide a window of ``window`` consecutive hashes, keep each window's
+    minimum — a position-robust fingerprint subset ~1/window the size of
+    the full hash stream, guaranteed to share fingerprints with any
+    document overlapping by ≥ k+window-1 characters. All array-side
+    Column expressions (no UDF); hashes are md5-prefixed so the DuckDB
+    oracle is exact. Output: one row per (id, fingerprint), distinct.
+    """
+    c = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    n = F.length(c)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.substring(F.md5(c.substr(i, F.lit(k))), 1, 8),
+    )
+    # materialize the gram array as a column so the window pass doesn't
+    # inline (and recompute) the md5 stream per window position
+    with_g = df.select(F.col(id_col), grams.alias("_g"))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_g") - window + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice(F.col("_g"), i, window)),
+    )
+    return (
+        with_g.select(
+            F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint")
+        )
+        .dropDuplicates()
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

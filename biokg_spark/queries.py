@@ -985,6 +985,34 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @q(
+    "dedup_winnow_fingerprints",
+    """
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS c
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(c) - 4, 1)),
+                            i -> substr(md5(substr(c, i, 5)), 1, 8)) AS g
+      FROM norm),
+    mins AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(g) - 3, 1)),
+                            i -> list_min(g[i:i+3])) AS m
+      FROM grams)
+    SELECT DISTINCT doc_id, unnest(m) AS fingerprint FROM mins
+    """,
+)
+def dedup_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (k=5 char-grams, window=4)."""
+    from biokg_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", k=5, window=4
+    )
+
+
+@q(
     "dedup_simhash",
     """
     WITH tok AS (

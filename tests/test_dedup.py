@@ -62,3 +62,25 @@ def test_simhash_deterministic_and_discriminative(spark):
     hamming_14 = sum(a != b for a, b in zip(fps[1], fps[4]))
     hamming_13 = sum(a != b for a, b in zip(fps[1], fps[3]))
     assert hamming_13 <= hamming_14
+
+
+def test_winnow_fingerprints_overlap_guarantee(spark):
+    """Documents sharing a long substring must share >=1 fingerprint;
+    disjoint documents share none (overwhelmingly)."""
+    from biokg_spark.operators.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix one {shared} suffix alpha"),
+            (2, f"other start {shared} different end"),
+            (3, "zzz completely unrelated content qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared substring produced no common fingerprint"
+    assert not (by_doc[1] & by_doc[3])
