@@ -26,6 +26,12 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # --- shuffle sizing: overridden per-test; AQE coalesces down ---
+    # NOTE: on a real cluster ALSO set
+    # spark.sql.adaptive.coalescePartitions.initialPartitionNum to several
+    # times the executor-core count so the largest shuffles start wide and
+    # AQE coalesces from real map-output sizes. Deliberately NOT a local
+    # default: measured +10-30% on every local query (map-side shuffle-
+    # file overhead dominates when data is small).
     "spark.sql.shuffle.partitions": "32",
     # --- parquet scan sizing (100 TB: bigger splits amortize task setup) ---
     "spark.sql.files.maxPartitionBytes": "134217728",
