@@ -72,6 +72,39 @@ def lang_id(col: Column | str, threshold: float = 0.10) -> Column:
     )
 
 
+# Characteristic character-trigram profiles (tiny, illustrative — a real
+# deployment ships fastText/CLD3-style profiles; the mechanism is what
+# matters: pure Column ops, no UDF, exact SQL twin).
+NGRAM_PROFILES: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", "nd ", " an", "ing", " of", "ion"],
+    "de": ["der", "ein", "sch", "ich", "und", "die", "cht", "gen"],
+    "fr": ["les", " le", "de ", "ent", "que", "ais", "eur", "our"],
+}
+
+
+def lang_id_ngram(col: Column | str, min_hits: int = 1) -> Column:
+    """Character-n-gram language ID: count each profile's characteristic
+    trigrams present in the text, argmax wins (ties broken by profile
+    order), 'xx' when no profile reaches ``min_hits``."""
+    c = F.lower(_c(col))
+    scores = {
+        lang: sum(
+            (F.instr(c, g) > 0).cast("int")
+            for g in grams
+        )
+        for lang, grams in NGRAM_PROFILES.items()
+    }
+    best_lang = F.lit("xx")
+    best_score = F.lit(0)
+    # iterate in reverse so earlier profiles win ties
+    for lang in reversed(list(scores)):
+        s = scores[lang]
+        take = (s >= F.lit(min_hits)) & (s >= best_score)
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite quality in [0,1]: length band + stopword presence +
     alpha ratio. Deterministic, rounded to 4 dp for cross-engine hashing."""

@@ -1122,6 +1122,41 @@ def train_val_split(spark, sf_dir):
     )
 
 
+def _ngram_score_sql(lang: str, grams: list[str]) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN instr(lower(text), '{g}') > 0 THEN 1 ELSE 0 END)" for g in grams
+    )
+    return f"({terms}) AS s_{lang}"
+
+
+def _lang_ngram_sql() -> str:
+    from biokg_spark.functions.text import NGRAM_PROFILES
+
+    langs = list(NGRAM_PROFILES)
+    scores = ", ".join(_ngram_score_sql(l, g) for l, g in NGRAM_PROFILES.items())
+    branches = []
+    for i, lang in enumerate(langs):
+        geq = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1:])
+        cond = f"s_{lang} >= 1" + (f" AND {geq}" if geq else "")
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'xx' END"
+    return f"""
+    WITH s AS (SELECT doc_id, {scores} FROM documents)
+    SELECT doc_id, {case} AS lang FROM s
+    """
+
+
+@q("text_lang_ngram", _lang_ngram_sql())
+def text_lang_ngram(spark, sf_dir):
+    """Character-n-gram-profile language ID (the brief's n-gram heuristic;
+    pure Column ops, profile table shared with the SQL twin)."""
+    from biokg_spark.functions.text import lang_id_ngram
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", lang_id_ngram("text").alias("lang")
+    )
+
+
 @q(
     "doc_fingerprints",
     """

@@ -84,3 +84,20 @@ def test_winnow_fingerprints_overlap_guarantee(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
     assert by_doc[1] & by_doc[2], "shared substring produced no common fingerprint"
     assert not (by_doc[1] & by_doc[3])
+
+
+def test_lang_id_ngram_profiles(spark):
+    from biokg_spark.functions.text import lang_id_ngram
+
+    df = spark.createDataFrame(
+        [
+            (1, "the thing and the other thing of note"),
+            (2, "ich und der einem schnell dichter gen"),
+            (3, "les fleurs de la saison que nous aimons"),
+            (4, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang for r in df.select(
+        "doc_id", lang_id_ngram("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "xx"}
