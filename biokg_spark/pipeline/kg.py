@@ -103,18 +103,35 @@ def cooccurrence_links(
     the same stage; the final distinct collapses map-side because the
     output key space (entity × entity) is tiny relative to the input.
     """
+    per_group = entity_sets(ents, keys, id_col, type_col)
+    return links_from_entity_sets(per_group)
+
+
+def entity_sets(
+    ents: DataFrame,
+    keys: list[str],
+    id_col: str = "eid",
+    type_col: str = "entity_type",
+) -> DataFrame:
+    """Per-group sorted entity set: keys + ``ms`` array<struct<eid,type>>.
+
+    The ONE aggregation both co-occurrence links and effect quads consume
+    — sharing it (as a checkpointed stage) removes a duplicate full
+    shuffle of the linked-mention table, a reuse no optimizer does across
+    jobs."""
     ents = ents.select(
         *keys, F.col(id_col).alias("eid"), F.col(type_col).alias("entity_type")
     )
-    per_group = (
-        ents.groupBy(*keys)
-        .agg(
-            F.array_sort(
-                F.collect_set(F.struct(F.col("eid"), F.col("entity_type")))
-            ).alias("ms")
-        )
-        .where(F.size("ms") >= 2)
+    return ents.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_set(F.struct(F.col("eid"), F.col("entity_type")))
+        ).alias("ms")
     )
+
+
+def links_from_entity_sets(per_group: DataFrame) -> DataFrame:
+    """Typed distinct (subj, pred, obj) from per-group entity sets."""
+    per_group = per_group.where(F.size("ms") >= 2)
     ms = F.col("ms")
     # ordered pairs (i < j) from the sorted set: a.eid <= b.eid by sort order
     pair_arr = F.flatten(
@@ -212,6 +229,13 @@ class KGPipeline:
         fp2 = fingerprint("linked", fp1, self.canonicalizer)
         linked = self.ckpt.run("linked", fp2, lambda: self._link(mentions))
 
+        # shared per-turn entity sets: the single aggregation both the
+        # links and quads stages consume (one shuffle instead of two)
+        fp2b = fingerprint("turn_sets", fp2)
+        turn_sets = self.ckpt.run(
+            "turn_sets", fp2b, lambda: self._turn_sets(linked)
+        )
+
         # The four output families are independent given (linked, ingested)
         # — submit them as CONCURRENT Spark jobs (SparkSession is
         # thread-safe for job submission). Sequential execution would
@@ -222,13 +246,13 @@ class KGPipeline:
 
         tasks: dict[str, tuple] = {
             "links": (
-                fingerprint("links", fp2),
-                lambda: self._links(linked),
+                fingerprint("links", fp2b),
+                lambda: self._links(turn_sets),
                 ["pred"],
             ),
             "quads": (
-                fingerprint("quads", fp2),
-                lambda: self._effect_quads(linked, ingested),
+                fingerprint("quads", fp2b),
+                lambda: self._effect_quads(turn_sets, ingested),
                 None,
             ),
             "metadata": (
@@ -243,7 +267,12 @@ class KGPipeline:
                 lambda: self._properties(),
                 ["pred"],
             )
-        out = {"ingest": ingested, "mentions": mentions, "linked": linked}
+        out = {
+            "ingest": ingested,
+            "mentions": mentions,
+            "linked": linked,
+            "turn_sets": turn_sets,
+        }
         with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
             futures = {
                 name: pool.submit(self.ckpt.run, name, fp, build, partition_by=pb)
@@ -316,41 +345,44 @@ class KGPipeline:
             .drop("src_id")
         )
 
-    # -- stage 4a: typed co-occurrence links ------------------------------
-    def _links(self, linked: DataFrame) -> DataFrame:
-        return cooccurrence_links(
+    # -- stage 3b: shared per-turn entity sets -----------------------------
+    def _turn_sets(self, linked: DataFrame) -> DataFrame:
+        return entity_sets(
             linked.select(
                 "conv_id", "turn_idx", F.col("canonical_id").alias("eid"), "entity_type"
             ),
             keys=["conv_id", "turn_idx"],
         )
 
+    # -- stage 4a: typed co-occurrence links ------------------------------
+    def _links(self, turn_sets: DataFrame) -> DataFrame:
+        return links_from_entity_sets(turn_sets)
+
     # -- stage 4b: DPI effect quads with conflict exclusion ---------------
-    def _effect_quads(self, linked: DataFrame, ingested: DataFrame) -> DataFrame:
+    def _effect_quads(self, turn_sets: DataFrame, ingested: DataFrame) -> DataFrame:
         """Plan notes (10^12-turn discipline): the per-turn drug and protein
-        sets come from ONE aggregation over ``linked`` (the two-filtered-
-        copies-then-join alternative shuffles the mention table twice and
-        materializes the drug×prot blow-up before any reduction). The
-        drug×prot expansion happens array-side after the turns are already
-        reduced to (drugs, prots, effect) triples, refs are merged with a
-        salted two-phase set agg (hot pairs), and the INCREASES/DECREASES
-        conflict rule (reference: parsers.py:1989-1990) is an array filter
-        over the ≤3 effect rows per pair — no extra join."""
+        sets derive from the SHARED turn_sets aggregation (zero additional
+        shuffles of the mention table; the two-filtered-copies-then-join
+        alternative shuffles it twice and materializes the drug×prot
+        blow-up before any reduction). The drug×prot expansion happens
+        array-side after the turns are already reduced to (drugs, prots,
+        effect) triples, refs are merged with a salted two-phase set agg
+        (hot pairs), and the INCREASES/DECREASES conflict rule (reference:
+        parsers.py:1989-1990) is an array filter over the ≤3 effect rows
+        per pair — no extra join."""
         effects = ingested.select(
             "conv_id", "turn_idx", extract_effect("text").alias("effect")
         ).where(F.col("effect").isNotNull())
-        per_turn = (
-            linked.groupBy("conv_id", "turn_idx")
-            .agg(
-                F.collect_set(
-                    F.when(F.col("entity_type") == "DRUG", F.col("canonical_id"))
-                ).alias("drugs"),
-                F.collect_set(
-                    F.when(F.col("entity_type") == "PROTEIN", F.col("canonical_id"))
-                ).alias("prots"),
-            )
-            .where((F.size("drugs") > 0) & (F.size("prots") > 0))
+        of_type = lambda t: F.transform(  # noqa: E731
+            F.filter(F.col("ms"), lambda m: m["entity_type"] == t),
+            lambda m: m["eid"],
         )
+        per_turn = turn_sets.select(
+            "conv_id",
+            "turn_idx",
+            of_type("DRUG").alias("drugs"),
+            of_type("PROTEIN").alias("prots"),
+        ).where((F.size("drugs") > 0) & (F.size("prots") > 0))
         dpi = (
             per_turn.join(effects, ["conv_id", "turn_idx"])
             .select(

@@ -130,7 +130,7 @@ def test_empty_input_produces_empty_outputs(spark, tmp_path):
     )
     out = pipe.run(tx, run_key="empty")
     assert {k: v.count() for k, v in out.items()} == {
-        "ingest": 0, "mentions": 0, "linked": 0,
+        "ingest": 0, "mentions": 0, "linked": 0, "turn_sets": 0,
         "links": 0, "quads": 0, "metadata": 0,
     }
     # resume over the empty checkpoints also works
