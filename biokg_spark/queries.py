@@ -513,9 +513,9 @@ def partitioned_fanout_species(spark, sf_dir):
              text, (doc_id % 5 = 4) AS term
       FROM documents),
     seg AS (
-      SELECT *, coalesce(sum(CASE WHEN term THEN 1 ELSE 0 END) OVER (
+      SELECT *, CAST(coalesce(sum(CASE WHEN term THEN 1 ELSE 0 END) OVER (
           PARTITION BY src ORDER BY line_no
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS segment
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS segment
       FROM lines)
     SELECT src, segment, count(*) AS n_lines,
            min(line_no) AS first_line_no,
@@ -556,9 +556,9 @@ def stanza_assembly(spark, sf_dir):
              text, (doc_id % 5 = 4) AS term
       FROM documents),
     seg AS (
-      SELECT *, coalesce(sum(CASE WHEN term THEN 1 ELSE 0 END) OVER (
+      SELECT *, CAST(coalesce(sum(CASE WHEN term THEN 1 ELSE 0 END) OVER (
           PARTITION BY src ORDER BY line_no
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS segment
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS segment
       FROM lines),
     body AS (SELECT * FROM seg WHERE NOT term),
     fields AS (
