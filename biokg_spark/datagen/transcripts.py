@@ -52,6 +52,56 @@ _ENTITY_TYPES = [
     ("PATHWAY", "R-HSA-%d", "pathglyco%d", 10),
 ]
 
+# Reference-shaped DDI interaction descriptions (reference:
+# biokg/processing/parsers.py:24-45). Each template carries two drug-surface
+# slots; together they exercise every pattern of the 15-pattern cascade,
+# the ', and'/' and ' list forms, the 'activities' suffix handling and the
+# DDI_SE_ALIASES map (including sentences whose nominal pattern is shadowed
+# by an earlier one — faithful first-match-wins behavior).
+DDI_SENTENCES: list[str] = [
+    "The risk or severity of hypertension can be increased when %s is combined with %s.",
+    "The risk or severity of nausea, vomiting, and headache can be increased when %s is combined with %s.",
+    "The risk or severity of sedative activities and hypotensive activities can be decreased when %s is combined with %s.",
+    "The risk or severity of hyperkalemic activities can be increased when %s is combined with %s.",
+    "%s may decrease effectiveness of %s as a diagnostic agent.",
+    "The metabolism of %s can be decreased when used in combination with %s.",
+    "The serum concentration of %s can be increased when it is combined with %s.",
+    "%s can cause a decrease in the absorption of %s resulting in a reduced serum concentration and potentially a decrease in efficacy.",
+    "%s may decrease the excretion rate of %s which could result in a higher serum level.",
+    "%s may increase the excretion rate of %s which could result in a lower serum level and potentially a reduction in efficacy.",
+    "The bioavailability of %s can be decreased when combined with %s.",
+    "%s can cause an increase in the absorption of %s resulting in an increased serum concentration and potentially a worsening of adverse effects.",
+    "The risk of a hypersensitivity reaction to %s is increased when it is combined with %s.",
+    "The therapeutic efficacy of %s can be decreased when combined with %s.",
+    "The serum concentration of the active metabolites of %s can be increased when it is used in combination with %s.",
+    "The serum concentration of %s, an active metabolite of deferiprone can be increased when used in combination with %s.",
+    "%s may increase the cardiotoxic activities of %s.",
+    "%s may increase the central nervous system depressant (CNS depressant) activities of %s.",
+    "%s may increase the QTc-prolonging activities of %s.",
+    "%s may decrease the neuromuscular blocking activities of %s.",
+    "The risk or severity of hypoglycemia can be decreased when %s is combined with %s.",
+]
+
+# Drug-protein relation cues (reference: targets/enzymes/carriers/
+# transporters sections with actions, parsers.py:1143-1152 + :904-925; the
+# last two mirror CTD's INCREASES/DECREASES_EXPRESSION effect rows used by
+# build_benchmarks.py:94-106).
+ACTION_SENTENCES: list[tuple[str, str, str]] = [
+    ("%s inhibits %s", "DRUG_TARGET", "inhibitor"),
+    ("%s activates %s", "DRUG_TARGET", "activator"),
+    ("%s binds %s", "DRUG_TARGET", "unknown"),
+    ("%s is metabolized by %s", "DRUG_ENZYME", "substrate"),
+    ("%s is transported by %s", "DRUG_TRANSPORTER", "substrate"),
+    ("%s is carried by %s", "DRUG_CARRIER", "substrate"),
+    ("%s increases expression of %s", "DPI", "increases_expression"),
+    ("%s decreases expression of %s", "DPI", "decreases_expression"),
+]
+
+TISSUES = ["liver", "kidney", "lung", "brain", "heart"]
+EXPRESSION_LEVELS = ["low", "medium", "high"]
+ORGANISMS = ["human", "mouse", "rat"]
+PHOS_SITES = ["Y27", "S15", "T308", "S473", "Y416"]
+
 # Deterministic uniform integer in [0, n) derived from md5 of the key cols.
 # conv(hex, 16, 10) is exact for 8 hex digits (< 2^32), JVM-side throughout.
 
@@ -190,8 +240,6 @@ def transcripts(
         "conv_id", F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx")
     )
 
-    cue_arr = F.array(F.lit("increases"), F.lit("decreases"), F.lit("affects"))
-
     def word(slot: int) -> Column:
         """Deterministic word for (conv, turn, slot)."""
         key = [F.col("conv_id"), F.col("turn_idx").cast("string"), F.lit(str(slot))]
@@ -202,26 +250,110 @@ def transcripts(
             return F.when(is_hot, F.element_at(hot_arr, hot_idx.cast("int"))).otherwise(
                 F.element_at(surface_arr, sur_idx.cast("int"))
             )
-        if slot == mention_slots:
-            # relation-cue slot: ~40% of turns carry an effect verb that
-            # the extraction cascade (pipeline/kg.py) picks up
-            has_cue = _h(100, *key, F.lit("cue?")) < 40
-            cue_idx = _h(3, *key, F.lit("cue")) + 1
-            return F.when(has_cue, F.element_at(cue_arr, cue_idx.cast("int"))).otherwise(
-                F.element_at(
-                    filler_arr, (_h(len(_FILLER), *key, F.lit("fill")) + 1).cast("int")
-                )
-            )
         idx = _h(len(_FILLER), *key, F.lit("fill")) + 1
         return F.element_at(filler_arr, idx.cast("int"))
 
+    # ---- fact-carrying turn kinds -------------------------------------
+    # A deterministic share of turns IS a reference-shaped statement the
+    # pipeline's extraction kernels must parse: DDI interaction
+    # descriptions (the 15-pattern cascade), drug-protein action cues with
+    # PubMed references, protein-expression levels, and organism-qualified
+    # phosphorylation statements. The remainder are generic mention+filler
+    # turns (with the deliberately hot entity #1 skew).
+    k = [F.col("conv_id"), F.col("turn_idx").cast("string")]
+    kind = _h(100, *k, F.lit("kind"))
+
+    drug_surfaces = [s for t, _f, stem, c in _ENTITY_TYPES if t == "DRUG"
+                     for s in ([stem % i for i in range(1, c + 1)]
+                               + [stem % i + "x" for i in range(1, c + 1) if (i - 1) % 3 == 0])]
+    prot_primary = [stem % i for t, _f, stem, c in _ENTITY_TYPES if t == "PROTEIN"
+                    for i in range(1, c + 1)]
+    drug_arr = F.array(*[F.lit(s) for s in drug_surfaces])
+    prot_arr = F.array(*[F.lit(s) for s in prot_primary])
+
+    def pick(arr: F.Column, n: int, *salt: str) -> Column:
+        return F.element_at(arr, (_h(n, *k, *[F.lit(s) for s in salt]) + 1).cast("int"))
+
+    # two DISTINCT drug surfaces; drugA collapses onto the hot drug for a
+    # share of draws (skew pressure on the DDI pair aggregation)
+    ia = _h(len(drug_surfaces), *k, F.lit("da"))
+    ia = F.when(_h(100, *k, F.lit("dahot")) < F.lit(hot_entity_pct), F.lit(0)).otherwise(ia)
+    ib = F.pmod(ia + 1 + _h(len(drug_surfaces) - 1, *k, F.lit("db")), F.lit(len(drug_surfaces)))
+    drug_a = F.element_at(drug_arr, (ia + 1).cast("int"))
+    drug_b = F.element_at(drug_arr, (ib + 1).cast("int"))
+
+    tmpl = _h(len(DDI_SENTENCES), *k, F.lit("ddit"))
+    ddi_text = F.lit(None).cast("string")
+    for i, t in enumerate(DDI_SENTENCES):
+        ddi_text = F.when(tmpl == i, F.format_string(t, drug_a, drug_b)).otherwise(ddi_text)
+
+    prot_1 = pick(prot_arr, len(prot_primary), "p1")
+    vidx = _h(len(ACTION_SENTENCES), *k, F.lit("verb"))
+    action_text = F.lit(None).cast("string")
+    for i, (t, _rel, _act) in enumerate(ACTION_SENTENCES):
+        action_text = F.when(vidx == i, F.format_string(t, drug_a, prot_1)).otherwise(action_text)
+    nrefs = _h(3, *k, F.lit("nrefs"))
+    pm1 = (10000 + _h(90000, *k, F.lit("pm1"))).cast("string")
+    pm2 = (10000 + _h(90000, *k, F.lit("pm2"))).cast("string")
+    refs_suffix = (
+        F.when(nrefs == 0, F.lit("."))
+        .when(nrefs == 1, F.format_string(" (PubMed=%s).", pm1))
+        .otherwise(F.format_string(" (PubMed=%s, PubMed=%s).", pm1, pm2))
+    )
+    action_text = F.concat(action_text, refs_suffix)
+
+    expr_text = F.format_string(
+        "%s expression in %s is %s.",
+        prot_1,
+        pick(F.array(*[F.lit(t) for t in TISSUES]), len(TISSUES), "tis"),
+        pick(F.array(*[F.lit(t) for t in EXPRESSION_LEVELS]), len(EXPRESSION_LEVELS), "lvl"),
+    )
+
+    ja = _h(len(prot_primary), *k, F.lit("ka"))
+    jb = F.pmod(ja + 1 + _h(len(prot_primary) - 1, *k, F.lit("kb")), F.lit(len(prot_primary)))
+    phos_text = F.format_string(
+        "%s (%s) phosphorylates %s (%s) at %s.",
+        F.element_at(prot_arr, (ja + 1).cast("int")),
+        pick(F.array(*[F.lit(o) for o in ORGANISMS]), len(ORGANISMS), "oa"),
+        F.element_at(prot_arr, (jb + 1).cast("int")),
+        pick(F.array(*[F.lit(o) for o in ORGANISMS]), len(ORGANISMS), "ob"),
+        pick(F.array(*[F.lit(s) for s in PHOS_SITES]), len(PHOS_SITES), "site"),
+    )
+
+    generic_text = F.concat_ws(" ", *[word(s) for s in range(words_per_turn)])
+
+    # One projection per turn kind, unioned — a single when-chain over all
+    # templates exceeds Janino's 64 KB method limit and silently falls back
+    # to interpreted row eval; per-kind projections keep every stage inside
+    # whole-stage codegen. Row set identical either way (kind partitions
+    # the key space deterministically).
+    base = turns.select("conv_id", F.col("turn_idx").cast("int").alias("turn_idx"))
+    parts_df = [
+        base.where(kind < 18).select("conv_id", "turn_idx", ddi_text.alias("text")),
+        base.where((kind >= 18) & (kind < 28)).select(
+            "conv_id", "turn_idx", action_text.alias("text")
+        ),
+        base.where((kind >= 28) & (kind < 36)).select(
+            "conv_id", "turn_idx", expr_text.alias("text")
+        ),
+        base.where((kind >= 36) & (kind < 44)).select(
+            "conv_id", "turn_idx", phos_text.alias("text")
+        ),
+        base.where(kind >= 44).select(
+            "conv_id", "turn_idx", generic_text.alias("text")
+        ),
+    ]
+    body = parts_df[0]
+    for p in parts_df[1:]:
+        body = body.unionByName(p)
+
     roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"))
     role = F.element_at(roles, (F.pmod(F.col("turn_idx"), 3) + 1).cast("int"))
-    return turns.select(
+    return body.select(
         "conv_id",
-        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "turn_idx",
         role.alias("role"),
-        F.concat_ws(" ", *[word(s) for s in range(words_per_turn)]).alias("text"),
+        "text",
         F.when(role == "tool", F.lit("search")).otherwise(F.lit(None).cast("string")).alias(
             "tool"
         ),

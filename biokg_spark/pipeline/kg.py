@@ -22,10 +22,17 @@ Stages (each a checkpointed parquet table, resumable):
    - typed co-occurrence links per entity-type pair (PPI, DPI, DDI, …)
      with the reference's undirected canonical form (least, greatest)
      for symmetric predicates (compile_biokg.py:192-195);
-   - DPI effect quads via the ordered cue cascade (first-match-wins,
-     reference: parsers.py:927-977) with conflict exclusion: a (drug,
-     protein) pair seen with both INCREASES and DECREASES is dropped
-     (reference: build_benchmarks.py:101-105);
+   - DDI side-effect quads via the FULL 15-pattern ordered regex cascade
+     (first-match-wins, reference: parsers.py:24-45 + :927-977) with
+     conflict exclusion: a (drug, drug, side-effect) seen with both
+     increase_ and decrease_ directions is dropped (reference:
+     build_benchmarks.py:101-105);
+   - extended action quads (drug, DRUG_TARGET/ENZYME/CARRIER/TRANSPORTER/
+     DPI, protein, action, pubmed-refs — reference: parsers.py:904-925);
+   - protein-expression quads with LOW/MEDIUM/HIGH enums (reference:
+     compile_biokg.py:855-888);
+   - organism-qualified 6-column phosphorylation quads (reference:
+     parsers.py:2703-2744);
    - ontology passthrough (NAME/TYPE) + TREE prefix expansion
      (reference: parsers.py:3073-3083).
    Closed predicate vocabulary enforced exactly like the reference's
@@ -40,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from biokg_spark.functions.cascade import cascade_column, ddi_effects_column
 from biokg_spark.operators.hierarchy import expand_prefixes
 from biokg_spark.operators.mentions import scan_mentions
 from biokg_spark.operators.skew import salted_collect_set
@@ -59,26 +67,41 @@ LINK_PREDICATES: dict[tuple[str, str], tuple[str, bool]] = {
     ("DISEASE", "PATHWAY"): ("DISEASE_PATHWAY_ASSOCIATION", False),
 }
 
-PREDICATE_VOCABULARY = frozenset(
-    [p for p, _ in LINK_PREDICATES.values()]
-    + ["MENTIONS", "NAME", "TYPE", "TREE", "TREE_PREFIX", "DPI_EFFECT"]
-)
-
-# Ordered effect cascade — earlier pattern wins (reference: parsers.py:976).
-EFFECT_CASCADE: list[tuple[str, str]] = [
-    (r"\bincreases\b", "INCREASES"),
-    (r"\bdecreases\b", "DECREASES"),
-    (r"\baffects\b", "AFFECTS"),
+# Drug→protein relation cues, ordered (first-match-wins like every cascade
+# here). rel_type mirrors the reference's per-section fan-out
+# (parsers.py:1143-1152: targets/carriers/transporters/enzymes); the two
+# expression-effect cues mirror CTD's INCREASES/DECREASES_EXPRESSION rows
+# consumed by build_benchmarks.py:94-106.
+ACTION_CUES: list[tuple[str, str, str]] = [
+    (r"\binhibits\b", "DRUG_TARGET", "inhibitor"),
+    (r"\bactivates\b", "DRUG_TARGET", "activator"),
+    (r"\bbinds\b", "DRUG_TARGET", "unknown"),
+    (r"\bis metabolized by\b", "DRUG_ENZYME", "substrate"),
+    (r"\bis transported by\b", "DRUG_TRANSPORTER", "substrate"),
+    (r"\bis carried by\b", "DRUG_CARRIER", "substrate"),
+    (r"\bincreases expression of\b", "DPI", "increases_expression"),
+    (r"\bdecreases expression of\b", "DPI", "decreases_expression"),
 ]
 
+# reference PUBMED_ID_CODE (parsers.py:30) with a capture for the id.
+PUBMED_RX = r"PubMed=(\d+)"
+EXPRESSION_RX = r"\bexpression in (\w+) is (\w+)\b"
+PHOS_RX = r"^(\S+) \((\w+)\) phosphorylates (\S+) \((\w+)\) at (\w+)\."
 
-def extract_effect(text_col: str = "text") -> F.Column:
-    """First-match-wins ordered cascade as a single coalesce chain."""
-    branches = [
-        F.when(F.col(text_col).rlike(pat), F.lit(label))
-        for pat, label in EFFECT_CASCADE
+PREDICATE_VOCABULARY = frozenset(
+    [p for p, _ in LINK_PREDICATES.values()]
+    + [rel for _pat, rel, _act in ACTION_CUES]
+    + [
+        "MENTIONS",
+        "NAME",
+        "TYPE",
+        "TREE",
+        "TREE_PREFIX",
+        "DRUG_INTERACTION",
+        "PROTEIN_EXPRESSED_IN",
+        "PHOSPHORYLATES",
     ]
-    return F.coalesce(*branches, F.lit(None).cast("string"))
+)
 
 
 def cooccurrence_links(
@@ -255,6 +278,21 @@ class KGPipeline:
                 lambda: self._effect_quads(turn_sets, ingested),
                 None,
             ),
+            "action_quads": (
+                fingerprint("action_quads", fp2b),
+                lambda: self._action_quads(turn_sets, ingested),
+                ["pred"],
+            ),
+            "expr_quads": (
+                fingerprint("expr_quads", fp2b),
+                lambda: self._expression_quads(turn_sets, ingested),
+                None,
+            ),
+            "phos_quads": (
+                fingerprint("phos_quads", fp0),
+                lambda: self._phos_quads(ingested),
+                None,
+            ),
             "metadata": (
                 fingerprint("metadata", fp2),
                 lambda: self._metadata(linked),
@@ -358,21 +396,102 @@ class KGPipeline:
     def _links(self, turn_sets: DataFrame) -> DataFrame:
         return links_from_entity_sets(turn_sets)
 
-    # -- stage 4b: DPI effect quads with conflict exclusion ---------------
+    # -- stage 4b: DDI side-effect quads with conflict exclusion -----------
     def _effect_quads(self, turn_sets: DataFrame, ingested: DataFrame) -> DataFrame:
-        """Plan notes (10^12-turn discipline): the per-turn drug and protein
-        sets derive from the SHARED turn_sets aggregation (zero additional
-        shuffles of the mention table; the two-filtered-copies-then-join
-        alternative shuffles it twice and materializes the drug×prot
-        blow-up before any reduction). The drug×prot expansion happens
-        array-side after the turns are already reduced to (drugs, prots,
-        effect) triples, refs are merged with a salted two-phase set agg
-        (hot pairs), and the INCREASES/DECREASES conflict rule (reference:
-        parsers.py:1989-1990) is an array filter over the ≤3 effect rows
-        per pair — no extra join."""
-        effects = ingested.select(
-            "conv_id", "turn_idx", extract_effect("text").alias("effect")
-        ).where(F.col("effect").isNotNull())
+        """DDI side-effect extraction over interaction descriptions via the
+        FULL 15-pattern first-match-wins cascade (reference:
+        parsers.py:24-45 + :927-977), run entirely JVM-side
+        (``ddi_effects_column``); one description can yield several
+        effects ('x, and y'-lists, excretion-rate appends).
+
+        Plan notes (10^12-turn discipline): per-turn drug sets derive from
+        the SHARED turn_sets aggregation (no second shuffle of the mention
+        table); drug pairs expand array-side from the already-sorted
+        per-turn set (canonical d1<d2 for free); refs merge with a salted
+        two-phase set agg (hot pairs); the conflict rule — a (pair,
+        side-effect) seen with both increase_ and decrease_ is dropped
+        (reference: build_benchmarks.py:101-105) — is one aggregation over
+        the ≤2 direction rows per (pair, se), no extra join."""
+        fx = (
+            ingested.select(
+                "conv_id", "turn_idx", ddi_effects_column("text").alias("r")
+            )
+            .where(F.col("r").isNotNull())
+            .select("conv_id", "turn_idx", F.explode("r.effects").alias("effect"))
+        )
+        drugs = F.transform(
+            F.filter(F.col("ms"), lambda m: m["entity_type"] == "DRUG"),
+            lambda m: m["eid"],
+        )
+        per_turn = turn_sets.select("conv_id", "turn_idx", drugs.alias("drugs")).where(
+            F.size("drugs") >= 2
+        )
+        da = F.col("drugs")
+        pair_arr = F.flatten(
+            F.transform(
+                da,
+                lambda a, i: F.transform(
+                    F.slice(da, i + F.lit(2), F.size(da)),
+                    lambda b: F.struct(a.alias("d1"), b.alias("d2")),
+                ),
+            )
+        )
+        pairs = (
+            per_turn.join(fx, ["conv_id", "turn_idx"])
+            .select(
+                F.explode(pair_arr).alias("p"),
+                "effect",
+                F.concat_ws("#", "conv_id", "turn_idx").alias("ref"),
+            )
+            .select("p.d1", "p.d2", "effect", "ref")
+            .where(F.col("d1") != F.col("d2"))
+        )
+        refs = salted_collect_set(
+            pairs, ["d1", "d2", "effect"], "ref", out_col="refs"
+        )
+        base_se = F.regexp_replace("effect", "^(increase|decrease)_", "")
+        per_se = refs.select(
+            "d1", "d2", "effect", "refs", base_se.alias("se")
+        ).groupBy("d1", "d2", "se").agg(
+            F.collect_list(F.struct("effect", "refs")).alias("fx")
+        )
+        consistent = per_se.where(F.size("fx") == 1)
+        return consistent.select(
+            "d1", "d2", F.explode("fx").alias("x")
+        ).select(
+            F.col("d1").alias("subj"),
+            F.lit("DRUG_INTERACTION").alias("pred"),
+            F.col("d2").alias("obj"),
+            F.col("x.effect").alias("qual"),
+            F.col("x.refs").alias("refs"),
+        )
+
+    # -- stage 4c: drug-protein action quads (5/6-column extended form) ----
+    def _action_quads(self, turn_sets: DataFrame, ingested: DataFrame) -> DataFrame:
+        """Extended quads (subj, rel_type, obj, action, refs) — the
+        reference's target/carrier/transporter/enzyme sections with per-row
+        actions and PubMed reference lists (parsers.py:904-925 writes
+        5/6-column lines; refs joined with ','). The relation cue cascade
+        is pure-Column; PubMed ids come from the reference's
+        PUBMED_ID_CODE regex (parsers.py:30) via regexp_extract_all."""
+        cues = [(pat, f"{rel}|{act}") for pat, rel, act in ACTION_CUES]
+        acts = ingested.select(
+            "conv_id",
+            "turn_idx",
+            cascade_column("text", cues).alias("ra"),
+            F.array_join(
+                F.regexp_extract_all("text", F.lit(PUBMED_RX), 1), ","
+            ).alias("ref_string"),
+        ).where(F.col("ra").isNotNull())
+        acts = acts.select(
+            "conv_id",
+            "turn_idx",
+            F.split_part("ra", F.lit("|"), F.lit(1)).alias("pred"),
+            F.split_part("ra", F.lit("|"), F.lit(2)).alias("action"),
+            F.when(F.col("ref_string") == "", None).otherwise(
+                F.col("ref_string")
+            ).alias("refs"),
+        )
         of_type = lambda t: F.transform(  # noqa: E731
             F.filter(F.col("ms"), lambda m: m["entity_type"] == t),
             lambda m: m["eid"],
@@ -383,42 +502,97 @@ class KGPipeline:
             of_type("DRUG").alias("drugs"),
             of_type("PROTEIN").alias("prots"),
         ).where((F.size("drugs") > 0) & (F.size("prots") > 0))
-        dpi = (
-            per_turn.join(effects, ["conv_id", "turn_idx"])
+        return (
+            per_turn.join(acts, ["conv_id", "turn_idx"])
             .select(
-                F.explode("drugs").alias("drug"),
+                F.explode("drugs").alias("subj"),
                 "prots",
-                "effect",
-                F.concat_ws("#", "conv_id", "turn_idx").alias("ref"),
+                "pred",
+                "action",
+                "refs",
             )
-            .select("drug", F.explode("prots").alias("prot"), "effect", "ref")
+            .select(
+                "subj",
+                "pred",
+                F.explode("prots").alias("obj"),
+                "action",
+                "refs",
+            )
+            .dropDuplicates()
         )
-        # hot (drug, prot) pairs carry a huge share of refs — salted
-        # two-phase set aggregation keeps the merge off a single reducer
-        refs = salted_collect_set(
-            dpi, ["drug", "prot", "effect"], "ref", out_col="refs"
+
+    # -- stage 4e: protein-expression quads ---------------------------------
+    def _expression_quads(self, turn_sets: DataFrame, ingested: DataFrame) -> DataFrame:
+        """(protein, PROTEIN_EXPRESSED_IN, tissue, LOW|MEDIUM|HIGH) quads —
+        the reference's HPA expression levels (compile_biokg.py:855-888
+        writes the 4-column level file with upper-cased enums)."""
+        ex = ingested.select(
+            "conv_id",
+            "turn_idx",
+            F.regexp_extract("text", EXPRESSION_RX, 1).alias("tissue"),
+            F.upper(F.regexp_extract("text", EXPRESSION_RX, 2)).alias("level"),
+        ).where(F.col("tissue") != "")
+        prots = F.transform(
+            F.filter(F.col("ms"), lambda m: m["entity_type"] == "PROTEIN"),
+            lambda m: m["eid"],
         )
-        # AFFECTS rows always survive; INCREASES/DECREASES only when the
-        # pair is direction-consistent across the whole table
-        per_pair = refs.groupBy("drug", "prot").agg(
-            F.collect_list(F.struct("effect", "refs")).alias("fx")
-        )
-        has_inc = F.exists("fx", lambda x: x["effect"] == F.lit("INCREASES"))
-        has_dec = F.exists("fx", lambda x: x["effect"] == F.lit("DECREASES"))
-        keep = F.filter(
-            F.col("fx"),
-            lambda x: (x["effect"] == F.lit("AFFECTS")) | ~(has_inc & has_dec),
+        per_turn = turn_sets.select("conv_id", "turn_idx", prots.alias("prots")).where(
+            F.size("prots") > 0
         )
         return (
-            per_pair.select("drug", "prot", F.explode(keep).alias("x"))
+            per_turn.join(ex, ["conv_id", "turn_idx"])
             .select(
-                F.col("drug").alias("subj"),
-                F.lit("DPI_EFFECT").alias("pred"),
-                F.col("prot").alias("obj"),
-                F.col("x.effect").alias("qual"),
-                F.lit("CURATED").alias("status"),
-                F.col("x.refs").alias("refs"),
+                F.explode("prots").alias("subj"),
+                F.lit("PROTEIN_EXPRESSED_IN").alias("pred"),
+                F.concat(F.lit("TISSUE:"), "tissue").alias("obj"),
+                F.col("level"),
             )
+            .where(F.col("level").isin("LOW", "MEDIUM", "HIGH"))
+            .dropDuplicates()
+        )
+
+    # -- stage 4f: organism-qualified phosphorylation quads -----------------
+    def _phos_quads(self, ingested: DataFrame) -> DataFrame:
+        """6-column quads (kinase, PHOSPHORYLATES, substrate, site,
+        kin_organism, sub_organism) — the reference's phosphosite
+        kinase_substrate parse (parsers.py:2703-2744). Direction matters
+        (kinase acts on substrate), so subject/object resolve from the
+        statement's surface positions through a broadcast lexicon join —
+        not from the unordered per-turn entity set."""
+        g = lambda i: F.regexp_extract("text", PHOS_RX, i)  # noqa: E731
+        ph = ingested.select(
+            F.lower(g(1)).alias("kin_surface"),
+            g(2).alias("kin_organism"),
+            F.lower(g(3)).alias("sub_surface"),
+            g(4).alias("sub_organism"),
+            g(5).alias("site"),
+        ).where(F.col("kin_surface") != "")
+        lex = F.broadcast(
+            self.lexicon.select(
+                F.lower("surface").alias("surface"),
+                F.col("entity_id"),
+                F.col("entity_type"),
+            ).where(F.col("entity_type") == "PROTEIN")
+        )
+        return (
+            ph.join(lex, ph.kin_surface == lex.surface)
+            .select(
+                F.col("entity_id").alias("subj"),
+                "sub_surface",
+                "site",
+                "kin_organism",
+                "sub_organism",
+            )
+            .join(lex, F.col("sub_surface") == lex.surface)
+            .select(
+                "subj",
+                F.lit("PHOSPHORYLATES").alias("pred"),
+                F.col("entity_id").alias("obj"),
+                "site",
+                "kin_organism",
+                "sub_organism",
+            )
+            .dropDuplicates()
         )
 
     # -- stage 4c: MENTIONS metadata --------------------------------------
@@ -457,7 +631,10 @@ class KGPipeline:
         # names, no data pages are read.
         preds = None
         tagged = []
-        for name in ("links", "quads", "metadata", "properties"):
+        for name in (
+            "links", "quads", "action_quads", "expr_quads", "phos_quads",
+            "metadata", "properties",
+        ):
             df = outputs.get(name)
             if df is None:
                 continue
@@ -486,9 +663,7 @@ class KGPipeline:
         (reference lifecycle stage 3, SURVEY.md §3.4)."""
         from biokg_spark.pipeline.benchmarks import derive_benchmarks
 
-        derived = derive_benchmarks(
-            outputs["links"], outputs["quads"], approved_drugs
-        )
+        derived = derive_benchmarks(outputs, approved_drugs)
         out = {}
         for name, df in derived.items():
             fp = fingerprint("bench_" + name, run_key)
@@ -508,10 +683,27 @@ class KGPipeline:
         )
         write_tsv(core_links.select("subj", "pred", "obj"), f"{path}/links")
         quads = outputs["quads"].select(
-            "subj", "pred", "obj", "qual", "status",
+            "subj", "pred", "obj", "qual",
             F.concat_ws(",", "refs").alias("refs"),
         )
         write_tsv(quads, f"{path}/quads")
+        if "action_quads" in outputs:
+            write_tsv(
+                outputs["action_quads"].select("subj", "pred", "obj", "action", "refs"),
+                f"{path}/action_quads",
+            )
+        if "expr_quads" in outputs:
+            write_tsv(
+                outputs["expr_quads"].select("subj", "pred", "obj", "level"),
+                f"{path}/expr_quads",
+            )
+        if "phos_quads" in outputs:
+            write_tsv(
+                outputs["phos_quads"].select(
+                    "subj", "pred", "obj", "site", "kin_organism", "sub_organism"
+                ),
+                f"{path}/phos_quads",
+            )
         if "properties" in outputs:
             write_tsv(
                 outputs["properties"].select("subj", "pred", "obj"),

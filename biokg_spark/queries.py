@@ -1269,3 +1269,75 @@ def embed_ann_lsh(spark, sf_dir):
     return lsh_bucketed_topk(emb, emb.where("vec_id < 5"), k=3, sign_bits=4).select(
         "q_id", "c_id", "sim", F.col("rank").cast("long").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full DDI side-effect cascade over reference-shaped sentences (F2/§2.9).
+# Sentences are synthesized deterministically from doc_id in BOTH engines;
+# the oracle's cascade expression is GENERATED from the same pattern/map
+# tables (functions/cascade.py:ddi_effects_sql), so the two sides cannot
+# drift. Exercises all 15 reference patterns (parsers.py:24-45), the
+# alias/mode maps, list-splitting and the excretion-rate appends.
+
+from biokg_spark.datagen.transcripts import DDI_SENTENCES  # noqa: E402
+from biokg_spark.functions.cascade import (  # noqa: E402
+    ddi_effects_column,
+    ddi_effects_sql,
+)
+
+
+def _ddi_sentence_col() -> F.Column:
+    a = F.concat(F.lit("drugx"), (F.col("doc_id") % 7).cast("string"))
+    b = F.concat(F.lit("drugy"), (F.col("doc_id") % 11).cast("string"))
+    tidx = F.col("doc_id") % len(DDI_SENTENCES)
+    out = F.lit(None).cast("string")
+    for i, t in enumerate(DDI_SENTENCES):
+        out = F.when(tidx == i, F.format_string(t, a, b)).otherwise(out)
+    return out
+
+
+def _ddi_sentence_sql() -> str:
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    branches = []
+    for i, t in enumerate(DDI_SENTENCES):
+        segs = t.split("%s")
+        assert len(segs) == 3
+        expr = f"{lit(segs[0])} || _a || {lit(segs[1])} || _b || {lit(segs[2])}"
+        branches.append(f"WHEN _tidx = {i} THEN {expr}")
+    return "CASE " + " ".join(branches) + " END"
+
+
+@q(
+    "ddi_cascade_effects",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             'drugx' || CAST(doc_id % 7 AS VARCHAR) AS _a,
+             'drugy' || CAST(doc_id % 11 AS VARCHAR) AS _b,
+             doc_id % {len(DDI_SENTENCES)} AS _tidx
+      FROM documents),
+    sent AS (SELECT doc_id, ({_ddi_sentence_sql()}) AS sentence FROM s),
+    hit AS (SELECT doc_id, {ddi_effects_sql("sentence")} AS r FROM sent)
+    SELECT doc_id, CAST(r.pattern_idx AS INT) AS pattern_idx,
+           unnest(r.effects) AS effect
+    FROM hit WHERE r IS NOT NULL
+    """,
+)
+def ddi_cascade_effects(spark, sf_dir):
+    """Ordered 15-pattern regex cascade, pure-Column/JVM form — the exact
+    kernel the KG pipeline's quads stage runs (pipeline/kg.py), applied to
+    deterministic reference-shaped sentences (reference:
+    parsers.py:927-977 first-match-wins with alias maps)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _ddi_sentence_col().alias("sentence")
+    )
+    hit = docs.select(
+        "doc_id", ddi_effects_column("sentence").alias("r")
+    ).where(F.col("r").isNotNull())
+    return hit.select(
+        "doc_id",
+        F.col("r.pattern_idx").alias("pattern_idx"),
+        F.explode("r.effects").alias("effect"),
+    )

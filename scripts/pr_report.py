@@ -43,6 +43,18 @@ def main() -> None:
         got = {
             "links": {(r.subj, r.pred, r.obj) for r in out["links"].collect()},
             "quads": {(r.subj, r.pred, r.obj, r.qual) for r in out["quads"].collect()},
+            "action_quads": {
+                (r.subj, r.pred, r.obj, r.action, r.refs)
+                for r in out["action_quads"].collect()
+            },
+            "expr_quads": {
+                (r.subj, r.pred, r.obj, r.level)
+                for r in out["expr_quads"].collect()
+            },
+            "phos_quads": {
+                (r.subj, r.pred, r.obj, r.site, r.kin_organism, r.sub_organism)
+                for r in out["phos_quads"].collect()
+            },
             "metadata": {
                 (r.subj, r.pred, r.obj) for r in out["metadata"].collect()
             },

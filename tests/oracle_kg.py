@@ -31,12 +31,108 @@ DIRECTED_FIRST = {
     "DRUG_PATHWAY_ASSOCIATION": "DRUG",
     "DISEASE_PATHWAY_ASSOCIATION": "DISEASE",
 }
-EFFECT_CASCADE = [
-    (re.compile(r"\bincreases\b"), "INCREASES"),
-    (re.compile(r"\bdecreases\b"), "DECREASES"),
-    (re.compile(r"\baffects\b"), "AFFECTS"),
+# The reference's 15 ordered DDI side-effect patterns + maps
+# (parsers.py:24-82), carried here INDEPENDENTLY of the engine package so
+# the golden comparison is two implementations of the same contract.
+DDI_PATTERNS = [re.compile(p) for p in [
+    r"The risk or severity of (?P<se>.*) can be (?P<mode>\S+)d when .* is combined with .*",
+    r".* may (?P<mode>\S+) (?P<se>\S+\s?\w*\s?\w*) of .* as a diagnostic agent.",
+    r"The (?P<se>\S+\s?\w*\s?\w*) of .* can be (?P<mode>\S+)d when used in combination with .*",
+    r"The (?P<se>\S+\s?\w*\s?\w*) of .* can be (?P<mode>\S+)d when it is combined with .*",
+    r".* can cause a decrease in the absorption of .* resulting in a (?P<mode>\S+) (?P<se>\S+\s?\w*\s?\w*) and potentially a decrease in efficacy.",
+    r".* may decrease the excretion rate of .* which could result in a (?P<mode>\S+) (?P<se>\S+\s?\w*\s?\w*).",
+    r".* may increase the excretion rate of .* which could result in a (?P<mode>\S+) (?P<se>\S+\s?\w*\s?\w*) and potentially a reduction in efficacy.",
+    r"The (?P<se>\S+\s?\w*\s?\w*) of .* can be (?P<mode>\S+)d when combined with .*",
+    r".* can cause an increase in the absorption of .* resulting in an (?P<mode>\S+)d (?P<se>\S+\s?\w*\s?\w*) and potentially a worsening of adverse effects.",
+    r"The risk of a (?P<se>\S+\s?\w*\s?\w*) to .* is (?P<mode>\S+)d when it is combined with .*",
+    r"The (?P<se>\S+\s?\w*\s?\w*) of .* can be (?P<mode>\S+)d when combined with .*",
+    r"The (?P<se>\S+\s?\w*\s?\w*) of the active metabolites of .* can be (?P<mode>\S+)d when .* is used in combination with .*",
+    r"The (?P<se>\S+\s?\w*\s?\w*) of .*, an active metabolite of .* can be (?P<mode>\S+)d when used in combination with .*",
+    r".* may (?P<mode>\S+) the (?P<se>.*) of .*",
+    r".* may (?P<mode>\S+) the central nervous system depressant (?P<se>\S+\s?\S*\s?\S*) of .*",
+]]
+MODE_MAP = {
+    "reduced": "decrease", "increase": "increase", "higher": "increase",
+    "decrease": "decrease", "reduce": "decrease", "lower": "decrease",
+}
+SE_NAME_MAP = {
+    "central_nervous_system_depressant_(cns_depressant)_activities": "cns_depression_activities",
+    "(cns_depressant)_activities": "cns_depression_activities",
+    "cns_depression": "cns_depression_activities",
+    "cardiotoxic_activities": "cardiotoxicity",
+    "constipating_activities": "constipation",
+    "excretion": "excretion_rate",
+    "hyperkalemic_activities": "hyperkalemia",
+    "hypertensive_activities": "hypertension",
+    "qtc-prolonging_activities": "qtc_prolongation",
+    "tachycardic_activities": "tachycardia",
+    "hypokalemic_activities": "hypokalemia",
+    "hypoglycemic_activities": "hypoglycemia",
+    "hypercalcemic_activities": "hypercalcemia",
+    "bradycardic_activities": "bradycardia",
+    "neutropenic_activities": "neutropenia",
+    "orthostatic_hypotensive_activities": "orthostatic_hypotension",
+    "pseudotumor_cerebri_activities": "pseudotumor_cerebri",
+    "sedative_activities": "sedation",
+    "ototoxic_activities": "ototoxicity",
+    "neuromuscular_blocking_activities": "neuromuscular_blockade",
+    "nephrotoxic_activities": "nephrotoxicity",
+    "myelosuppressive_activities": "myelosuppression",
+    "hypotensive_activities": "hypotension",
+    "serum_level": "serum_concentration",
+}
+
+ACTION_CUES = [
+    (re.compile(r"\binhibits\b"), "DRUG_TARGET", "inhibitor"),
+    (re.compile(r"\bactivates\b"), "DRUG_TARGET", "activator"),
+    (re.compile(r"\bbinds\b"), "DRUG_TARGET", "unknown"),
+    (re.compile(r"\bis metabolized by\b"), "DRUG_ENZYME", "substrate"),
+    (re.compile(r"\bis transported by\b"), "DRUG_TRANSPORTER", "substrate"),
+    (re.compile(r"\bis carried by\b"), "DRUG_CARRIER", "substrate"),
+    (re.compile(r"\bincreases expression of\b"), "DPI", "increases_expression"),
+    (re.compile(r"\bdecreases expression of\b"), "DPI", "decreases_expression"),
 ]
+PUBMED_RX = re.compile(r"PubMed=(\d+)")
+EXPRESSION_RX = re.compile(r"\bexpression in (\w+) is (\w+)\b")
+PHOS_RX = re.compile(r"^(\S+) \((\w+)\) phosphorylates (\S+) \((\w+)\) at (\w+)\.")
 _BOUND = r"(?<![A-Za-z0-9_]){}(?![A-Za-z0-9_])"
+
+
+def _sanitize_se(txt):
+    return txt.strip().replace(" ", "_").lower()
+
+
+def extract_side_effects(desc):
+    """The reference's __extract_side_effects, re-expressed row-at-a-time
+    (parsers.py:927-977): ordered anchored match, first-match-wins,
+    'activities' handling, and-list splitting, alias maps, excretion
+    appends for patterns 5/6."""
+    for i, rx in enumerate(DDI_PATTERNS):
+        m = rx.match(desc or "")
+        if m is None:
+            continue
+        se_name = m.group("se").lower()
+        mode_name = MODE_MAP.get(m.group("mode"))
+        if mode_name is None:
+            return []
+        has_activities = "activities" in se_name
+        if has_activities:
+            se_name = se_name.replace(" activities", "")
+        if ", and" in se_name:
+            items = [_sanitize_se(s) for s in se_name.replace("and", "").split(", ")]
+        elif "and" in se_name:
+            items = [_sanitize_se(s) for s in se_name.split(" and ")]
+        else:
+            items = [_sanitize_se(se_name)]
+        if has_activities:
+            items = [s + "_activities" for s in items]
+        effects = [f"{mode_name}_{SE_NAME_MAP.get(s, s)}" for s in items]
+        if i == 5:
+            effects.append("decrease_excretion_rate")
+        elif i == 6:
+            effects.append("increase_excretion_rate")
+        return effects
+    return []
 
 
 def scan(text, lexicon):
@@ -94,31 +190,81 @@ def expected_outputs(rows, lexicon, mapping, ontology):
                     s, o = (e1, e2) if t1 == first else (e2, e1)
                     links.add((s, pred, o))
 
-    # DPI effect quads with conflict exclusion
-    effects = {}
+    # DDI side-effect quads (full 15-pattern cascade) with per-(pair, se)
+    # direction-conflict exclusion
+    turn_effects = {}
     for r in rows:
-        for rx, label in EFFECT_CASCADE:
-            if rx.search(r["text"] or ""):
-                effects[(r["conv_id"], r["turn_idx"])] = label
-                break
-    dpi = set()
+        fx = extract_side_effects(r["text"])
+        if fx:
+            turn_effects[(r["conv_id"], r["turn_idx"])] = fx
+    ddi_raw = set()
     for (c, t), ents in per_turn.items():
-        eff = effects.get((c, t))
-        if not eff:
+        fx = turn_effects.get((c, t))
+        if not fx:
             continue
+        drugs = sorted({e for e, ty in ents if ty == "DRUG"})
+        for i in range(len(drugs)):
+            for j in range(i + 1, len(drugs)):
+                for eff in fx:
+                    ddi_raw.add((drugs[i], drugs[j], eff))
+    by_pair_se = {}
+    for d1, d2, eff in ddi_raw:
+        se = re.sub(r"^(increase|decrease)_", "", eff)
+        by_pair_se.setdefault((d1, d2, se), set()).add(eff)
+    quads = set()
+    for d1, d2, eff in ddi_raw:
+        se = re.sub(r"^(increase|decrease)_", "", eff)
+        if len(by_pair_se[(d1, d2, se)]) == 1:
+            quads.add((d1, "DRUG_INTERACTION", d2, eff))
+
+    # extended drug-protein action quads (rel cue + PubMed refs)
+    action_quads = set()
+    for r in rows:
+        hit = None
+        for rx, rel, act in ACTION_CUES:
+            if rx.search(r["text"] or ""):
+                hit = (rel, act)
+                break
+        if hit is None:
+            continue
+        refs = ",".join(PUBMED_RX.findall(r["text"] or "")) or None
+        ents = per_turn.get((r["conv_id"], r["turn_idx"]), set())
         drugs = [e for e, ty in ents if ty == "DRUG"]
         prots = [e for e, ty in ents if ty == "PROTEIN"]
         for d in drugs:
             for p in prots:
-                dpi.add((d, p, eff, f"{c}#{t}"))
-    by_pair = {}
-    for d, p, eff, ref in dpi:
-        by_pair.setdefault((d, p), set()).add(eff)
-    quads = set()
-    for d, p, eff, _ref in dpi:
-        dirs = by_pair[(d, p)] & {"INCREASES", "DECREASES"}
-        if eff == "AFFECTS" or len(dirs) == 1:
-            quads.add((d, "DPI_EFFECT", p, eff))
+                action_quads.add((d, hit[0], p, hit[1], refs))
+
+    # protein-expression level quads
+    expr_quads = set()
+    for r in rows:
+        m = EXPRESSION_RX.search(r["text"] or "")
+        if m is None or m.group(2).upper() not in ("LOW", "MEDIUM", "HIGH"):
+            continue
+        ents = per_turn.get((r["conv_id"], r["turn_idx"]), set())
+        for e, ty in ents:
+            if ty == "PROTEIN":
+                expr_quads.add(
+                    (e, "PROTEIN_EXPRESSED_IN", f"TISSUE:{m.group(1)}", m.group(2).upper())
+                )
+
+    # organism-qualified phosphorylation quads (surface-position resolve)
+    surface_to_prot = {}
+    for surface, eid, etype, _prio in lexicon:
+        if etype == "PROTEIN":
+            surface_to_prot[surface.lower()] = eid
+    phos_quads = set()
+    for r in rows:
+        m = PHOS_RX.match(r["text"] or "")
+        if m is None:
+            continue
+        kin = surface_to_prot.get(m.group(1).lower())
+        sub = surface_to_prot.get(m.group(3).lower())
+        if kin is None or sub is None:
+            continue
+        phos_quads.add(
+            (kin, "PHOSPHORYLATES", sub, m.group(5), m.group(2), m.group(4))
+        )
 
     properties = set()
     for eid, pred, value in ontology:
@@ -133,6 +279,9 @@ def expected_outputs(rows, lexicon, mapping, ontology):
         "metadata": metadata,
         "links": links,
         "quads": quads,
+        "action_quads": action_quads,
+        "expr_quads": expr_quads,
+        "phos_quads": phos_quads,
         "properties": properties,
     }
 

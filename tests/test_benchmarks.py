@@ -6,28 +6,49 @@ from biokg_spark.pipeline.benchmarks import (
     ddi_by_effect,
     derive_benchmarks,
     expression_direction,
+    phosphorylation_benchmark,
     undirected_benchmark,
+    EFFICACY_EFFECTS,
+    MINERAL_EFFECTS,
 )
 
+BENCH_FAMILIES = {
+    "ddi_minerals", "ddi_efficacy", "dpi_fda", "dep_fda_exp",
+    "phosphorylation", "ppi_benchmark",
+}
+
 QUADS = [
-    # subj, pred, obj, qual, status, refs
-    ("DB1", "DPI_EFFECT", "P1", "INCREASES", "CURATED", ["c0#1"]),
-    ("DB1", "DPI_EFFECT", "P2", "DECREASES", "CURATED", ["c0#2"]),
-    ("DB2", "DPI_EFFECT", "P1", "AFFECTS", "CURATED", ["c1#0"]),
-    ("DB2", "DPI_EFFECT", "P1", "INCREASES", "CURATED", ["c1#3"]),
+    # subj, pred, obj, qual, refs — DDI side-effect quads, subj < obj
+    ("DB1", "DRUG_INTERACTION", "DB2", "increase_hypokalemia", ["c0#1"]),
+    ("DB1", "DRUG_INTERACTION", "DB3", "decrease_therapeutic_efficacy", ["c0#2"]),
+    ("DB2", "DRUG_INTERACTION", "DB3", "increase_hypoglycemia", ["c1#0"]),
+    ("DB2", "DRUG_INTERACTION", "DB4", "increase_sedation", ["c1#3"]),
 ]
 LINKS = [
     ("A", "PPI", "B"),
     ("A", "PPI", "C"),
     ("DB1", "DDI", "DB2"),
     ("DB1", "DPI", "P1"),
+    ("DB9", "DPI", "P2"),
+]
+ACTION_QUADS = [
+    ("DB1", "DPI", "P1", "increases_expression", None),
+    ("DB1", "DPI", "P2", "increases_expression", "123"),
+    ("DB1", "DPI", "P2", "decreases_expression", None),  # conflict -> dropped
+    ("DB9", "DPI", "P3", "decreases_expression", None),  # not approved
+    ("DB1", "DRUG_TARGET", "P4", "inhibitor", "55"),  # not an expression row
+]
+PHOS_QUADS = [
+    ("P1", "PHOSPHORYLATES", "P2", "Y27", "human", "human"),
+    ("P1", "PHOSPHORYLATES", "P3", "S15", "human", "mouse"),
+    ("P4", "PHOSPHORYLATES", "P2", "T308", "rat", "human"),
 ]
 
 
 @pytest.fixture()
 def quads(spark):
     return spark.createDataFrame(
-        QUADS, "subj string, pred string, obj string, qual string, status string, refs array<string>"
+        QUADS, "subj string, pred string, obj string, qual string, refs array<string>"
     )
 
 
@@ -36,55 +57,78 @@ def links(spark):
     return spark.createDataFrame(LINKS, "subj string, pred string, obj string")
 
 
-def test_ddi_by_effect(spark, quads):
-    got = {(r.subj, r.obj) for r in ddi_by_effect(quads, "INCREASES").collect()}
-    assert got == {("DB1", "P1"), ("DB2", "P1")}
+@pytest.fixture()
+def action_quads(spark):
+    return spark.createDataFrame(
+        ACTION_QUADS,
+        "subj string, pred string, obj string, action string, refs string",
+    )
 
 
-def test_approved_dpi(spark, quads):
-    approved = spark.createDataFrame([("DB2",)], "drug_id string")
-    got = {(r.subj, r.obj) for r in approved_dpi(quads, approved).collect()}
-    assert got == {("DB2", "P1")}
+@pytest.fixture()
+def phos_quads(spark):
+    return spark.createDataFrame(
+        PHOS_QUADS,
+        "subj string, pred string, obj string, site string, "
+        "kin_organism string, sub_organism string",
+    )
 
 
-def test_expression_direction(spark, quads):
-    got = {(r.subj, r.pred, r.obj) for r in expression_direction(quads).collect()}
+def test_ddi_by_effect_minerals(spark, quads):
+    """Mineral-term substring filter + GREATER-id-first re-canonicalization
+    (reference: build_benchmarks.py:54-61)."""
+    got = {(r.subj, r.pred, r.obj) for r in ddi_by_effect(quads, MINERAL_EFFECTS).collect()}
     assert got == {
-        ("DB1", "INCREASES_EXPRESSION", "P1"),
-        ("DB1", "DECREASES_EXPRESSION", "P2"),
-        ("DB2", "INCREASES_EXPRESSION", "P1"),
+        ("DB2", "increase_hypokalemia", "DB1"),
+        ("DB3", "increase_hypoglycemia", "DB2"),
     }
 
 
-def test_expression_direction_conflict_raises(spark):
-    bad = spark.createDataFrame(
-        [
-            ("DB1", "DPI_EFFECT", "P1", "INCREASES", "CURATED", ["r1"]),
-            ("DB1", "DPI_EFFECT", "P1", "DECREASES", "CURATED", ["r2"]),
-        ],
-        "subj string, pred string, obj string, qual string, status string, refs array<string>",
-    )
-    with pytest.raises(ValueError, match="conflicting"):
-        expression_direction(bad)
+def test_ddi_by_effect_efficacy(spark, quads):
+    got = {(r.subj, r.pred, r.obj) for r in ddi_by_effect(quads, EFFICACY_EFFECTS).collect()}
+    assert got == {("DB3", "decrease_therapeutic_efficacy", "DB1")}
 
 
-def test_undirected_and_derive_all(spark, links, quads):
+def test_approved_dpi(spark, links):
+    approved = spark.createDataFrame([("DB1",)], "drug_id string")
+    got = {(r.subj, r.pred, r.obj) for r in approved_dpi(links, approved).collect()}
+    assert got == {("DB1", "DPI", "P1")}
+
+
+def test_expression_direction_conflict_exclusion(spark, action_quads):
+    approved = spark.createDataFrame([("DB1",)], "drug_id string")
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in expression_direction(action_quads, approved).collect()
+    }
+    # (DB1, P2) carries both directions -> excluded entirely; DB9 unapproved
+    assert got == {("DB1", "inc_expr", "P1")}
+
+
+def test_phosphorylation_benchmark(spark, phos_quads):
+    got = {
+        (r.subj, r.pred, r.obj, r.site)
+        for r in phosphorylation_benchmark(phos_quads).collect()
+    }
+    assert got == {("P1", "phosphorylates", "P2", "Y27")}
+
+
+def test_undirected_and_derive_all(spark, links, quads, action_quads, phos_quads):
     ppi = undirected_benchmark(links, "PPI")
     assert {(r.subj, r.obj) for r in ppi.collect()} == {("A", "B"), ("A", "C")}
     approved = spark.createDataFrame([("DB1",), ("DB2",)], "drug_id string")
-    out = derive_benchmarks(links, quads, approved)
-    assert set(out) == {
-        "ddi_increases", "dpi_approved", "expression_direction",
-        "ppi_benchmark", "ddi_benchmark",
+    outputs = {
+        "links": links, "quads": quads,
+        "action_quads": action_quads, "phos_quads": phos_quads,
     }
-    assert out["ddi_benchmark"].count() == 1
+    out = derive_benchmarks(outputs, approved)
+    assert set(out) == BENCH_FAMILIES
+    assert out["ddi_minerals"].count() == 2
 
 
 def test_pipeline_benchmarks_and_core_export(spark, tmp_path):
     """Full lifecycle parity: run -> derive benchmarks -> export core
     (reference: run_all.py:6-14 four-stage sequence)."""
-    from pyspark.sql import functions as F
-
     from biokg_spark.datagen import entity_lexicon, id_mapping, ontology, transcripts
     from biokg_spark.pipeline import KGPipeline
 
@@ -97,11 +141,9 @@ def test_pipeline_benchmarks_and_core_export(spark, tmp_path):
         "entity_type = 'DRUG' AND priority = 0"
     ).select(F.col("entity_id").alias("drug_id"))
     bench = pipe.derive_benchmarks_stage(out, approved, run_key="t")
-    assert set(bench) == {
-        "ddi_increases", "dpi_approved", "expression_direction",
-        "ppi_benchmark", "ddi_benchmark",
-    }
+    assert set(bench) == BENCH_FAMILIES
     assert bench["ppi_benchmark"].count() > 0
+    assert bench["phosphorylation"].count() > 0
     # benchmarks are checkpointed: rerun skips
     bench2 = pipe.derive_benchmarks_stage(out, approved, run_key="t")
     assert all(
@@ -116,6 +158,12 @@ def test_pipeline_benchmarks_and_core_export(spark, tmp_path):
     assert links_back.count() == out["links"].count() + out["metadata"].count()
     quads_back = spark.read.csv(
         str(tmp_path / "core" / "quads"), sep="\t",
-        schema="subj string, pred string, obj string, qual string, status string, refs string",
+        schema="subj string, pred string, obj string, qual string, refs string",
     )
     assert quads_back.where("refs LIKE '%#%'").count() == quads_back.count()
+    phos_back = spark.read.csv(
+        str(tmp_path / "core" / "phos_quads"), sep="\t",
+        schema="subj string, pred string, obj string, site string, "
+               "kin_organism string, sub_organism string",
+    )
+    assert phos_back.count() == out["phos_quads"].count()

@@ -41,6 +41,9 @@ def test_golden_triples_exact(fixture_inputs, outputs):
         ("metadata", ("subj", "pred", "obj")),
         ("properties", ("subj", "pred", "obj")),
         ("quads", ("subj", "pred", "obj", "qual")),
+        ("action_quads", ("subj", "pred", "obj", "action", "refs")),
+        ("expr_quads", ("subj", "pred", "obj", "level")),
+        ("phos_quads", ("subj", "pred", "obj", "site", "kin_organism", "sub_organism")),
     ]:
         actual = {tuple(r[c] for c in cols) for r in out[family].collect()}
         p, r = precision_recall(actual, exp[family])
@@ -50,7 +53,10 @@ def test_golden_triples_exact(fixture_inputs, outputs):
 
 def test_predicate_vocabulary_closed(outputs):
     out, _pipe, _wd = outputs
-    for family in ("links", "quads", "metadata", "properties"):
+    for family in (
+        "links", "quads", "action_quads", "expr_quads", "phos_quads",
+        "metadata", "properties",
+    ):
         preds = {r.pred for r in out[family].select("pred").distinct().collect()}
         assert preds <= set(PREDICATE_VOCABULARY)
 
@@ -131,7 +137,8 @@ def test_empty_input_produces_empty_outputs(spark, tmp_path):
     out = pipe.run(tx, run_key="empty")
     assert {k: v.count() for k, v in out.items()} == {
         "ingest": 0, "mentions": 0, "linked": 0, "turn_sets": 0,
-        "links": 0, "quads": 0, "metadata": 0,
+        "links": 0, "quads": 0, "action_quads": 0, "expr_quads": 0,
+        "phos_quads": 0, "metadata": 0,
     }
     # resume over the empty checkpoints also works
     pipe2 = KGPipeline(
