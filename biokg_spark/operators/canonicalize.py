@@ -148,8 +148,18 @@ def derive_id_mapping_lsh(
     matched = fuzzy_canonicalize(
         alts.select("surface"), canon, threshold=threshold, **kw
     )
+    joined = alts.join(matched, alts.surface == matched.alt_surface).select(
+        "src_id", F.col("entity_id").alias("dst_id"), "jaccard"
+    )
+    # The mapping must be FUNCTIONAL in src_id: two alternate surfaces
+    # sharing one src_id can LSH-match different canonical surfaces, and a
+    # multi-valued mapping would silently duplicate every downstream
+    # mention of that entity through the link stage's left join. Resolve
+    # deterministically to the best match (highest jaccard, then smallest
+    # dst_id).
+    w = Window.partitionBy("src_id").orderBy(F.desc("jaccard"), F.asc("dst_id"))
     return (
-        alts.join(matched, alts.surface == matched.alt_surface)
-        .select("src_id", F.col("entity_id").alias("dst_id"))
-        .dropDuplicates()
+        joined.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("src_id", "dst_id")
     )

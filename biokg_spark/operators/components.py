@@ -36,6 +36,13 @@ def connected_components(
     Output: (id, component). Isolated vertices never appear in ``pairs``
     and so are their own components by definition (callers union them in
     if needed). Converges early when an iteration changes no label.
+
+    Each round combines neighbor-min propagation with a pointer-jumping
+    step (component ← label(component)), so label distances roughly halve
+    per round: convergence is O(log diameter) rounds, and ``max_iter=20``
+    covers chains far beyond anything a near-dup graph produces. If the
+    labels still changed on the final round the function RAISES — a
+    silently split component yields wrong dedup survivors downstream.
     """
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -57,30 +64,48 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _i in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("_nbr_min"))
         )
+        stepped = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("_nbr_min", F.col("component"))
+            ).alias("component"),
+            F.col("component").alias("_old"),
+        )
+        # pointer jump: follow one hop through the label table
+        # (component is always a vertex id, so the lookup always hits)
+        parent = labels.select(
+            F.col("id").alias("component"), F.col("component").alias("_p")
+        )
         updated = (
-            labels.join(neighbor_min, "id", "left")
+            stepped.join(parent, "component", "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce("_nbr_min", F.col("component"))
+                    F.coalesce("_p", F.col("component")), F.col("component")
                 ).alias("component"),
-                (
-                    F.coalesce("_nbr_min", F.col("component"))
-                    < F.col("component")
-                ).alias("_changed"),
+                "_old",
             )
             .localCheckpoint(eager=True)
         )
-        n_changed = updated.where(F.col("_changed")).limit(1).count()
-        labels = updated.drop("_changed")
+        n_changed = (
+            updated.where(F.col("component") != F.col("_old")).limit(1).count()
+        )
+        labels = updated.drop("_old")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds; "
+            "raise max_iter (labels would be silently wrong otherwise)"
+        )
     return labels
 
 

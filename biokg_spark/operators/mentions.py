@@ -193,7 +193,15 @@ class MentionScanner:
         """
         import bisect
 
-        texts = ["" if t is None else t for t in pdf[text_col].tolist()]
+        # Lowercase BEFORE building offsets: the scan backends match on
+        # lower(blob), and Unicode lowercasing can change string length
+        # ('İ' U+0130 → 'i̇', 1→2 chars) — offsets built on the original
+        # texts would shift every match after such a char and attribute
+        # matches near row boundaries to the wrong row. span_start is
+        # therefore an offset into the LOWERCASED text (identical for
+        # ASCII). lower() is idempotent, so the backends' own lowering
+        # is a no-op on this blob.
+        texts = ["" if t is None else t.lower() for t in pdf[text_col].tolist()]
         if not texts:
             return pd.DataFrame(
                 columns=list(keys) + ["surface", "entity_id", "entity_type", "span_start"]
@@ -305,8 +313,12 @@ def scan_mentions(
     separators preserve boundary semantics); hits map back to rows by
     offset bisection — no per-row Python call overhead.
 
-    For 'regex'/'ac' the lexicon is shipped in the UDF closure — the
-    Spark-task equivalent of a broadcast variable.
+    The lexicon ships to executors as a TorrentBroadcast (one copy per
+    executor, bittorrent-style distribution), NOT in the UDF closure —
+    closure capture re-serializes the entry list into every task binary,
+    which bloats scheduling at 10^6+-surface lexicons. The scanner object
+    itself is rebuilt once per executor process from the broadcast value
+    and cached (automaton/dict construction is one-time per executor).
     """
     if backend == "sql":
         return scan_mentions_sql(df, lexicon, text_col, keys)
@@ -314,7 +326,19 @@ def scan_mentions(
         (r["surface"], r["entity_id"], r["entity_type"], r["priority"])
         for r in lexicon.select("surface", "entity_id", "entity_type", "priority").collect()
     ]
+    # driver-side construction validates backend/surface constraints
+    # eagerly (raises here, not inside a task) and resolves 'auto'
     scanner = MentionScanner(lex_rows, backend=backend)
+    bc = df.sparkSession.sparkContext.broadcast(lex_rows)
+    resolved_backend = scanner.backend
+    import hashlib
+
+    # full-content fingerprint: ~100 ms driver-side at 10^6 surfaces, and
+    # it can never serve a stale scanner for a different lexicon
+    h = hashlib.md5()
+    for row in lex_rows:
+        h.update(repr(row).encode())
+    lex_key = h.hexdigest() + "|" + resolved_backend
     key_fields = [df.schema[k] for k in keys]
     schema = StructType(
         key_fields
@@ -329,12 +353,28 @@ def scan_mentions(
     sel = df.select(*keys_l, text_col)
 
     def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = _executor_scanner(bc, resolved_backend, lex_key)
         for pdf in batches:
-            out = scanner.scan_frame(pdf, text_col, keys_l)
+            out = local.scan_frame(pdf, text_col, keys_l)
             if len(out):
                 yield out
 
     return sel.mapInPandas(scan_batches, schema=schema)
+
+
+# Per-executor-process scanner cache: the automaton / token dict builds
+# once per (lexicon fingerprint, backend) per python worker, not once per
+# task. Keyed by a driver-computed content fingerprint — worker-side
+# Broadcast objects expose no stable id across tasks.
+_SCANNER_CACHE: dict[str, MentionScanner] = {}
+
+
+def _executor_scanner(bc, backend: str, key: str) -> MentionScanner:
+    s = _SCANNER_CACHE.get(key)
+    if s is None:
+        s = MentionScanner(bc.value, backend=backend)
+        _SCANNER_CACHE[key] = s
+    return s
 
 
 def mentions_sql_oracle_predicate(surface_col: str, text_col: str) -> str:

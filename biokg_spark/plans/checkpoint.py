@@ -96,7 +96,11 @@ class CheckpointManager:
 
     def is_valid(self, name: str, fp: str) -> bool:
         m = self._load_manifest(name)
-        return bool(m) and m.get("fingerprint") == fp
+        return (
+            bool(m)
+            and m.get("fingerprint") == fp
+            and m.get("schema") is not None
+        )
 
     def run(
         self,
@@ -115,7 +119,13 @@ class CheckpointManager:
         stage_dir = self._stage_dir(name)
         data_dir = os.path.join(stage_dir, "data")
         manifest = self._load_manifest(name)
-        if manifest and manifest.get("fingerprint") == fp:
+        # a manifest from an older writer version (no schema key) is
+        # treated as invalid — rebuild, exactly like a fingerprint miss
+        if (
+            manifest
+            and manifest.get("fingerprint") == fp
+            and manifest.get("schema") is not None
+        ):
             # drop any stale FileStatusCache entries from earlier reads of
             # this path in the same session (stage dirs get rewritten)
             self.spark.catalog.refreshByPath(data_dir)

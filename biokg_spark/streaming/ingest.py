@@ -3,10 +3,17 @@
 The reference's only incrementality is md5-skip re-runs (main.py:91-98);
 the engine adds true streaming increments: new transcript turns flow
 through the SAME Arrow-batched mention scanner as the batch pipeline and
-append into the same mentions table layout. ``foreachBatch`` bridges the
-stream to arbitrary batch sinks while keeping exactly-once bookkeeping in
-the streaming checkpoint (source offsets + batch id), so a restart never
-re-appends a processed micro-batch.
+append into the same mentions table layout.
+
+Exactly-once is achieved by making the ``foreachBatch`` sink IDEMPOTENT,
+not by trusting the checkpoint alone: foreachBatch is at-least-once (a
+crash after the write but before the checkpoint commits replays the
+batch), so each micro-batch writes to its own ``batch_id=N`` partition
+directory with overwrite semantics — a replayed batch rewrites the same
+deterministic content into the same directory instead of appending
+duplicates, and partial files from a crashed attempt are replaced. This
+is the standard idempotent-sink discipline for foreachBatch parquet
+output (a transactional table format gets the same effect natively).
 
 Downstream (links/quads/metadata) stay batch jobs over the growing
 mentions table — the reference lifecycle's compile stage re-run on the
@@ -31,13 +38,18 @@ def incremental_mentions(
     """Stream transcript turns → mention rows appended to ``out_path``.
 
     The scan itself is the batch operator (scan_mentions) applied inside
-    ``foreachBatch`` — one code path for batch and streaming, per-batch
-    parquet appends, offsets tracked in ``checkpoint_path``.
+    ``foreachBatch`` — one code path for batch and streaming. Offsets are
+    tracked in ``checkpoint_path``; duplicate-batch replays are absorbed
+    by the batch_id-keyed overwrite sink (see module docstring). Readers
+    load ``out_path`` with partition discovery; the ``batch_id`` partition
+    column is provenance metadata.
     """
 
-    def append_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
         mentions = scan_mentions(batch_df, lexicon, backend=backend)
-        mentions.write.mode("append").parquet(out_path)
+        mentions.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
 
     return (
         turns_stream.writeStream.foreachBatch(append_batch)

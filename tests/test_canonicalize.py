@@ -86,3 +86,25 @@ def test_pipeline_lsh_canonicalizer_end_to_end(spark, tmp_path):
     # every divergence must touch a curated fan-out target entity
     for s, _p, o in exact_links - lsh_links:
         assert s in extra_targets or o in extra_targets, (s, o)
+
+
+def test_lsh_mapping_is_functional_per_src_id(spark):
+    """Two alternate surfaces sharing one src_id that match DIFFERENT
+    canonical surfaces must resolve to ONE dst_id (best jaccard, then
+    smallest dst_id) — a multi-valued mapping would duplicate every
+    downstream mention of the entity."""
+    lex = spark.createDataFrame(
+        [
+            ("glucokinase", "P10", "PROTEIN", 0),
+            ("hexokinase", "P20", "PROTEIN", 0),
+            # both alts carry the SAME src entity id
+            ("glucokinasez", "ALT:P10", "PROTEIN", 1),
+            ("hexokinasez", "ALT:P10", "PROTEIN", 1),
+        ],
+        "surface string, entity_id string, entity_type string, priority int",
+    )
+    out = derive_id_mapping_lsh(lex, threshold=0.3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src_id, []).append(r.dst_id)
+    assert all(len(v) == 1 for v in by_src.values()), by_src

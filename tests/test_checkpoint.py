@@ -48,3 +48,30 @@ def test_partitioned_write(spark, tmp_path):
     # partition dirs exist on disk
     base = tmp_path / "p" / "data"
     assert (base / "pred=x").exists() and (base / "pred=y").exists()
+
+
+def test_manifest_without_schema_key_rebuilds(spark, tmp_path):
+    """A manifest written by an older code version (no 'schema' key) must
+    invalidate the checkpoint and rebuild — not crash with KeyError."""
+    import json
+    import os
+
+    ck = CheckpointManager(spark, str(tmp_path))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).withColumnRenamed("id", "v")
+
+    fp = fingerprint("s", "k")
+    ck.run("legacy", fp, build)
+    # strip the schema key, mimicking the old manifest format
+    mpath = os.path.join(str(tmp_path), "legacy", "_MANIFEST.json")
+    m = json.load(open(mpath))
+    del m["schema"]
+    json.dump(m, open(mpath, "w"))
+
+    ck2 = CheckpointManager(spark, str(tmp_path))
+    assert not ck2.is_valid("legacy", fp)
+    df = ck2.run("legacy", fp, build)
+    assert df.count() == 3 and len(calls) == 2  # rebuilt, no crash

@@ -50,3 +50,22 @@ def test_dedup_clusters_with_lsh_pairs(spark):
         out.where("NOT is_survivor"), docs.doc_id == F.col("id"), "left_anti"
     )
     assert {r.doc_id for r in kept.collect()} == {1, 4, 6}
+
+
+def test_long_chain_converges_fast(spark):
+    """A 60-hop chain needs ~6 pointer-doubling rounds, far under
+    max_iter — plain neighbor-min alone would need 60 and silently
+    truncate (the old bug)."""
+    edges = [(i, i + 1) for i in range(1, 61)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(df, max_iter=12).collect()}
+    assert set(got.values()) == {1} and len(got) == 61
+
+
+def test_non_convergence_raises(spark):
+    edges = [(i, i + 1) for i in range(1, 40)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)

