@@ -92,9 +92,19 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     width: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their signature → candidate
-    pairs (id_a < id_b, distinct)."""
+    pairs (id_a < id_b, distinct).
+
+    ``max_bucket_size``: hot-bucket guard. A band bucket holding n docs
+    expands to n²/2 candidate rows BEFORE the distinct — on a
+    boilerplate-heavy corpus (the normal web-scale case) one degenerate
+    bucket goes quadratic. Buckets above the cap are dropped wholesale:
+    their members are boilerplate-identical in that band and still pair
+    up through their other (more selective) bands, and at the cap the
+    within-bucket join cost is bounded by bands·cap per row.
+    """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, width)
@@ -110,6 +120,14 @@ def minhash_lsh_candidates(
     bucketed = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_key")
+    if max_bucket_size is not None:
+        ok = (
+            bucketed.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select("band_idx", "band_key")
+        )
+        bucketed = bucketed.join(ok, ["band_idx", "band_key"], "left_semi")
     a = bucketed.alias("a")
     b2 = bucketed.alias("b")
     return (
@@ -132,6 +150,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     width: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity ≥ threshold.
 
@@ -139,8 +158,24 @@ def ngram_jaccard_pairs(
     join), never a cross join — documents with no shingle in common are
     never materialized as a pair. Output: (id_a, id_b, jaccard) rounded
     to 4 dp for cross-engine comparison.
+
+    ``max_doc_freq``: hot-shingle guard. A shingle occurring in d docs
+    contributes d²/2 rows to the inverted-index join — one boilerplate
+    shingle makes the plan quadratic. Shingles whose document frequency
+    exceeds the cutoff carry no discriminative signal (standard stopword
+    treatment in near-dup mining) and are dropped BEFORE the self-join;
+    jaccard is then computed over the surviving shingle sets (sizes and
+    intersections consistently exclude the dropped shingles).
     """
     sh = df.select(F.col(id_col), F.explode(shingles(text_col, width)).alias("sh"))
+    if max_doc_freq is not None:
+        ok = (
+            sh.groupBy("sh")
+            .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(ok, "sh", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -210,8 +245,13 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.999,
     sign_bits: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH bucketing.
+
+    ``max_bucket_size`` guards against a degenerate hot bucket (e.g. a
+    corpus dominated by near-zero vectors): buckets above the cap are
+    dropped before the self-join, bounding the per-bucket pair expansion.
 
     Candidates are generated only within a sign bucket (identical/near-
     identical vectors share one), so the all-pairs problem becomes a
@@ -226,6 +266,14 @@ def embedding_near_dup_pairs(
         F.col(vec_col),
         sign_bucket(F.col(vec_col), sign_bits).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        ok = (
+            b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select("bucket")
+        )
+        b = b.join(ok, "bucket", "left_semi")
     a, c = b.alias("a"), b.alias("c")
     return (
         a.join(

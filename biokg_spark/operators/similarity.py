@@ -99,6 +99,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 2,
     seed: int = 42,
+    fit_sample_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer + multi-probe.
 
@@ -106,8 +107,15 @@ def ivf_topk(
     pass per iteration, the model is tiny and broadcast), assign every
     corpus vector to its nearest cell at write time (at 100 TB the cell id
     is the table's partition key), then search each query only in its
-    ``n_probe`` nearest cells. Recall grows with n_probe; n_probe =
-    n_cells degenerates to brute force. Deterministic via fixed seed.
+    ``n_probe`` nearest cells. Recall grows with n_probe; **n_probe =
+    n_cells is EXACTLY brute force regardless of the learned centroids**
+    (every corpus vector lives in exactly one probed cell) — the
+    correctness invariant the oracle checks. Deterministic via fixed seed.
+
+    ``fit_sample_fraction < 1`` fits the quantizer on a corpus sample —
+    at 100 TB you never k-means the full table; a few million sampled
+    vectors pin the centroids and only the (cheap, single-pass)
+    assignment touches every row.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -118,7 +126,11 @@ def ivf_topk(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
     )
     km = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell")
-    model = km.fit(dense)
+    fit_input = (
+        dense if fit_sample_fraction >= 1.0
+        else dense.sample(fraction=fit_sample_fraction, seed=seed)
+    )
+    model = km.fit(fit_input)
     assigned = model.transform(dense).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "_cell"
     )

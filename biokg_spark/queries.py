@@ -889,17 +889,24 @@ _SHINGLES_SQL = """
     bands AS (
       SELECT doc_id, seed // 2 AS band_idx,
              md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
-      FROM sig GROUP BY doc_id, seed // 2)
+      FROM sig GROUP BY doc_id, seed // 2),
+    ok AS (
+      SELECT band_idx, band_key FROM bands
+      GROUP BY band_idx, band_key HAVING count(*) <= 20),
+    kept AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_key))
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
+    FROM kept a JOIN kept b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key
      AND a.doc_id < b.doc_id
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
+    """LSH banding with the hot-bucket guard active (max_bucket_size=20):
+    a degenerate boilerplate bucket would otherwise expand quadratically
+    before the distinct."""
     return minhash_lsh_candidates(
         load_table(spark, sf_dir, "documents"), "text", "doc_id",
-        num_hashes=8, bands=4, width=3,
+        num_hashes=8, bands=4, width=3, max_bucket_size=20,
     )
 
 
@@ -966,10 +973,13 @@ def dedup_minhash_signature(spark, sf_dir):
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLES_SQL},
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    keep AS (
+      SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) <= 100),
+    sh2 AS (SELECT sh.* FROM sh JOIN keep USING (sh)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT id_a, id_b,
            round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
@@ -979,8 +989,12 @@ def dedup_minhash_signature(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    """Inverted-index jaccard with the hot-shingle guard active
+    (max_doc_freq=100): a shingle in d docs yields d²/2 join rows, so
+    boilerplate shingles are dropped before the self-join."""
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=0.5, max_doc_freq=100,
     )
 
 
@@ -1232,14 +1246,31 @@ def embed_cosine_topk(spark, sf_dir):
     )
 
 
-@q("embed_ann_ivf", None)  # KMeans quantizer is not SQL-expressible: rows-only check
+@q(
+    "embed_ann_ivf",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id, {_COS_SQL} AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT q_id, c_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+      FROM scored)
+    SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 3
+    """,
+)
 def embed_ann_ivf(spark, sf_dir):
-    """IVF approximate ANN: k-means coarse cells + multi-probe search —
-    the partition-pruning scale path (cell id = table partition key)."""
+    """IVF ANN: k-means coarse cells + multi-probe search — the
+    partition-pruning scale path (cell id = table partition key). Run at
+    FULL probe (n_probe = n_cells), where IVF provably equals brute-force
+    top-k whatever the learned centroids are — so the whole quantize →
+    assign → probe-rank → score machinery gets an EXACT DuckDB oracle
+    (the brute-force SQL). Partial-probe recall is pinned separately in
+    tests/test_similarity.py (recall@k vs cosine_topk)."""
     from biokg_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return ivf_topk(emb, emb.where("vec_id < 5"), k=3, n_cells=8, n_probe=2).select(
+    return ivf_topk(emb, emb.where("vec_id < 5"), k=3, n_cells=8, n_probe=8).select(
         "q_id", "c_id", "sim", F.col("rank").cast("long").alias("rank")
     )
 

@@ -101,3 +101,60 @@ def test_lang_id_ngram_profiles(spark):
     got = {r.doc_id: r.lang for r in df.select(
         "doc_id", lang_id_ngram("text").alias("lang")).collect()}
     assert got == {1: "en", 2: "de", 3: "fr", 4: "xx"}
+
+
+def test_hot_shingle_guard_bounds_boilerplate_blowup(spark):
+    """A boilerplate prefix shared by EVERY doc must not pair everything
+    with everything: with the doc-frequency cutoff the boilerplate
+    shingles drop out and only genuinely-similar docs pair."""
+    from biokg_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "subscribe to our newsletter terms of service apply "
+    docs = [(i, boiler + f"unique payload number {i} " + "x" * 5) for i in range(40)]
+    docs += [(100, boiler + "identical tail content here"),
+             (101, boiler + "identical tail content here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    unguarded = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5)
+    guarded = ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.5, max_doc_freq=10
+    )
+    got = {(r.id_a, r.id_b) for r in guarded.collect()}
+    # the true near-dup pair survives; boilerplate-only pairs are gone
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _b in got), got
+    # unguarded finds the same pair but pays the quadratic candidate cost
+    assert (100, 101) in {(r.id_a, r.id_b) for r in unguarded.collect()}
+
+
+def test_hot_bucket_guard_lsh(spark):
+    """Identical boilerplate docs all share every band bucket; the cap
+    drops those buckets wholesale while distinct content still pairs."""
+    from biokg_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = [(i, "exact same boilerplate page content") for i in range(30)]
+    docs += [(100, "a very specific rare document body"),
+             (101, "a very specific rare document body")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            df, "text", "doc_id", max_bucket_size=10
+        ).collect()
+    }
+    assert got == {(100, 101)}
+
+
+def test_hot_bucket_guard_embedding(spark):
+    from biokg_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [(i, [0.001 * (1 + i % 2), 0.001, 0.001, 0.001]) for i in range(30)]
+    rows += [(100, [-1.0, -2.0, -3.0, -4.0]), (101, [-1.0, -2.0, -3.0, -4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.999, max_bucket_size=10
+        ).collect()
+    }
+    assert got == {(100, 101)}
