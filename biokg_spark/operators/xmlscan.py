@@ -31,6 +31,7 @@ def xml_extract_records(
     record_tag: str,
     fields: dict[str, str],
     keys: tuple[str, ...] = (),
+    on_error: str = "raise",
 ) -> DataFrame:
     """One output row per ``<record_tag>`` element per input document.
 
@@ -38,7 +39,19 @@ def xml_extract_records(
     ``find`` syntax); missing paths yield NULL. ``keys`` are input columns
     carried through. All extracted fields are strings (the reference's
     only type, SURVEY.md §1.2).
+
+    Nested ``record_tag`` elements each yield their own row (inner records
+    complete first under iterparse end-events; clearing the inner subtree
+    does not disturb the outer record's own fields).
+
+    ``on_error``: ``'raise'`` (default) propagates malformed-XML parse
+    errors — one bad payload fails the job loudly; ``'skip'`` keeps the
+    records that COMPLETED before the syntax error and drops the rest of
+    that document — the posture for dirty web-scale corpora where a task
+    must not die on one truncated payload.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"unknown on_error {on_error!r}")
     key_fields = [df.schema[k] for k in keys]
     schema = StructType(
         key_fields + [StructField(name, StringType()) for name in fields]
@@ -58,19 +71,26 @@ def xml_extract_records(
                 import io
 
                 data = doc.encode() if isinstance(doc, str) else bytes(doc)
-                for _ev, elem in ET.iterparse(io.BytesIO(data), events=("end",)):
-                    if elem.tag != record_tag:
-                        continue
-                    rows.append(
-                        kv
-                        + tuple(
-                            (elem.find(path).text if elem.find(path) is not None else None)
-                            if path != "."
-                            else elem.text
-                            for _name, path in field_items
+                doc_rows: list[tuple] = []
+                try:
+                    for _ev, elem in ET.iterparse(io.BytesIO(data), events=("end",)):
+                        if elem.tag != record_tag:
+                            continue
+                        doc_rows.append(
+                            kv
+                            + tuple(
+                                (elem.find(path).text if elem.find(path) is not None else None)
+                                if path != "."
+                                else elem.text
+                                for _name, path in field_items
+                            )
                         )
-                    )
-                    elem.clear()
+                        elem.clear()
+                except ET.ParseError:
+                    if on_error == "raise":
+                        raise
+                    # 'skip': records completed before the error survive
+                rows.extend(doc_rows)
             cols = keys_l + [name for name, _p in field_items]
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
