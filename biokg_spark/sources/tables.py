@@ -46,24 +46,92 @@ def write_tsv(df: DataFrame, path: str, sep: str = "\t") -> None:
     df.write.mode("overwrite").option("sep", sep).option("header", "false").csv(path)
 
 
-def read_excel_table(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
+def read_excel_table(
+    spark: SparkSession, path: str, sheet: str | int = 0, header: bool = True
+) -> DataFrame:
     """Excel source — S7 analog (reference: parsers.py:3261-3290 reads the
     Hijazi20 supplement with pd.read_excel, then splits ``sub(site)`` via
     regex; the regex split maps to ``regexp_extract`` downstream).
 
-    Gated on an Excel engine being installed (this container ships none):
-    the pandas read happens driver-side — Excel files are small curated
-    supplements, never the distributed fact data — then distributes via
-    ``createDataFrame``.
+    Prefers pandas/openpyxl when installed; otherwise falls back to a
+    stdlib reader (``_read_xlsx_stdlib``): .xlsx is a zip of XML, so
+    ``zipfile`` + ElementTree cover the reference's use case — small
+    curated supplement sheets of strings/numbers — with no dependency.
+    Either way the parse is driver-side (supplements are dims, never the
+    distributed fact data), then distributes via ``createDataFrame``. All
+    values surface as strings, the reference's only type (SURVEY §1.2).
     """
     try:
         import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env without openpyxl
-        raise NotImplementedError(
-            "read_excel_table needs openpyxl (not in this container); "
-            "the reference's excel inputs are small curated supplements — "
-            "convert to CSV/parquet upstream or install openpyxl"
-        ) from exc
-    import pandas as pd
+        import pandas as pd
 
-    return spark.createDataFrame(pd.read_excel(path, sheet_name=sheet))
+        pdf = pd.read_excel(path, sheet_name=sheet, dtype=str)
+        rows = [tuple(None if pd.isna(v) else str(v) for v in r) for r in pdf.itertuples(index=False, name=None)]
+        cols = [str(c) for c in pdf.columns]
+    except ImportError:
+        cols, rows = _read_xlsx_stdlib(path, sheet, header=header)
+    schema = ", ".join(f"`{c}` string" for c in cols)
+    return spark.createDataFrame(rows, schema)
+
+
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _read_xlsx_stdlib(
+    path: str, sheet: str | int = 0, header: bool = True
+) -> tuple[list[str], list[tuple]]:
+    """Minimal .xlsx reader: zip member XML → (columns, row tuples).
+
+    Handles shared strings, inline strings, and numeric cells; cells
+    beyond a row's last populated column are NULL. Sheet selection by
+    0-based index or by name (workbook.xml order)."""
+    import re as _re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        # sheet name -> sheet file, in workbook order
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        names = [e.get("name") for e in wb.iter(f"{_XLSX_NS}sheet")]
+        idx = names.index(sheet) if isinstance(sheet, str) else int(sheet)
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            ss = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = ["".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t"))
+                      for si in ss.iter(f"{_XLSX_NS}si")]
+        root = ET.fromstring(z.read(f"xl/worksheets/sheet{idx + 1}.xml"))
+
+    def col_of(ref: str) -> int:
+        letters = _re.match(r"([A-Z]+)", ref or "A").group(1)
+        n = 0
+        for ch in letters:
+            n = n * 26 + (ord(ch) - 64)
+        return n - 1
+
+    raw_rows: list[list[str | None]] = []
+    for row in root.iter(f"{_XLSX_NS}row"):
+        vals: list[str | None] = []
+        for cell in row.iter(f"{_XLSX_NS}c"):
+            ci = col_of(cell.get("r", ""))
+            while len(vals) <= ci:
+                vals.append(None)
+            t = cell.get("t")
+            v = cell.find(f"{_XLSX_NS}v")
+            if t == "s" and v is not None:
+                vals[ci] = shared[int(v.text)]
+            elif t == "inlineStr":
+                vals[ci] = "".join(x.text or "" for x in cell.iter(f"{_XLSX_NS}t"))
+            elif v is not None:
+                vals[ci] = v.text
+        raw_rows.append(vals)
+    if not raw_rows:
+        return [], []
+    width = max(len(r) for r in raw_rows)
+    raw_rows = [r + [None] * (width - len(r)) for r in raw_rows]
+    if header:
+        cols = [c if c is not None else f"_c{i}" for i, c in enumerate(raw_rows[0])]
+        body = raw_rows[1:]
+    else:
+        cols = [f"_c{i}" for i in range(width)]
+        body = raw_rows
+    return cols, [tuple(r) for r in body]

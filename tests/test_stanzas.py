@@ -72,18 +72,65 @@ def test_tsv_round_trip(spark, tmp_path):
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
 
 
-def test_excel_source_gated(spark, tmp_path):
-    """S7 Excel source raises a clear gate error when no engine exists
-    (and works when one does)."""
-    import pytest
+def _write_min_xlsx(path, sheets):
+    """Hand-rolled minimal .xlsx: sheets = {name: [[cell,...],...]} with
+    str/int/None cells. Strings go through sharedStrings like real files."""
+    import zipfile
 
+    shared, sidx = [], {}
+
+    def cell_xml(r, c, v):
+        ref = f"{chr(65 + c)}{r + 1}"
+        if v is None:
+            return ""
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if v not in sidx:
+            sidx[v] = len(shared)
+            shared.append(v)
+        return f'<c r="{ref}" t="s"><v>{sidx[v]}</v></c>'
+
+    ws = []
+    for _name, rows in sheets.items():
+        body = "".join(
+            f'<row r="{ri + 1}">' + "".join(cell_xml(ri, ci, v) for ci, v in enumerate(row)) + "</row>"
+            for ri, row in enumerate(rows)
+        )
+        ws.append(f'<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>{body}</sheetData></worksheet>')
+    wb_sheets = "".join(
+        f'<sheet name="{n}" sheetId="{i + 1}" r:id="rId{i + 1}"/>' for i, n in enumerate(sheets)
+    )
+    wb = ('<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+          'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+          f"<sheets>{wb_sheets}</sheets></workbook>")
+    ss = ('<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+          + "".join(f"<si><t>{t}</t></si>" for t in shared) + "</sst>")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/sharedStrings.xml", ss)
+        for i, _ in enumerate(sheets):
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", ws[i])
+
+
+def test_excel_source_runnable(spark, tmp_path):
+    """S7 Excel source runs in this container via the stdlib .xlsx reader
+    (zip-of-XML; reference: parsers.py:3261-3290 reads supplement sheets).
+    Covers shared strings, numbers, missing cells, sheet-by-name."""
     from biokg_spark.sources.tables import read_excel_table
 
-    try:
-        import openpyxl  # noqa: F401
-        has_engine = True
-    except ImportError:
-        has_engine = False
-    if not has_engine:
-        with pytest.raises(NotImplementedError, match="openpyxl"):
-            read_excel_table(spark, str(tmp_path / "x.xlsx"))
+    path = str(tmp_path / "supp.xlsx")
+    _write_min_xlsx(path, {
+        "kinases": [
+            ["GENE", "SUB_GENE", "SITE"],
+            ["AKT1", "GSK3B", "S9"],
+            ["SRC", None, "Y416"],
+            ["CDK1", "LMNA", 22],
+        ],
+        "other": [["A"], ["x"]],
+    })
+    df = read_excel_table(spark, path, sheet="kinases")
+    assert df.columns == ["GENE", "SUB_GENE", "SITE"]
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {("AKT1", "GSK3B", "S9"), ("SRC", None, "Y416"), ("CDK1", "LMNA", "22")}
+    other = read_excel_table(spark, path, sheet=1)
+    assert other.columns == ["A"] and [r.A for r in other.collect()] == ["x"]
