@@ -260,7 +260,18 @@ def bench_scaling(n_conversations: int, levels: tuple[int, int] = (2, 8)) -> Non
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
         results: dict[int, dict] = {}
         for cpus in levels:
-            cmd = [
+            # Pin the whole JVM to exactly `cpus` CPUs: without it, a
+            # local[2] JVM still sizes GC/IO thread pools off the
+            # machine's 32 CPUs and silently borrows them (measured: the
+            # mention scan runs 19% faster unpinned at local[2]) — a
+            # cluster of 2-core slices has no such bonus, so the unpinned
+            # stand-in inflates the small leg and understates scaling.
+            pin = (
+                ["taskset", "-c", f"0-{cpus - 1}"]
+                if shutil.which("taskset")
+                else []
+            )
+            cmd = pin + [
                 sys.executable,
                 os.path.abspath(__file__),
                 "--pipeline-run",
