@@ -68,6 +68,10 @@ def main() -> None:
         # verify equality before reporting any timing
         got_links = {(r.subj, r.pred, r.obj) for r in out["links"].collect()}
         assert got_links == exp["links"], "outputs diverged — timing void"
+        got_quads = {
+            (r.subj, r.pred, r.obj, r.qual) for r in out["quads"].collect()
+        }
+        assert got_quads == exp["quads"], "quads diverged — timing void"
     t_spark = best
 
     report = {
