@@ -50,6 +50,13 @@ _ENTITY_TYPES = [
     ("DRUG", "DB%05d", "drugamab%d", 30),
     ("DISEASE", "D%06d", "carcinitis%d", 20),
     ("PATHWAY", "R-HSA-%d", "pathglyco%d", 10),
+    # Reactome-ish complexes and OMIM-ish genetic disorders — the entity
+    # classes behind the reference's MEMBER_OF_COMPLEX /
+    # DISEASE_GENETIC_DISORDER / RELATED_GENETIC_DISORDER link files
+    # (links_description.txt:73-205); MIM: ids match the reference's
+    # P_DISEASE_CODE regex (parsers.py:15).
+    ("COMPLEX", "R-HSA-C%d", "complexome%d", 12),
+    ("GENETIC_DISORDER", "MIM:%06d", "omimopathy%d", 15),
 ]
 
 # Reference-shaped DDI interaction descriptions (reference:
@@ -199,7 +206,22 @@ def ontology(spark: SparkSession) -> DataFrame:
             _h(999, "entity_id", F.lit("b")),
         ).alias("value"),
     )
-    return names.unionByName(types).unionByName(trees)
+    # WHO ATC classification codes for drugs (reference: parsers.py
+    # 1023-1049 reads them off DrugBank records; 7-char level-5 codes
+    # like B01AE02 whose prefixes encode the class hierarchy)
+    letters = F.array(*[F.lit(c) for c in "ABCDGHJLMNPRSV"])
+    atc = lex.where(F.col("entity_type") == "DRUG").select(
+        "entity_id",
+        F.lit("ATC").alias("pred"),
+        F.concat(
+            F.element_at(letters, (_h(14, "entity_id", F.lit("l1")) + 1).cast("int")),
+            F.format_string("%02d", _h(17, "entity_id", F.lit("n1"))),
+            F.element_at(letters, (_h(14, "entity_id", F.lit("l2")) + 1).cast("int")),
+            F.element_at(letters, (_h(14, "entity_id", F.lit("l3")) + 1).cast("int")),
+            F.format_string("%02d", _h(100, "entity_id", F.lit("n2"))),
+        ).alias("value"),
+    )
+    return names.unionByName(types).unionByName(trees).unionByName(atc)
 
 
 def transcripts(

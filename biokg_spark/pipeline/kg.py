@@ -65,6 +65,14 @@ LINK_PREDICATES: dict[tuple[str, str], tuple[str, bool]] = {
     ("PROTEIN", "PATHWAY"): ("MEMBER_OF_PATHWAY", False),
     ("DRUG", "PATHWAY"): ("DRUG_PATHWAY_ASSOCIATION", False),
     ("DISEASE", "PATHWAY"): ("DISEASE_PATHWAY_ASSOCIATION", False),
+    # reference links_description.txt:73-205 — with these four the engine
+    # covers the reference's full published link-predicate vocabulary
+    # (drug_protein_function rel types live in action_quads; the
+    # complex→top-level-pathway file reuses MEMBER_OF_PATHWAY semantics)
+    ("PROTEIN", "COMPLEX"): ("MEMBER_OF_COMPLEX", False),
+    ("COMPLEX", "PATHWAY"): ("MEMBER_OF_PATHWAY", False),
+    ("DISEASE", "GENETIC_DISORDER"): ("DISEASE_GENETIC_DISORDER", False),
+    ("PROTEIN", "GENETIC_DISORDER"): ("RELATED_GENETIC_DISORDER", False),
 }
 
 # Drug→protein relation cues, ordered (first-match-wins like every cascade
@@ -100,6 +108,7 @@ PREDICATE_VOCABULARY = frozenset(
         "DRUG_INTERACTION",
         "PROTEIN_EXPRESSED_IN",
         "PHOSPHORYLATES",
+        "DRUG_ATC_CODE",
     ]
 )
 
@@ -773,14 +782,28 @@ class KGPipeline:
         # surface at the vocabulary assert, like the fan-out raise
         base = self.ontology.select(
             F.col("entity_id").alias("subj"), "pred", F.col("value").alias("obj")
-        ).where(F.col("pred") != "TREE")
+        ).where(~F.col("pred").isin("TREE", "ATC"))
         trees = self.ontology.where(F.col("pred") == "TREE")
         expanded = expand_prefixes(trees, "value", out_col="prefix").select(
             F.col("entity_id").alias("subj"),
             F.lit("TREE_PREFIX").alias("pred"),
             F.col("prefix").alias("obj"),
         )
-        return base.unionByName(expanded).dropDuplicates()
+        # ATC hierarchy: every code level becomes one DRUG_ATC_CODE row —
+        # the reference writes exactly the 1/3/4/5/7-char prefixes
+        # (parsers.py:1036-1049; published contract
+        # properties_description.txt:172 names the predicate).
+        atc = self.ontology.where(F.col("pred") == "ATC").select(
+            F.col("entity_id").alias("subj"),
+            F.lit("DRUG_ATC_CODE").alias("pred"),
+            F.explode(
+                F.transform(
+                    F.array(F.lit(1), F.lit(3), F.lit(4), F.lit(5), F.lit(7)),
+                    lambda n: F.concat(F.lit("ATC:"), F.col("value").substr(F.lit(1), n)),
+                )
+            ).alias("obj"),
+        )
+        return base.unionByName(expanded).unionByName(atc).dropDuplicates()
 
     # -- vocabulary closure (reference: compile_biokg.py:969) -------------
     def _assert_vocabulary(self, outputs: dict[str, DataFrame]) -> None:

@@ -22,14 +22,25 @@ TYPE_PAIR_PRED = {
     frozenset(["PROTEIN", "PATHWAY"]): "MEMBER_OF_PATHWAY",
     frozenset(["DRUG", "PATHWAY"]): "DRUG_PATHWAY_ASSOCIATION",
     frozenset(["DISEASE", "PATHWAY"]): "DISEASE_PATHWAY_ASSOCIATION",
+    frozenset(["PROTEIN", "COMPLEX"]): "MEMBER_OF_COMPLEX",
+    frozenset(["COMPLEX", "PATHWAY"]): "MEMBER_OF_PATHWAY",
+    frozenset(["DISEASE", "GENETIC_DISORDER"]): "DISEASE_GENETIC_DISORDER",
+    frozenset(["PROTEIN", "GENETIC_DISORDER"]): "RELATED_GENETIC_DISORDER",
 }
+# subject type per DIRECTED type pair (keyed on the pair, not the pred:
+# MEMBER_OF_PATHWAY is emitted for both protein→pathway and
+# complex→pathway memberships)
 DIRECTED_FIRST = {
-    "DPI": "DRUG",
-    "DRUG_DISEASE_ASSOCIATION": "DRUG",
-    "PROTEIN_DISEASE_ASSOCIATION": "PROTEIN",
-    "MEMBER_OF_PATHWAY": "PROTEIN",
-    "DRUG_PATHWAY_ASSOCIATION": "DRUG",
-    "DISEASE_PATHWAY_ASSOCIATION": "DISEASE",
+    frozenset(["DRUG", "PROTEIN"]): "DRUG",
+    frozenset(["DRUG", "DISEASE"]): "DRUG",
+    frozenset(["PROTEIN", "DISEASE"]): "PROTEIN",
+    frozenset(["PROTEIN", "PATHWAY"]): "PROTEIN",
+    frozenset(["DRUG", "PATHWAY"]): "DRUG",
+    frozenset(["DISEASE", "PATHWAY"]): "DISEASE",
+    frozenset(["PROTEIN", "COMPLEX"]): "PROTEIN",
+    frozenset(["COMPLEX", "PATHWAY"]): "COMPLEX",
+    frozenset(["DISEASE", "GENETIC_DISORDER"]): "DISEASE",
+    frozenset(["PROTEIN", "GENETIC_DISORDER"]): "PROTEIN",
 }
 # The reference's 15 ordered DDI side-effect patterns + maps
 # (parsers.py:24-82), carried here INDEPENDENTLY of the engine package so
@@ -186,7 +197,7 @@ def expected_outputs(rows, lexicon, mapping, ontology):
                 if pred in UNDIRECTED:
                     links.add((min(e1, e2), pred, max(e1, e2)))
                 else:
-                    first = DIRECTED_FIRST[pred]
+                    first = DIRECTED_FIRST[frozenset([t1, t2])]
                     s, o = (e1, e2) if t1 == first else (e2, e1)
                     links.add((s, pred, o))
 
@@ -274,6 +285,10 @@ def expected_outputs(rows, lexicon, mapping, ontology):
             parts = value.split(".")
             for i in range(1, len(parts) + 1):
                 properties.add((eid, "TREE_PREFIX", ".".join(parts[:i])))
+        elif pred == "ATC":
+            # reference parsers.py:1036-1049: the 1/3/4/5/7-char prefixes
+            for n in (1, 3, 4, 5, 7):
+                properties.add((eid, "DRUG_ATC_CODE", f"ATC:{value[:n]}"))
 
     return {
         "metadata": metadata,
