@@ -142,12 +142,22 @@ def bench_default() -> None:
     # warm up the JVM + parquet footers on a trivial scan
     spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
 
+    # Min-of-k per query, not a single shot: the sandbox host stalls the
+    # VM ~20-30 s at random (BASELINE.md protocol notes), and in round 2
+    # a single-rep protocol made eight sub-2 s queries look 1.3-2.2×
+    # slower with UNCHANGED code. Only the minimum converges on the
+    # machine's true rate, so round-over-round deltas become signal.
+    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
-        t0 = time.perf_counter()
-        run_df(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        log(f"  {name}: {timings[name]}s")
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run_df(fn(spark, SF_DIR))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        log(f"  {name}: {timings[name]}s (min of {reps})")
 
     # flagship end-to-end pipeline: best-of-2 fresh-checkpoint runs (the
     # sandbox host stalls the VM at random intervals; min-of-k converges

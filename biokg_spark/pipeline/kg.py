@@ -271,37 +271,46 @@ class KGPipeline:
             self.ckpt.run, "extracted", fp1b, lambda: self._extract_facts(ingested)
         )
 
-        fp1 = fingerprint("mentions", fp0, self.scanner_backend, self.disambiguation)
-        mentions = self.ckpt.run("mentions", fp1, lambda: self._mentions(ingested))
+        try:
+            fp1 = fingerprint(
+                "mentions", fp0, self.scanner_backend, self.disambiguation
+            )
+            mentions = self.ckpt.run("mentions", fp1, lambda: self._mentions(ingested))
 
-        # linked is a broadcast-join VIEW over the mentions checkpoint —
-        # not checkpointed: its build is ~0 (narrow dim join) while a
-        # checkpoint cycle costs a full write+commit+read-back (~2.5 s at
-        # 3M turns), pure serial floor. Downstream consumers (turn_sets,
-        # metadata) recompute the cheap join from the mentions parquet;
-        # lineage stays truncated at the mentions checkpoint. fp2 still
-        # keys every downstream fingerprint on the canonicalizer choice.
-        fp2 = fingerprint("linked", fp1, self.canonicalizer)
-        linked = self._link(mentions)
+            # linked is a broadcast-join VIEW over the mentions checkpoint
+            # — not checkpointed: its build is ~0 (narrow dim join) while a
+            # checkpoint cycle costs a full write+commit+read-back (~2.5 s
+            # at 3M turns), pure serial floor. Downstream consumers
+            # (turn_sets, metadata) recompute the cheap join from the
+            # mentions parquet; lineage stays truncated at the mentions
+            # checkpoint. fp2 still keys every downstream fingerprint on
+            # the canonicalizer choice.
+            fp2 = fingerprint("linked", fp1, self.canonicalizer)
+            linked = self._link(mentions)
 
-        # shared per-turn entity sets: the single aggregation both the
-        # links and quads stages consume (one shuffle instead of two)
-        fp2b = fingerprint("turn_sets", fp2)
-        turn_sets = self.ckpt.run(
-            "turn_sets", fp2b, lambda: self._turn_sets(linked)
-        )
+            # shared per-turn entity sets: the single aggregation both the
+            # links and quads stages consume (one shuffle instead of two)
+            fp2b = fingerprint("turn_sets", fp2)
+            turn_sets = self.ckpt.run(
+                "turn_sets", fp2b, lambda: self._turn_sets(linked)
+            )
 
-        # ONE extraction pass over the (wide) text column feeds all four
-        # quad families (submitted above, concurrent with mention scanning).
-        # Before this stage existed, each family rescanned the full
-        # transcript text and re-ran its regexes: at 3M turns / local[8]
-        # the concurrent-family phase measured 34 s vs 17 s in the
-        # four-family engine — the text column is the bulk of the table and
-        # scanning it four times was the regression. The extracted table is
-        # narrow (a struct + a few short strings) and keeps only turns
-        # where at least one extractor hit.
-        extracted = extracted_fut.result()
-        extract_pool.shutdown()
+            # ONE extraction pass over the (wide) text column feeds all
+            # four quad families (submitted above, concurrent with mention
+            # scanning). Before this stage existed, each family rescanned
+            # the full transcript text and re-ran its regexes: at 3M turns
+            # / local[8] the concurrent-family phase measured 34 s vs 17 s
+            # in the four-family engine — the text column is the bulk of
+            # the table and scanning it four times was the regression. The
+            # extracted table is narrow (a struct + a few short strings)
+            # and keeps only turns where at least one extractor hit.
+            extracted = extracted_fut.result()
+        finally:
+            # on any failure in the mentions→turn_sets chain, don't leak
+            # the background extraction future/pool: cancel if still
+            # queued, await if running (so its Spark job isn't orphaned)
+            extracted_fut.cancel()
+            extract_pool.shutdown(wait=True)
 
         # The output families are independent given (turn_sets, extracted)
         # — submit them as CONCURRENT Spark jobs (SparkSession is

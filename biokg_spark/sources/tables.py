@@ -65,9 +65,17 @@ def read_excel_table(
         import openpyxl  # noqa: F401
         import pandas as pd
 
-        pdf = pd.read_excel(path, sheet_name=sheet, dtype=str)
+        # header must behave identically on both paths: row 0 is the
+        # header only when header=True, else synthesize _c{i} names
+        pdf = pd.read_excel(
+            path, sheet_name=sheet, dtype=str, header=0 if header else None
+        )
         rows = [tuple(None if pd.isna(v) else str(v) for v in r) for r in pdf.itertuples(index=False, name=None)]
-        cols = [str(c) for c in pdf.columns]
+        cols = (
+            [str(c) for c in pdf.columns]
+            if header
+            else [f"_c{i}" for i in range(len(pdf.columns))]
+        )
     except ImportError:
         cols, rows = _read_xlsx_stdlib(path, sheet, header=header)
     schema = ", ".join(f"`{c}` string" for c in cols)
@@ -89,17 +97,37 @@ def _read_xlsx_stdlib(
     import xml.etree.ElementTree as ET
     import zipfile
 
+    _REL_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
     with zipfile.ZipFile(path) as z:
-        # sheet name -> sheet file, in workbook order
+        # sheet name -> sheet part, resolved through the workbook's
+        # relationships (xl/_rels/workbook.xml.rels): sheet N in
+        # workbook.xml order need NOT live in worksheets/sheet{N+1}.xml
+        # after an Excel reorder/delete. Fall back to the positional
+        # convention only when the rels part is absent.
         wb = ET.fromstring(z.read("xl/workbook.xml"))
-        names = [e.get("name") for e in wb.iter(f"{_XLSX_NS}sheet")]
+        sheets = list(wb.iter(f"{_XLSX_NS}sheet"))
+        names = [e.get("name") for e in sheets]
         idx = names.index(sheet) if isinstance(sheet, str) else int(sheet)
+        rel_targets: dict[str, str] = {}
+        if "xl/_rels/workbook.xml.rels" in z.namelist():
+            rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+            for rel in rels.iter(
+                "{http://schemas.openxmlformats.org/package/2006/relationships}Relationship"
+            ):
+                rel_targets[rel.get("Id")] = rel.get("Target")
+        rid = sheets[idx].get(f"{_REL_NS}id")
+        target = rel_targets.get(rid, f"worksheets/sheet{idx + 1}.xml")
+        if target.startswith("/"):
+            sheet_part = target.lstrip("/")
+        else:
+            sheet_part = "xl/" + target
         shared: list[str] = []
         if "xl/sharedStrings.xml" in z.namelist():
             ss = ET.fromstring(z.read("xl/sharedStrings.xml"))
             shared = ["".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t"))
                       for si in ss.iter(f"{_XLSX_NS}si")]
-        root = ET.fromstring(z.read(f"xl/worksheets/sheet{idx + 1}.xml"))
+        root = ET.fromstring(z.read(sheet_part))
 
     def col_of(ref: str) -> int:
         letters = _re.match(r"([A-Z]+)", ref or "A").group(1)
@@ -112,7 +140,10 @@ def _read_xlsx_stdlib(
     for row in root.iter(f"{_XLSX_NS}row"):
         vals: list[str | None] = []
         for cell in row.iter(f"{_XLSX_NS}c"):
-            ci = col_of(cell.get("r", ""))
+            # a cell without an 'r' ref (legal per OOXML) occupies the
+            # next implicit column, not column A
+            ref = cell.get("r")
+            ci = col_of(ref) if ref else len(vals)
             while len(vals) <= ci:
                 vals.append(None)
             t = cell.get("t")

@@ -45,6 +45,28 @@ def incremental_mentions(
     column is provenance metadata.
     """
 
+    # Layout guard: this sink writes hive-partitioned batch_id=N
+    # directories (an earlier layout wrote flat mode('append') files).
+    # Mixing the two in one out_path breaks partition discovery and
+    # surfaces a batch_id column legacy readers never saw — fail with a
+    # migration error instead of silently corrupting the table.
+    import os
+
+    if os.path.isdir(out_path):
+        legacy = [
+            f
+            for f in os.listdir(out_path)
+            if f.endswith(".parquet") and os.path.isfile(os.path.join(out_path, f))
+        ]
+        if legacy:
+            raise ValueError(
+                f"out_path {out_path!r} holds {len(legacy)} flat parquet file(s) "
+                "from the pre-partitioned sink layout; the batch_id-keyed "
+                "idempotent sink needs a fresh directory (migrate the old "
+                "files into batch_id=<n>/ subdirectories or point the "
+                "stream at a new out_path)"
+            )
+
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
         mentions = scan_mentions(batch_df, lexicon, backend=backend)
         mentions.write.mode("overwrite").parquet(

@@ -134,3 +134,45 @@ def test_excel_source_runnable(spark, tmp_path):
     assert rows == {("AKT1", "GSK3B", "S9"), ("SRC", None, "Y416"), ("CDK1", "LMNA", "22")}
     other = read_excel_table(spark, path, sheet=1)
     assert other.columns == ["A"] and [r.A for r in other.collect()] == ["x"]
+
+
+def test_excel_rels_resolution_and_implicit_columns(spark, tmp_path):
+    """A real xlsx maps sheets via workbook relationships, not positional
+    file names: after an Excel sheet delete/reorder, sheet index 0 can
+    live in worksheets/sheet2.xml. Cells without an 'r' ref (legal per
+    OOXML) occupy the next implicit column, not column A."""
+    import zipfile
+
+    path = str(tmp_path / "rels.xlsx")
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    # workbook order: ["data"] only, but its rId points at sheet2.xml
+    wb = (f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+          '<sheet name="data" sheetId="5" r:id="rId9"/></sheets></workbook>')
+    rels = ('<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId9" Type="x" Target="worksheets/sheet2.xml"/>'
+            "</Relationships>")
+    # rows use inline strings and NO r= attrs -> implicit running columns
+    ws = (f'<worksheet xmlns="{ns}"><sheetData>'
+          '<row><c t="inlineStr"><is><t>H1</t></is></c>'
+          '<c t="inlineStr"><is><t>H2</t></is></c></row>'
+          '<row><c t="inlineStr"><is><t>a</t></is></c><c><v>7</v></c></row>'
+          "</sheetData></worksheet>")
+    decoy = (f'<worksheet xmlns="{ns}"><sheetData>'
+             '<row><c r="A1" t="inlineStr"><is><t>WRONG</t></is></c></row>'
+             "</sheetData></worksheet>")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", decoy)
+        z.writestr("xl/worksheets/sheet2.xml", ws)
+
+    from biokg_spark.sources.tables import read_excel_table
+
+    df = read_excel_table(spark, path, sheet="data")
+    assert df.columns == ["H1", "H2"]
+    assert [tuple(r) for r in df.collect()] == [("a", "7")]
+    # header=False keeps row 0 as data with synthesized names
+    df2 = read_excel_table(spark, path, sheet=0, header=False)
+    assert df2.columns == ["_c0", "_c1"]
+    assert {tuple(r) for r in df2.collect()} == {("H1", "H2"), ("a", "7")}
