@@ -54,6 +54,7 @@ HEADLINE = [
     "range_join_intervals",
     "kg_mention_scan",
     "kg_cooccurrence_links",
+    "kg_property_fanout",
     "ddi_cascade_effects",
     "dedup_exact",
     "dedup_minhash_lsh",

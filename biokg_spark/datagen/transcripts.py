@@ -187,41 +187,197 @@ def id_mapping(spark: SparkSession) -> DataFrame:
     )
 
 
+# Value tables for the ontology dim — deterministic picks by md5 hash.
+# Each mirrors one published vocabulary (properties_description.txt /
+# meta_description.txt); the class lists are representative members.
+INTERPRO_CLASSES = [
+    "DOMAIN", "FAMILY", "ACTIVE_SITE", "BINDING_SITE", "CONSERVED_SITE",
+    "HOMOLOGOUS_SUPERFAMILY", "PTM", "REPEAT",
+]
+ORGANISM_CLASS_TAILS = ["Metazoa", "Fungi", "Viridiplantae", "Chordata"]
+SPECIES_NAMES = ["HUMAN", "MOUSE", "RAT"]
+PROTEIN_KEYWORDS = ["Kinase", "Transferase", "Membrane", "Cytoplasm", "ATP-binding"]
+DRUG_TYPES = ["small molecule", "biotech"]
+PRODUCT_STAGES = ["approved", "experimental", "nutraceutical"]
+CHEM_CLASSES = ["Benzenoids", "Organoheterocyclic compounds", "Lipids", "Organic acids"]
+CHEM_SUBSTITUENTS = ["Aromatic ring", "Carboxylic acid", "Hydroxyl group", "Amine"]
+PATHWAY_CATEGORIES = ["signaling", "metabolic", "disease", "drug_action"]
+MIM_CATEGORIES = ["Autosomal dominant", "Autosomal recessive", "X-linked", "Somatic"]
+
+
 def ontology(spark: SparkSession) -> DataFrame:
-    """Entity metadata dim: NAME/TYPE rows plus MeSH-style tree paths."""
+    """Per-entity ontology dim carrying the reference's FULL published
+    properties/metadata taxonomy (properties_description.txt:7-306,
+    meta_description.txt:8-346): GO annotations, InterPro sequence-
+    annotation classes, SIDER drug associations, ClassyFire-style drug
+    taxonomy, MeSH trees + supergroups, pathway hierarchy/category/GO,
+    cell→tissue membership, MedGen MIM categories, ATC codes, and the
+    per-type name/synonym/keyword metadata.
+
+    Schema: (entity_id, entity_type, pred, value). TREE/ATC rows are raw
+    hierarchy codes — the pipeline's routing expands them to
+    TREE_PREFIX / DRUG_ATC_CODE level rows (pipeline/taxonomy.py).
+    """
     lex = entity_lexicon(spark).where(F.col("priority") == 0)
-    names = lex.select(
-        "entity_id", F.lit("NAME").alias("pred"), F.col("surface").alias("value")
+    parts: list[DataFrame] = []
+
+    def of(etype: str) -> DataFrame:
+        return lex.where(F.col("entity_type") == etype)
+
+    def add(df: DataFrame, pred, value) -> None:
+        pred_col = F.lit(pred) if isinstance(pred, str) else pred
+        parts.append(
+            df.select(
+                "entity_id",
+                "entity_type",
+                pred_col.alias("pred"),
+                value.alias("value"),
+            )
+        )
+
+    def pick(options: list[str], *salt: str):
+        arr = F.array(*[F.lit(o) for o in options])
+        return F.element_at(
+            arr, (_h(len(options), "entity_id", *[F.lit(s) for s in salt]) + 1).cast("int")
+        )
+
+    # ---- NAME metadata for the five published types (uniprot_name /
+    # drugbank_name / mesh_name / pathway_names / cell_names) ----------
+    named = lex.where(
+        F.col("entity_type").isin("PROTEIN", "DRUG", "DISEASE", "PATHWAY")
     )
-    types = lex.select(
-        "entity_id", F.lit("TYPE").alias("pred"), F.col("entity_type").alias("value")
+    add(named, "NAME", F.col("surface"))
+
+    # ---- protein metadata (uniprot_* files, meta_description.txt:8-117)
+    prot = of("PROTEIN")
+    add(prot, "FULL_NAME", F.concat(F.col("surface"), F.lit(" full protein")))
+    add(prot, "SHORT_NAME", F.upper(F.substring("surface", 1, 4)))
+    add(prot, "ORGANISM_CLASS", F.lit("Eukaryota"))
+    add(prot, "ORGANISM_CLASS", pick(ORGANISM_CLASS_TAILS, "oc"))
+    add(prot, "SPECIES", pick(SPECIES_NAMES, "sp"))
+    add(prot, "OTHER_ID", F.concat(F.lit("UPI:"), F.col("entity_id")))
+    add(prot, "RELATED_KEYWORD", pick(PROTEIN_KEYWORDS, "kw"))
+    add(
+        prot,
+        "RELATED_PUBMED_ID",
+        F.format_string("pubmed:%d", 10000 + _h(90000, "entity_id", F.lit("pm"))),
     )
-    trees = lex.where(F.col("entity_type") == "DISEASE").select(
-        "entity_id",
-        F.lit("TREE").alias("pred"),
-        F.format_string(
-            "C%02d.%03d.%03d",
-            _h(20, "entity_id"),
-            _h(999, "entity_id", F.lit("a")),
-            _h(999, "entity_id", F.lit("b")),
-        ).alias("value"),
+    # protein GO annotations (protein_go_*.txt): 2×BP + 1×CC + 1×MF
+    for pred, salt in (("GO_BP", "g1"), ("GO_BP", "g2"), ("GO_CC", "g3"), ("GO_MF", "g4")):
+        add(prot, pred, F.format_string("GO:%07d", _h(10**7, "entity_id", F.lit(salt))))
+    # InterPro sequence annotations: 2 per protein, class by the
+    # interpro_map analog (reference parsers.py:329-334 routes each IPR
+    # id through self._interpro_map to its class predicate)
+    for salt in ("i1", "i2"):
+        ipr_pred = pick(INTERPRO_CLASSES, "ic" + salt)
+        add(
+            prot,
+            ipr_pred,
+            F.format_string("IPR%06d", _h(10**6, "entity_id", F.lit("iv" + salt))),
+        )
+
+    # ---- drug metadata (drugbank_* files, meta_description.txt:125-299)
+    drug = of("DRUG")
+    add(drug, "SYNONYM", F.concat(F.col("surface"), F.lit(" synonym")))
+    add(drug, "TYPE", pick(DRUG_TYPES, "ty"))
+    add(drug, "PRODUCT", F.concat(F.col("surface"), F.lit(" 10 mg tablet")))
+    add(drug, "PRODUCT_STAGE", pick(PRODUCT_STAGES, "st"))
+    add(drug, "CLASS", pick(CHEM_CLASSES, "cl"))
+    add(drug, "DIRECT_PARENT", pick(CHEM_CLASSES, "dp"))
+    add(drug, "ALTERNATIVE_PARENT", pick(CHEM_CLASSES, "ap"))
+    add(drug, "SUPERCLASS", F.lit("Organic compounds"))
+    add(drug, "SUBCLASS", pick(CHEM_CLASSES, "sc"))
+    add(drug, "SUBSTITUENT", pick(CHEM_SUBSTITUENTS, "su"))
+    add(drug, "KINGDOM", F.lit("Organic compounds"))
+    add(
+        drug,
+        "PUBMED_ARTICLE",
+        F.format_string("pubmed:%d", 10000 + _h(90000, "entity_id", F.lit("dpm"))),
     )
-    # WHO ATC classification codes for drugs (reference: parsers.py
-    # 1023-1049 reads them off DrugBank records; 7-char level-5 codes
-    # like B01AE02 whose prefixes encode the class hierarchy)
+    # SIDER associations (drug_sideeffect / drug_indication, MedDRA ids)
+    for pred, salt in (
+        ("DRUG_SIDEEFFECT_ASSOCIATION", "se1"),
+        ("DRUG_SIDEEFFECT_ASSOCIATION", "se2"),
+        ("DRUG_INDICATION_ASSOCIATION", "in1"),
+    ):
+        add(drug, pred, F.format_string("C%07d", _h(10**7, "entity_id", F.lit(salt))))
+    # WHO ATC classification codes (reference: parsers.py:1023-1049 reads
+    # them off DrugBank records; 7-char level-5 codes like B01AE02 whose
+    # prefixes encode the class hierarchy)
     letters = F.array(*[F.lit(c) for c in "ABCDGHJLMNPRSV"])
-    atc = lex.where(F.col("entity_type") == "DRUG").select(
-        "entity_id",
-        F.lit("ATC").alias("pred"),
+    add(
+        drug,
+        "ATC",
         F.concat(
             F.element_at(letters, (_h(14, "entity_id", F.lit("l1")) + 1).cast("int")),
             F.format_string("%02d", _h(17, "entity_id", F.lit("n1"))),
             F.element_at(letters, (_h(14, "entity_id", F.lit("l2")) + 1).cast("int")),
             F.element_at(letters, (_h(14, "entity_id", F.lit("l3")) + 1).cast("int")),
             F.format_string("%02d", _h(100, "entity_id", F.lit("n2"))),
-        ).alias("value"),
+        ),
     )
-    return names.unionByName(types).unionByName(trees).unionByName(atc)
+
+    # ---- disease: MeSH type/tree/supergroup ---------------------------
+    dis = of("DISEASE")
+    add(
+        dis,
+        "TYPE",
+        F.when(_h(5, "entity_id", F.lit("mt")) == 0, "SCR_DISEASE").otherwise("DISEASE"),
+    )
+    add(
+        dis,
+        "TREE",
+        F.format_string(
+            "C%02d.%03d.%03d",
+            _h(20, "entity_id"),
+            _h(999, "entity_id", F.lit("a")),
+            _h(999, "entity_id", F.lit("b")),
+        ),
+    )
+    add(dis, "DISEASE_SUPERGRP", F.format_string("D%06d", _h(10**6, "entity_id", F.lit("sg"))))
+
+    # ---- pathway: category, GO, and the Reactome parent hierarchy -----
+    pw = of("PATHWAY")
+    add(pw, "PATHWAY_CATEGORY", pick(PATHWAY_CATEGORIES, "pc"))
+    for pred, salt in (("PATHWAY_GO_BP", "pg1"), ("PATHWAY_GO_CC", "pg2"), ("PATHWAY_GO_MF", "pg3")):
+        add(pw, pred, F.format_string("GO:%07d", _h(10**7, "entity_id", F.lit(salt))))
+    # pathway i (i >= 3) has parent pathway i // 2; pathways 1 and 2 stay
+    # top-level — the set behind MEMBER_OF_TOP_LEVEL_PATHWAY
+    pw_idx = F.regexp_extract("entity_id", r"R-HSA-(\d+)", 1).cast("int")
+    parents = pw.where(pw_idx >= 3).select(
+        "entity_id",
+        "entity_type",
+        F.lit("HAS_PARENT_PATHWAY").alias("pred"),
+        F.format_string("R-HSA-%d", (pw_idx / 2).cast("int")).alias("value"),
+    )
+    parts.append(parents)
+
+    # ---- genetic disorder: MedGen MIM categories ----------------------
+    add(of("GENETIC_DISORDER"), "CATEGORY", pick(MIM_CATEGORIES, "mc"))
+
+    # ---- cells (Cellosaurus-ish): dim-only entities — cells come from
+    # HPA/Cellosaurus tables, not from transcript text, so they live in
+    # the ontology without lexicon surfaces -----------------------------
+    cells = spark.range(10).select(
+        F.format_string("CVCL_%04d", F.col("id") + 1).alias("entity_id"),
+        F.lit("CELL").alias("entity_type"),
+        F.format_string("celloid%d", F.col("id") + 1).alias("surface"),
+    )
+    add(cells, "NAME", F.col("surface"))
+    tissues = F.array(*[F.lit(t) for t in TISSUES])
+    add(
+        cells,
+        "PART_OF_TISSUE",
+        F.concat(
+            F.lit("TISSUE:"),
+            F.element_at(tissues, (_h(len(TISSUES), "entity_id", F.lit("tis")) + 1).cast("int")),
+        ),
+    )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def transcripts(

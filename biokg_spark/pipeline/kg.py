@@ -48,7 +48,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biokg_spark.functions.cascade import cascade_column, ddi_effects_column
-from biokg_spark.operators.hierarchy import expand_prefixes
 from biokg_spark.operators.mentions import scan_mentions
 from biokg_spark.operators.skew import salted_collect_set
 from biokg_spark.plans.checkpoint import CheckpointManager, fingerprint
@@ -62,13 +61,16 @@ LINK_PREDICATES: dict[tuple[str, str], tuple[str, bool]] = {
     ("DRUG", "PROTEIN"): ("DPI", False),
     ("DRUG", "DISEASE"): ("DRUG_DISEASE_ASSOCIATION", False),
     ("PROTEIN", "DISEASE"): ("PROTEIN_DISEASE_ASSOCIATION", False),
-    ("PROTEIN", "PATHWAY"): ("MEMBER_OF_PATHWAY", False),
+    # protein→pathway carries its own published name, distinct from the
+    # complex membership predicate (links_description.txt:63 vs :163)
+    ("PROTEIN", "PATHWAY"): ("PROTEIN_PATHWAY_ASSOCIATION", False),
     ("DRUG", "PATHWAY"): ("DRUG_PATHWAY_ASSOCIATION", False),
     ("DISEASE", "PATHWAY"): ("DISEASE_PATHWAY_ASSOCIATION", False),
-    # reference links_description.txt:73-205 — with these four the engine
-    # covers the reference's full published link-predicate vocabulary
-    # (drug_protein_function rel types live in action_quads; the
-    # complex→top-level-pathway file reuses MEMBER_OF_PATHWAY semantics)
+    # reference links_description.txt:73-205 — full published
+    # link-predicate vocabulary (drug_protein_function rel types live in
+    # action_quads). COMPLEX×PATHWAY refines to MEMBER_OF_TOP_LEVEL_PATHWAY
+    # (links_description.txt:176) when the pathway has no parent in the
+    # hierarchy — see links_from_entity_sets(top_level=...).
     ("PROTEIN", "COMPLEX"): ("MEMBER_OF_COMPLEX", False),
     ("COMPLEX", "PATHWAY"): ("MEMBER_OF_PATHWAY", False),
     ("DISEASE", "GENETIC_DISORDER"): ("DISEASE_GENETIC_DISORDER", False),
@@ -96,21 +98,25 @@ PUBMED_RX = r"PubMed=(\d+)"
 EXPRESSION_RX = r"\bexpression in (\w+) is (\w+)\b"
 PHOS_RX = r"^(\S+) \((\w+)\) phosphorylates (\S+) \((\w+)\) at (\w+)\."
 
+from biokg_spark.pipeline.taxonomy import (  # noqa: E402  (vocab data)
+    ALL_METADATA_PREDICATES,
+    ALL_PROPERTY_PREDICATES,
+    assert_routed,
+    route_ontology,
+    top_level_pathways,
+)
+
 PREDICATE_VOCABULARY = frozenset(
     [p for p, _ in LINK_PREDICATES.values()]
     + [rel for _pat, rel, _act in ACTION_CUES]
     + [
         "MENTIONS",
-        "NAME",
-        "TYPE",
-        "TREE",
-        "TREE_PREFIX",
+        "MEMBER_OF_TOP_LEVEL_PATHWAY",
         "DRUG_INTERACTION",
         "PROTEIN_EXPRESSED_IN",
         "PHOSPHORYLATES",
-        "DRUG_ATC_CODE",
     ]
-)
+) | ALL_PROPERTY_PREDICATES | ALL_METADATA_PREDICATES
 
 
 def cooccurrence_links(
@@ -161,8 +167,17 @@ def entity_sets(
     )
 
 
-def links_from_entity_sets(per_group: DataFrame) -> DataFrame:
-    """Typed distinct (subj, pred, obj) from per-group entity sets."""
+def links_from_entity_sets(
+    per_group: DataFrame, top_level: DataFrame | None = None
+) -> DataFrame:
+    """Typed distinct (subj, pred, obj) from per-group entity sets.
+
+    ``top_level``: optional one-column (``pathway_id``) dim of top-level
+    pathways — COMPLEX×PATHWAY memberships whose pathway is in this set
+    emit MEMBER_OF_TOP_LEVEL_PATHWAY instead of MEMBER_OF_PATHWAY
+    (reference ships both files, links_description.txt:163 and :176;
+    top-level = no parent in the Reactome hierarchy). Broadcast join —
+    the set is dim-sized."""
     per_group = per_group.where(F.size("ms") >= 2)
     ms = F.col("ms")
     # ordered pairs (i < j) from the sorted set: a.eid <= b.eid by sort order
@@ -206,7 +221,29 @@ def links_from_entity_sets(per_group: DataFrame) -> DataFrame:
     ).otherwise(
         F.when(F.col("dfirst") == F.col("e1"), F.col("e2")).otherwise(F.col("e1"))
     )
-    return typed.select(subj.alias("subj"), F.col("pred"), obj.alias("obj")).dropDuplicates()
+    links = typed.select(subj.alias("subj"), F.col("pred"), obj.alias("obj"))
+    if top_level is not None:
+        # MEMBER_OF_PATHWAY only arises from COMPLEX×PATHWAY (protein
+        # memberships carry PROTEIN_PATHWAY_ASSOCIATION), so obj is
+        # always the pathway here; the refine is a broadcast left join +
+        # conditional rename, BEFORE the distinct so renamed rows dedup.
+        tl = F.broadcast(
+            top_level.select(
+                F.col("pathway_id").alias("_tl_pid"), F.lit(True).alias("_is_top")
+            )
+        )
+        links = (
+            links.join(tl, links.obj == tl._tl_pid, "left")
+            .withColumn(
+                "pred",
+                F.when(
+                    (F.col("pred") == "MEMBER_OF_PATHWAY") & F.col("_is_top"),
+                    F.lit("MEMBER_OF_TOP_LEVEL_PATHWAY"),
+                ).otherwise(F.col("pred")),
+            )
+            .drop("_tl_pid", "_is_top")
+        )
+    return links.dropDuplicates()
 
 
 class KGPipeline:
@@ -253,6 +290,23 @@ class KGPipeline:
         self.canonicalizer = canonicalizer
         self.disambiguation = disambiguation
         self.extractor_backend = extractor_backend
+        self._onto_ck: DataFrame | None = None
+
+    def _onto(self) -> DataFrame:
+        """The ontology dim with its lineage truncated (localCheckpoint):
+        a dim assembled from many per-predicate unions (the datagen
+        builds ~30) re-plans its whole union tree in EVERY consumer job
+        otherwise — measured 20 s/stage at sf0.01 for a dim of a few
+        thousand rows, pure analysis/codegen overhead. After truncation
+        every consumer (routing assert, the two family splits, the
+        top-level pathway set, the species export) scans a tiny cached
+        table. On a real cluster the ontology would be a materialized
+        table to begin with; this keeps arbitrary caller-supplied plans
+        cheap."""
+        if self._onto_ck is None:
+            assert self.ontology is not None
+            self._onto_ck = self.ontology.localCheckpoint()
+        return self._onto_ck
 
     # ------------------------------------------------------------------
     def run(self, transcripts: DataFrame, run_key: str = "default") -> dict[str, DataFrame]:
@@ -312,6 +366,20 @@ class KGPipeline:
             extracted_fut.cancel()
             extract_pool.shutdown(wait=True)
 
+        # Ontology routing (properties/metadata taxonomy + the top-level
+        # pathway set): ONE declarative pass over the dim, checked against
+        # the published per-type vocabularies up front — the Spark analog
+        # of the reference's per-file fan-out writers raising on unknown
+        # predicates (compile_biokg.py:969). assert_routed is a limit-1
+        # job on a dim table, not a hot-path collect.
+        routed = None
+        top_level = None
+        if self.ontology is not None:
+            onto = self._onto()
+            routed = route_ontology(onto)
+            assert_routed(routed)
+            top_level = top_level_pathways(self.lexicon, onto)
+
         # The output families are independent given (turn_sets, extracted)
         # — submit them as CONCURRENT Spark jobs (SparkSession is
         # thread-safe for job submission). Sequential execution would
@@ -320,8 +388,8 @@ class KGPipeline:
         # exactly the jobs you overlap.
         tasks: dict[str, tuple] = {
             "links": (
-                fingerprint("links", fp2b),
-                lambda: self._links(turn_sets),
+                fingerprint("links", fp2b, "v3"),
+                lambda: self._links(turn_sets, top_level),
                 ["pred"],
             ),
             "quads": (
@@ -345,15 +413,15 @@ class KGPipeline:
                 None,
             ),
             "metadata": (
-                fingerprint("metadata", fp2),
-                lambda: self._metadata(linked),
+                fingerprint("metadata", fp2, "v3"),
+                lambda: self._metadata(linked, routed),
                 ["pred"],
             ),
         }
-        if self.ontology is not None:
+        if routed is not None:
             tasks["properties"] = (
-                fingerprint("properties", run_key),
-                lambda: self._properties(),
+                fingerprint("properties", run_key, "v3"),
+                lambda: self._properties(routed),
                 ["pred"],
             )
         out = {
@@ -445,8 +513,8 @@ class KGPipeline:
         )
 
     # -- stage 4a: typed co-occurrence links ------------------------------
-    def _links(self, turn_sets: DataFrame) -> DataFrame:
-        return links_from_entity_sets(turn_sets)
+    def _links(self, turn_sets: DataFrame, top_level: DataFrame | None = None) -> DataFrame:
+        return links_from_entity_sets(turn_sets, top_level=top_level)
 
     # -- stage 3c: the SHARED one-pass fact extraction ----------------------
     def _extract_facts(self, ingested: DataFrame) -> DataFrame:
@@ -772,47 +840,38 @@ class KGPipeline:
             .dropDuplicates()
         )
 
-    # -- stage 4c: MENTIONS metadata --------------------------------------
-    def _metadata(self, linked: DataFrame) -> DataFrame:
+    # -- stage 4c: metadata (MENTIONS provenance + entity metadata) --------
+    def _metadata(self, linked: DataFrame, routed: DataFrame | None = None) -> DataFrame:
+        """Turn→entity MENTIONS provenance plus the per-entity metadata
+        families routed off the ontology dim (NAME/SYNONYM/SPECIES/… —
+        reference meta_description.txt:8-346; routing in
+        pipeline/taxonomy.py mirrors the per-type metadata writers)."""
+        mentions = linked.select(
+            F.concat_ws("#", "conv_id", "turn_idx").alias("subj"),
+            F.lit("MENTIONS").alias("pred"),
+            F.col("canonical_id").alias("obj"),
+        )
+        if routed is None:
+            return mentions.dropDuplicates()
+        entity_meta = routed.where(F.col("family") == "metadata").select(
+            "subj", "pred", "obj"
+        )
+        return mentions.unionByName(entity_meta).dropDuplicates()
+
+    # -- stage 4d: ontology properties (full published taxonomy) ----------
+    def _properties(self, routed: DataFrame) -> DataFrame:
+        """The reference's property files as one partitioned family: GO
+        annotations, InterPro classes, SIDER associations, ATC levels,
+        MeSH tree prefixes + supergroups, pathway category/hierarchy/GO,
+        cell→tissue (properties_description.txt:7-306). Expansion and
+        (entity_type, pred) vocabulary routing happened in
+        route_ontology; unknown rows already raised at assert_routed —
+        the fan-out writer raise (compile_biokg.py:969)."""
         return (
-            linked.select(
-                F.concat_ws("#", "conv_id", "turn_idx").alias("subj"),
-                F.lit("MENTIONS").alias("pred"),
-                F.col("canonical_id").alias("obj"),
-            )
+            routed.where(F.col("family") == "properties")
+            .select("subj", "pred", "obj")
             .dropDuplicates()
         )
-
-    # -- stage 4d: ontology properties (tree expansion) -------------------
-    def _properties(self) -> DataFrame:
-        assert self.ontology is not None
-        # non-TREE rows pass through untouched (the reference's "other"
-        # copy-through, compile_biokg.py:1276-1384); unknown predicates
-        # surface at the vocabulary assert, like the fan-out raise
-        base = self.ontology.select(
-            F.col("entity_id").alias("subj"), "pred", F.col("value").alias("obj")
-        ).where(~F.col("pred").isin("TREE", "ATC"))
-        trees = self.ontology.where(F.col("pred") == "TREE")
-        expanded = expand_prefixes(trees, "value", out_col="prefix").select(
-            F.col("entity_id").alias("subj"),
-            F.lit("TREE_PREFIX").alias("pred"),
-            F.col("prefix").alias("obj"),
-        )
-        # ATC hierarchy: every code level becomes one DRUG_ATC_CODE row —
-        # the reference writes exactly the 1/3/4/5/7-char prefixes
-        # (parsers.py:1036-1049; published contract
-        # properties_description.txt:172 names the predicate).
-        atc = self.ontology.where(F.col("pred") == "ATC").select(
-            F.col("entity_id").alias("subj"),
-            F.lit("DRUG_ATC_CODE").alias("pred"),
-            F.explode(
-                F.transform(
-                    F.array(F.lit(1), F.lit(3), F.lit(4), F.lit(5), F.lit(7)),
-                    lambda n: F.concat(F.lit("ATC:"), F.col("value").substr(F.lit(1), n)),
-                )
-            ).alias("obj"),
-        )
-        return base.unionByName(expanded).unionByName(atc).dropDuplicates()
 
     # -- vocabulary closure (reference: compile_biokg.py:969) -------------
     def _assert_vocabulary(self, outputs: dict[str, DataFrame]) -> None:
@@ -900,6 +959,46 @@ class KGPipeline:
                 outputs["properties"].select("subj", "pred", "obj"),
                 f"{path}/properties",
             )
+        if self.ontology is not None:
+            self.export_ppi_by_species(outputs, path)
+
+    def export_ppi_by_species(self, outputs: dict[str, DataFrame], path: str) -> None:
+        """Per-species PPI fan-out — K4 at pipeline level (reference
+        write_ppi_by_species, compile_biokg.py:215-272): each PPI edge
+        routes to its species' partition when both endpoints share a
+        species, to INTERSPECIES otherwise; edges with an unmapped
+        endpoint are skipped (the reference's ``continue``). The species
+        map comes from the ontology's SPECIES metadata rows, exactly like
+        the reference's get_species_map reads uniprot_metadata
+        (compile_biokg.py:203-212). Both joins broadcast (dim-sized map);
+        the write partitions by the bucket — one directory per species,
+        the analog of one file per species."""
+        from biokg_spark.sources.tables import write_tsv
+
+        write_tsv(
+            self.ppi_species_buckets(outputs["links"]),
+            f"{path}/ppi_species",
+            partition_by=["species_bucket"],
+        )
+
+    def ppi_species_buckets(self, links: DataFrame) -> DataFrame:
+        """(subj, pred, obj, species_bucket) for every species-mapped PPI
+        edge — the routing expression behind export_ppi_by_species."""
+        species = self._onto().where(F.col("pred") == "SPECIES").select(
+            F.col("entity_id").alias("sp_id"), F.col("value").alias("sp")
+        )
+        ppi = links.where(F.col("pred") == "PPI")
+        s_sp = F.broadcast(species.withColumnRenamed("sp", "s_species"))
+        o_sp = F.broadcast(species.withColumnRenamed("sp", "o_species"))
+        bucket = F.when(
+            F.col("s_species") == F.col("o_species"), F.col("s_species")
+        ).otherwise(F.lit("INTERSPECIES"))
+        return (
+            ppi.join(s_sp, ppi.subj == s_sp.sp_id)
+            .drop("sp_id")
+            .join(o_sp, ppi.obj == o_sp.sp_id)
+            .select("subj", "pred", "obj", bucket.alias("species_bucket"))
+        )
 
     # ------------------------------------------------------------------
     def metrics(self) -> dict[str, dict]:

@@ -637,7 +637,7 @@ _KG_PRED_CASE = """
            WHEN (t1 = 'DRUG' AND t2 = 'PROTEIN') OR (t1 = 'PROTEIN' AND t2 = 'DRUG') THEN 'DPI'
            WHEN (t1 = 'DRUG' AND t2 = 'DISEASE') OR (t1 = 'DISEASE' AND t2 = 'DRUG') THEN 'DRUG_DISEASE_ASSOCIATION'
            WHEN (t1 = 'PROTEIN' AND t2 = 'DISEASE') OR (t1 = 'DISEASE' AND t2 = 'PROTEIN') THEN 'PROTEIN_DISEASE_ASSOCIATION'
-           WHEN (t1 = 'PROTEIN' AND t2 = 'PATHWAY') OR (t1 = 'PATHWAY' AND t2 = 'PROTEIN') THEN 'MEMBER_OF_PATHWAY'
+           WHEN (t1 = 'PROTEIN' AND t2 = 'PATHWAY') OR (t1 = 'PATHWAY' AND t2 = 'PROTEIN') THEN 'PROTEIN_PATHWAY_ASSOCIATION'
            WHEN (t1 = 'DRUG' AND t2 = 'PATHWAY') OR (t1 = 'PATHWAY' AND t2 = 'DRUG') THEN 'DRUG_PATHWAY_ASSOCIATION'
            WHEN (t1 = 'DISEASE' AND t2 = 'PATHWAY') OR (t1 = 'PATHWAY' AND t2 = 'DISEASE') THEN 'DISEASE_PATHWAY_ASSOCIATION'
       END"""
@@ -645,7 +645,7 @@ _KG_FIRST_TYPE = """
       CASE pred WHEN 'DPI' THEN 'DRUG'
                 WHEN 'DRUG_DISEASE_ASSOCIATION' THEN 'DRUG'
                 WHEN 'PROTEIN_DISEASE_ASSOCIATION' THEN 'PROTEIN'
-                WHEN 'MEMBER_OF_PATHWAY' THEN 'PROTEIN'
+                WHEN 'PROTEIN_PATHWAY_ASSOCIATION' THEN 'PROTEIN'
                 WHEN 'DRUG_PATHWAY_ASSOCIATION' THEN 'DRUG'
                 WHEN 'DISEASE_PATHWAY_ASSOCIATION' THEN 'DISEASE'
       END"""
@@ -1371,4 +1371,167 @@ def ddi_cascade_effects(spark, sf_dir):
         "doc_id",
         F.col("r.pattern_idx").alias("pattern_idx"),
         F.explode("r.effects").alias("effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Properties/metadata taxonomy routing (the reference's per-type fan-out,
+# compile_biokg.py:292-314 + properties_description.txt / meta_description
+# contract). Ontology-shaped rows are synthesized deterministically from
+# `part` in BOTH engines; the Spark side runs the pipeline's actual
+# route_ontology (TREE prefix expansion, ATC level expansion, per-type
+# vocabulary split); the oracle runs routing_sql, generated from the same
+# vocabulary tables — which are pinned verbatim against the reference's
+# description files in tests/test_taxonomy_contract.py.
+
+from biokg_spark.pipeline.taxonomy import route_ontology, routing_sql  # noqa: E402
+
+_ONTO_ROWS_SQL = """
+  src AS (SELECT CAST(p_partkey AS BIGINT) AS pk, CAST(p_partkey AS BIGINT) % 4 AS m,
+                 CAST(p_partkey AS BIGINT) % 5 AS k FROM part),
+  onto AS (
+    SELECT
+      CASE m WHEN 0 THEN 'P' || lpad(CAST(pk AS VARCHAR), 5, '0')
+             WHEN 1 THEN 'DB' || lpad(CAST(pk AS VARCHAR), 5, '0')
+             WHEN 2 THEN 'D' || lpad(CAST(pk AS VARCHAR), 6, '0')
+             ELSE 'R-HSA-' || CAST(pk AS VARCHAR) END AS entity_id,
+      CASE m WHEN 0 THEN 'PROTEIN' WHEN 1 THEN 'DRUG'
+             WHEN 2 THEN 'DISEASE' ELSE 'PATHWAY' END AS entity_type,
+      CASE WHEN m = 0 AND k = 0 THEN 'GO_BP'
+           WHEN m = 0 AND k = 1 THEN 'GO_CC'
+           WHEN m = 0 AND k = 2 THEN 'GO_MF'
+           WHEN m = 0 AND k = 3 THEN 'DOMAIN'
+           WHEN m = 0 AND k = 4 THEN 'SPECIES'
+           WHEN m = 1 AND k = 0 THEN 'ATC'
+           WHEN m = 1 AND k = 1 THEN 'DRUG_SIDEEFFECT_ASSOCIATION'
+           WHEN m = 1 AND k = 2 THEN 'SYNONYM'
+           WHEN m = 1 AND k = 3 THEN 'KINGDOM'
+           WHEN m = 1 AND k = 4 THEN 'NAME'
+           WHEN m = 2 AND (k = 0 OR k = 4) THEN 'TREE'
+           WHEN m = 2 AND k = 1 THEN 'DISEASE_SUPERGRP'
+           WHEN m = 2 AND k = 2 THEN 'NAME'
+           WHEN m = 2 AND k = 3 THEN 'TYPE'
+           WHEN m = 3 AND k = 0 THEN 'PATHWAY_GO_BP'
+           WHEN m = 3 AND k = 1 THEN 'HAS_PARENT_PATHWAY'
+           WHEN m = 3 AND k = 2 THEN 'NAME'
+           WHEN m = 3 AND k = 3 THEN 'PATHWAY_CATEGORY'
+           ELSE 'PATHWAY_GO_MF' END AS pred,
+      CASE WHEN m = 0 AND k = 0 THEN 'GO:' || lpad(CAST(pk * 7 % 10000000 AS VARCHAR), 7, '0')
+           WHEN m = 0 AND k = 1 THEN 'GO:' || lpad(CAST(pk * 11 % 10000000 AS VARCHAR), 7, '0')
+           WHEN m = 0 AND k = 2 THEN 'GO:' || lpad(CAST(pk * 13 % 10000000 AS VARCHAR), 7, '0')
+           WHEN m = 0 AND k = 3 THEN 'IPR' || lpad(CAST(pk % 1000000 AS VARCHAR), 6, '0')
+           WHEN m = 0 AND k = 4 THEN CASE pk % 2 WHEN 0 THEN 'HUMAN' ELSE 'MOUSE' END
+           WHEN m = 1 AND k = 0 THEN CASE pk % 3 WHEN 0 THEN 'B01AE02' WHEN 1 THEN 'N02BA01' ELSE 'L01XE07' END
+           WHEN m = 1 AND k = 1 THEN 'C' || lpad(CAST(pk % 10000000 AS VARCHAR), 7, '0')
+           WHEN m = 1 AND k = 2 THEN 'syn' || CAST(pk AS VARCHAR)
+           WHEN m = 1 AND k = 3 THEN 'Organic compounds'
+           WHEN m = 1 AND k = 4 THEN 'drug' || CAST(pk AS VARCHAR)
+           WHEN m = 2 AND k = 0 THEN 'C' || lpad(CAST(pk % 20 AS VARCHAR), 2, '0')
+                || '.' || lpad(CAST(pk % 999 AS VARCHAR), 3, '0')
+                || '.' || lpad(CAST(pk % 99 AS VARCHAR), 3, '0')
+           WHEN m = 2 AND k = 1 THEN 'D' || lpad(CAST(pk % 1000000 AS VARCHAR), 6, '0')
+           WHEN m = 2 AND k = 2 THEN 'dis' || CAST(pk AS VARCHAR)
+           WHEN m = 2 AND k = 3 THEN 'DISEASE'
+           WHEN m = 2 AND k = 4 THEN 'C' || lpad(CAST(pk % 20 AS VARCHAR), 2, '0')
+                || '.' || lpad(CAST(pk % 500 AS VARCHAR), 3, '0')
+           WHEN m = 3 AND k = 0 THEN 'GO:' || lpad(CAST(pk * 17 % 10000000 AS VARCHAR), 7, '0')
+           WHEN m = 3 AND k = 1 THEN 'R-HSA-' || CAST(pk % 50 AS VARCHAR)
+           WHEN m = 3 AND k = 2 THEN 'pw' || CAST(pk AS VARCHAR)
+           WHEN m = 3 AND k = 3 THEN CASE pk % 2 WHEN 0 THEN 'signaling' ELSE 'metabolic' END
+           ELSE 'GO:' || lpad(CAST(pk * 19 % 10000000 AS VARCHAR), 7, '0') END AS value
+    FROM src)
+"""
+
+
+def _onto_rows_col(spark, sf_dir):
+    """Spark twin of _ONTO_ROWS_SQL: ontology-shaped rows from part."""
+    pk = F.col("p_partkey").cast("long")
+    m, k = pk % 4, pk % 5
+
+    def lp(x, n):
+        return F.lpad(x.cast("string"), n, "0")
+
+    entity_id = (
+        F.when(m == 0, F.concat(F.lit("P"), lp(pk, 5)))
+        .when(m == 1, F.concat(F.lit("DB"), lp(pk, 5)))
+        .when(m == 2, F.concat(F.lit("D"), lp(pk, 6)))
+        .otherwise(F.concat(F.lit("R-HSA-"), pk.cast("string")))
+    )
+    entity_type = (
+        F.when(m == 0, "PROTEIN").when(m == 1, "DRUG")
+        .when(m == 2, "DISEASE").otherwise("PATHWAY")
+    )
+    pred = (
+        F.when((m == 0) & (k == 0), "GO_BP")
+        .when((m == 0) & (k == 1), "GO_CC")
+        .when((m == 0) & (k == 2), "GO_MF")
+        .when((m == 0) & (k == 3), "DOMAIN")
+        .when((m == 0) & (k == 4), "SPECIES")
+        .when((m == 1) & (k == 0), "ATC")
+        .when((m == 1) & (k == 1), "DRUG_SIDEEFFECT_ASSOCIATION")
+        .when((m == 1) & (k == 2), "SYNONYM")
+        .when((m == 1) & (k == 3), "KINGDOM")
+        .when((m == 1) & (k == 4), "NAME")
+        .when((m == 2) & ((k == 0) | (k == 4)), "TREE")
+        .when((m == 2) & (k == 1), "DISEASE_SUPERGRP")
+        .when((m == 2) & (k == 2), "NAME")
+        .when((m == 2) & (k == 3), "TYPE")
+        .when((m == 3) & (k == 0), "PATHWAY_GO_BP")
+        .when((m == 3) & (k == 1), "HAS_PARENT_PATHWAY")
+        .when((m == 3) & (k == 2), "NAME")
+        .when((m == 3) & (k == 3), "PATHWAY_CATEGORY")
+        .otherwise("PATHWAY_GO_MF")
+    )
+    go = lambda mult: F.concat(F.lit("GO:"), lp(pk * mult % 10000000, 7))  # noqa: E731
+    value = (
+        F.when((m == 0) & (k == 0), go(7))
+        .when((m == 0) & (k == 1), go(11))
+        .when((m == 0) & (k == 2), go(13))
+        .when((m == 0) & (k == 3), F.concat(F.lit("IPR"), lp(pk % 1000000, 6)))
+        .when((m == 0) & (k == 4), F.when(pk % 2 == 0, "HUMAN").otherwise("MOUSE"))
+        .when((m == 1) & (k == 0),
+              F.when(pk % 3 == 0, "B01AE02").when(pk % 3 == 1, "N02BA01").otherwise("L01XE07"))
+        .when((m == 1) & (k == 1), F.concat(F.lit("C"), lp(pk % 10000000, 7)))
+        .when((m == 1) & (k == 2), F.concat(F.lit("syn"), pk.cast("string")))
+        .when((m == 1) & (k == 3), F.lit("Organic compounds"))
+        .when((m == 1) & (k == 4), F.concat(F.lit("drug"), pk.cast("string")))
+        .when((m == 2) & (k == 0),
+              F.concat(F.lit("C"), lp(pk % 20, 2), F.lit("."), lp(pk % 999, 3),
+                       F.lit("."), lp(pk % 99, 3)))
+        .when((m == 2) & (k == 1), F.concat(F.lit("D"), lp(pk % 1000000, 6)))
+        .when((m == 2) & (k == 2), F.concat(F.lit("dis"), pk.cast("string")))
+        .when((m == 2) & (k == 3), F.lit("DISEASE"))
+        .when((m == 2) & (k == 4),
+              F.concat(F.lit("C"), lp(pk % 20, 2), F.lit("."), lp(pk % 500, 3)))
+        .when((m == 3) & (k == 0), go(17))
+        .when((m == 3) & (k == 1), F.concat(F.lit("R-HSA-"), (pk % 50).cast("string")))
+        .when((m == 3) & (k == 2), F.concat(F.lit("pw"), pk.cast("string")))
+        .when((m == 3) & (k == 3), F.when(pk % 2 == 0, "signaling").otherwise("metabolic"))
+        .otherwise(go(19))
+    )
+    return load_table(spark, sf_dir, "part").select(
+        entity_id.alias("entity_id"),
+        entity_type.alias("entity_type"),
+        pred.alias("pred"),
+        value.alias("value"),
+    )
+
+
+@q(
+    "kg_property_fanout",
+    f"""
+    WITH {_ONTO_ROWS_SQL},
+    {routing_sql("onto")}
+    SELECT subj, pred, obj, family FROM fam
+    """,
+)
+def kg_property_fanout(spark, sf_dir):
+    """The full published properties/metadata taxonomy routing: GO /
+    InterPro / SIDER / pathway-GO fan-out by (entity_type, pred)
+    vocabulary, MeSH TREE prefix expansion, ATC level expansion — the
+    pipeline's actual route_ontology kernel (pipeline/taxonomy.py;
+    reference: compile_biokg.py:292-314 fan-out writers +
+    properties_description.txt / meta_description.txt contract)."""
+    return route_ontology(_onto_rows_col(spark, sf_dir)).select(
+        "subj", "pred", "obj", "family"
     )

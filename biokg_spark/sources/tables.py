@@ -41,9 +41,20 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
-def write_tsv(df: DataFrame, path: str, sep: str = "\t") -> None:
-    """Reference-compatible TSV dump (no header, positional columns)."""
-    df.write.mode("overwrite").option("sep", sep).option("header", "false").csv(path)
+def write_tsv(
+    df: DataFrame, path: str, sep: str = "\t", partition_by: list[str] | None = None
+) -> None:
+    """Reference-compatible TSV dump (no header, positional columns).
+
+    ``partition_by`` routes rows into one subdirectory per key value —
+    the Spark analog of the reference's per-key output files (e.g. one
+    PPI file per species, compile_biokg.py:215-272); the partition
+    column lives in the directory name, not the file body, exactly like
+    the reference's filename-encoded key."""
+    w = df.write.mode("overwrite").option("sep", sep).option("header", "false")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.csv(path)
 
 
 def read_excel_table(

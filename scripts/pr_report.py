@@ -39,8 +39,13 @@ def main() -> None:
     lex, mp, onto = entity_lexicon(spark), id_mapping(spark), ontology(spark)
 
     with tempfile.TemporaryDirectory() as wd:
-        out = KGPipeline(spark, wd, lex, mp, onto, buckets=8).run(tx, run_key="pr")
+        pipe = KGPipeline(spark, wd, lex, mp, onto, buckets=8)
+        out = pipe.run(tx, run_key="pr")
         got = {
+            "ppi_by_species": {
+                (r.subj, r.pred, r.obj, r.species_bucket)
+                for r in pipe.ppi_species_buckets(out["links"]).collect()
+            },
             "links": {(r.subj, r.pred, r.obj) for r in out["links"].collect()},
             "quads": {(r.subj, r.pred, r.obj, r.qual) for r in out["quads"].collect()},
             "action_quads": {

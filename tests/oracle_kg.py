@@ -19,17 +19,17 @@ TYPE_PAIR_PRED = {
     frozenset(["DRUG", "PROTEIN"]): "DPI",
     frozenset(["DRUG", "DISEASE"]): "DRUG_DISEASE_ASSOCIATION",
     frozenset(["PROTEIN", "DISEASE"]): "PROTEIN_DISEASE_ASSOCIATION",
-    frozenset(["PROTEIN", "PATHWAY"]): "MEMBER_OF_PATHWAY",
+    frozenset(["PROTEIN", "PATHWAY"]): "PROTEIN_PATHWAY_ASSOCIATION",
     frozenset(["DRUG", "PATHWAY"]): "DRUG_PATHWAY_ASSOCIATION",
     frozenset(["DISEASE", "PATHWAY"]): "DISEASE_PATHWAY_ASSOCIATION",
     frozenset(["PROTEIN", "COMPLEX"]): "MEMBER_OF_COMPLEX",
+    # refined to MEMBER_OF_TOP_LEVEL_PATHWAY when the pathway has no
+    # parent in the hierarchy (links_description.txt:163 vs :176)
     frozenset(["COMPLEX", "PATHWAY"]): "MEMBER_OF_PATHWAY",
     frozenset(["DISEASE", "GENETIC_DISORDER"]): "DISEASE_GENETIC_DISORDER",
     frozenset(["PROTEIN", "GENETIC_DISORDER"]): "RELATED_GENETIC_DISORDER",
 }
-# subject type per DIRECTED type pair (keyed on the pair, not the pred:
-# MEMBER_OF_PATHWAY is emitted for both protein→pathway and
-# complex→pathway memberships)
+# subject type per DIRECTED type pair
 DIRECTED_FIRST = {
     frozenset(["DRUG", "PROTEIN"]): "DRUG",
     frozenset(["DRUG", "DISEASE"]): "DRUG",
@@ -108,6 +108,33 @@ EXPRESSION_RX = re.compile(r"\bexpression in (\w+) is (\w+)\b")
 PHOS_RX = re.compile(r"^(\S+) \((\w+)\) phosphorylates (\S+) \((\w+)\) at (\w+)\.")
 _BOUND = r"(?<![A-Za-z0-9_]){}(?![A-Za-z0-9_])"
 
+# Independent copy of the per-type properties/metadata taxonomy
+# (properties_description.txt:7-306, meta_description.txt:8-346) — the
+# golden comparison runs two implementations of the same published
+# contract; the contract itself is pinned in tests/test_taxonomy_contract.
+ORACLE_PROPERTY_VOCAB = {
+    "PROTEIN": {"GO_BP", "GO_CC", "GO_MF", "ACTIVE_SITE", "BINDING_SITE",
+                "CONSERVED_SITE", "DOMAIN", "FAMILY", "HOMOLOGOUS_SUPERFAMILY",
+                "PTM", "REPEAT", "PROTEIN_EXPRESSED_IN"},
+    "DRUG": {"DRUG_ATC_CODE", "DRUG_SIDEEFFECT_ASSOCIATION",
+             "DRUG_INDICATION_ASSOCIATION"},
+    "CELL": {"PART_OF_TISSUE"},
+    "DISEASE": {"DISEASE_SUPERGRP", "TREE_PREFIX"},
+    "PATHWAY": {"PATHWAY_CATEGORY", "HAS_PARENT_PATHWAY",
+                "PATHWAY_GO_BP", "PATHWAY_GO_CC", "PATHWAY_GO_MF"},
+    "GENETIC_DISORDER": {"CATEGORY"},
+}
+ORACLE_METADATA_VOCAB = {
+    "PROTEIN": {"NAME", "FULL_NAME", "SHORT_NAME", "ORGANISM_CLASS", "SPECIES",
+                "OTHER_ID", "RELATED_KEYWORD", "RELATED_PUBMED_ID"},
+    "DRUG": {"NAME", "SYNONYM", "TYPE", "PRODUCT", "PRODUCT_STAGE", "CLASS",
+             "DIRECT_PARENT", "ALTERNATIVE_PARENT", "SUPERCLASS", "SUBCLASS",
+             "SUBSTITUENT", "KINGDOM", "PUBMED_ARTICLE"},
+    "DISEASE": {"NAME", "TYPE"},
+    "PATHWAY": {"NAME"},
+    "CELL": {"NAME"},
+}
+
 
 def _sanitize_se(txt):
     return txt.strip().replace(" ", "_").lower()
@@ -167,10 +194,19 @@ def scan(text, lexicon):
 
 
 def expected_outputs(rows, lexicon, mapping, ontology):
-    """rows: list of dicts with conv_id/turn_idx/text. Returns dict of sets."""
+    """rows: list of dicts with conv_id/turn_idx/text; ontology: list of
+    (entity_id, entity_type, pred, value). Returns dict of sets."""
     id_map = {}
     for src, _sns, dst, _dns in mapping:
         id_map.setdefault(src, []).append(dst)
+
+    # top-level pathways: the pathway universe (canonical lexicon rows)
+    # minus pathways that appear as a child in the hierarchy
+    pathway_ids = {eid for _s, eid, ty, prio in lexicon
+                   if ty == "PATHWAY" and prio == 0}
+    children = {eid for eid, _ty, pred, _v in ontology
+                if pred == "HAS_PARENT_PATHWAY"}
+    top_level = pathway_ids - children
 
     mentions = []  # (conv, turn, canonical, etype)
     for r in rows:
@@ -199,6 +235,8 @@ def expected_outputs(rows, lexicon, mapping, ontology):
                 else:
                     first = DIRECTED_FIRST[frozenset([t1, t2])]
                     s, o = (e1, e2) if t1 == first else (e2, e1)
+                    if pred == "MEMBER_OF_PATHWAY" and o in top_level:
+                        pred = "MEMBER_OF_TOP_LEVEL_PATHWAY"
                     links.add((s, pred, o))
 
     # DDI side-effect quads (full 15-pattern cascade) with per-(pair, se)
@@ -277,11 +315,11 @@ def expected_outputs(rows, lexicon, mapping, ontology):
             (kin, "PHOSPHORYLATES", sub, m.group(5), m.group(2), m.group(4))
         )
 
+    # ontology routing: TREE/ATC expansion + per-type vocabulary split
+    # (the reference's per-file fan-out, compile_biokg.py:292-314)
     properties = set()
-    for eid, pred, value in ontology:
-        if pred in ("NAME", "TYPE"):
-            properties.add((eid, pred, value))
-        elif pred == "TREE":
+    for eid, etype, pred, value in ontology:
+        if pred == "TREE":
             parts = value.split(".")
             for i in range(1, len(parts) + 1):
                 properties.add((eid, "TREE_PREFIX", ".".join(parts[:i])))
@@ -289,6 +327,25 @@ def expected_outputs(rows, lexicon, mapping, ontology):
             # reference parsers.py:1036-1049: the 1/3/4/5/7-char prefixes
             for n in (1, 3, 4, 5, 7):
                 properties.add((eid, "DRUG_ATC_CODE", f"ATC:{value[:n]}"))
+        elif pred in ORACLE_PROPERTY_VOCAB.get(etype, ()):
+            properties.add((eid, pred, value))
+        elif pred in ORACLE_METADATA_VOCAB.get(etype, ()):
+            metadata.add((eid, pred, value))
+        else:
+            raise ValueError(f"oracle: predicate {pred!r} unknown for {etype!r}")
+
+    # per-species PPI fan-out (reference write_ppi_by_species,
+    # compile_biokg.py:215-272): both endpoints mapped -> same-species
+    # bucket or INTERSPECIES; unmapped endpoints skipped
+    species_map = {eid: value for eid, _ty, pred, value in ontology
+                   if pred == "SPECIES"}
+    ppi_by_species = set()
+    for s, pred, o in links:
+        if pred != "PPI" or s not in species_map or o not in species_map:
+            continue
+        ss, os_ = species_map[s], species_map[o]
+        bucket = ss if ss == os_ else "INTERSPECIES"
+        ppi_by_species.add((s, "PPI", o, bucket))
 
     return {
         "metadata": metadata,
@@ -298,6 +355,7 @@ def expected_outputs(rows, lexicon, mapping, ontology):
         "expr_quads": expr_quads,
         "phos_quads": phos_quads,
         "properties": properties,
+        "ppi_by_species": ppi_by_species,
     }
 
 

@@ -81,6 +81,49 @@ def test_per_turn_text_equality_invariant(spark, fixture_inputs, outputs):
     assert mismatches == 0
 
 
+def test_top_level_pathway_links_refined(fixture_inputs, outputs):
+    """COMPLEX×PATHWAY memberships split by the Reactome-style hierarchy:
+    pathways with no parent emit MEMBER_OF_TOP_LEVEL_PATHWAY, the rest
+    MEMBER_OF_PATHWAY (links_description.txt:163 vs :176). The datagen
+    hierarchy leaves pathways 1 and 2 top-level."""
+    out, _pipe, _wd = outputs
+    rows = [
+        (r.subj, r.pred, r.obj)
+        for r in out["links"]
+        .where("pred IN ('MEMBER_OF_PATHWAY', 'MEMBER_OF_TOP_LEVEL_PATHWAY')")
+        .collect()
+    ]
+    assert rows, "fixture produced no complex-pathway memberships"
+    top = {"R-HSA-1", "R-HSA-2"}
+    for _s, pred, obj in rows:
+        expected = "MEMBER_OF_TOP_LEVEL_PATHWAY" if obj in top else "MEMBER_OF_PATHWAY"
+        assert pred == expected, (obj, pred)
+
+
+def test_export_ppi_by_species(spark, fixture_inputs, outputs, tmp_path):
+    """Per-species PPI fan-out (reference write_ppi_by_species,
+    compile_biokg.py:215-272): partition directory = species bucket,
+    INTERSPECIES for mixed pairs, unmapped endpoints skipped."""
+    import glob
+    import os
+
+    tx, lex, mp, onto = fixture_inputs
+    out, pipe, _wd = outputs
+    exp = _expected(fixture_inputs)["ppi_by_species"]
+
+    path = str(tmp_path / "core")
+    pipe.export_core(out, path)
+    got = set()
+    for part_dir in glob.glob(os.path.join(path, "ppi_species", "species_bucket=*")):
+        bucket = os.path.basename(part_dir).split("=", 1)[1]
+        for f in glob.glob(os.path.join(part_dir, "*.csv")):
+            with open(f) as fh:
+                for line in fh:
+                    s, pred, o = line.rstrip("\n").split("\t")
+                    got.add((s, pred, o, bucket))
+    assert got == exp and len(got) > 0
+
+
 def test_resume_skips_all_stages(spark, fixture_inputs, outputs):
     tx, lex, mp, onto = fixture_inputs
     _out, _pipe, wd = outputs
@@ -115,7 +158,8 @@ def test_unknown_predicate_raises(spark, fixture_inputs, tmp_path):
     _tx, lex, mp, onto = fixture_inputs
     bad_onto = onto.unionByName(
         spark.createDataFrame(
-            [("P00001", "BOGUS_PRED", "v")], "entity_id string, pred string, value string"
+            [("P00001", "PROTEIN", "BOGUS_PRED", "v")],
+            "entity_id string, entity_type string, pred string, value string",
         )
     )
     tx_small = transcripts(spark, n_conversations=2)
