@@ -1,10 +1,12 @@
 """Multimodal column plumbing: binary payloads + typed metadata.
 
-Image/audio decode libraries are not in this container, so the decode
-kernels are deterministic stand-ins clearly marked as such — but the
+PNG and JPEG dimensions are decoded for REAL via stdlib header parsing
+(IHDR chunk / SOF marker — no image library needed); other formats and
+the resize/frame-sample pixel work fall back to deterministic stand-ins
+clearly marked as such (PIL/torchaudio are not in this container). The
 Spark-side contract (schema, Arrow batch shape, ``mapInPandas``
-partition-parallel execution) is real and tested. Swapping the stub body
-for a PIL/torchaudio call changes nothing about the plan.
+partition-parallel execution) is real and tested either way; swapping a
+stub body for a PIL/torchaudio call changes nothing about the plan.
 
 Layout rule at scale: binary payloads live in their own column so parquet
 column pruning means metadata-only queries never read the blobs; the table
@@ -49,15 +51,74 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int]:
-    """STUB: deterministic stand-in for an image decode.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers that carry dimensions (baseline,
+# progressive, lossless, arithmetic variants) — everything in the
+# C0-CF range except C4 (DHT), C8 (JPG extension) and CC (DAC).
+_JPEG_SOF = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
 
-    A real deployment replaces this body with e.g. PIL.Image.open; the
-    fake derives stable pseudo-dimensions from the content hash so tests
-    are exact.
-    """
+
+def _png_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """PNG width/height straight from the IHDR chunk (stdlib only):
+    8-byte signature, 4-byte chunk length, 'IHDR', then two big-endian
+    32-bit ints. IHDR is required to be the first chunk by the spec."""
+    import struct
+
+    if len(payload) < 24 or not payload.startswith(_PNG_SIG):
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", payload[16:24])
+    return w, h
+
+
+def _jpeg_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """JPEG width/height from the first SOFn marker (stdlib only): walk
+    the marker stream (each non-standalone segment carries a 2-byte
+    big-endian length including itself); SOFn payload is
+    precision(1) + height(2) + width(2)."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            return None  # desynchronized marker stream
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone
+            i += 2
+            continue
+        if i + 4 > len(payload):
+            return None
+        (seg_len,) = struct.unpack(">H", payload[i + 2:i + 4])
+        if marker in _JPEG_SOF:
+            if i + 9 > len(payload):
+                return None
+            h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+            return w, h
+        i += 2 + seg_len
+    return None
+
+
+def _decode_dimensions(payload: bytes) -> tuple[int, int]:
+    """Image dimensions: REAL stdlib header parse for PNG (IHDR chunk)
+    and JPEG (SOF marker); other formats fall back to a deterministic
+    STUB (stable pseudo-dimensions from the content hash — a real
+    deployment swaps the fallback for PIL.Image.open; neither image lib
+    is in this container)."""
+    dims = _png_dimensions(payload) or _jpeg_dimensions(payload)
+    if dims is not None:
+        return dims
     h = hashlib.md5(payload).digest()
     return 16 + h[0] % 64, 16 + h[1] % 64
+
 
 
 def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -69,7 +130,7 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            dims = [_decode_dimensions(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -112,7 +173,7 @@ def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
             out_rows = []
             for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 raw = bytes(p)
-                w, h = _fake_decode(raw)
+                w, h = _decode_dimensions(raw)
                 scale = min(1.0, max_dim / max(w, h))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 keep = max(1, int(len(raw) * (nw * nh) / (w * h)))

@@ -246,6 +246,69 @@ def links_from_entity_sets(
     return links.dropDuplicates()
 
 
+def ddi_pair_observations(turn_sets: DataFrame, extracted: DataFrame) -> DataFrame:
+    """Per-turn DDI observations: (d1, d2, effect, ref) with canonical
+    d1 < d2 from the already-sorted per-turn drug set. The turn-granular
+    half of the quads stage — monotone under appends, so the streaming
+    incremental path can compute it batch-locally."""
+    fx = extracted.where(F.col("ddi").isNotNull()).select(
+        "conv_id", "turn_idx", F.explode("ddi.effects").alias("effect")
+    )
+    drugs = F.transform(
+        F.filter(F.col("ms"), lambda m: m["entity_type"] == "DRUG"),
+        lambda m: m["eid"],
+    )
+    per_turn = turn_sets.select("conv_id", "turn_idx", drugs.alias("drugs")).where(
+        F.size("drugs") >= 2
+    )
+    da = F.col("drugs")
+    pair_arr = F.flatten(
+        F.transform(
+            da,
+            lambda a, i: F.transform(
+                F.slice(da, i + F.lit(2), F.size(da)),
+                lambda b: F.struct(a.alias("d1"), b.alias("d2")),
+            ),
+        )
+    )
+    return (
+        per_turn.join(fx, ["conv_id", "turn_idx"])
+        .select(
+            F.explode(pair_arr).alias("p"),
+            "effect",
+            F.concat_ws("#", "conv_id", "turn_idx").alias("ref"),
+        )
+        .select("p.d1", "p.d2", "effect", "ref")
+        .where(F.col("d1") != F.col("d2"))
+    )
+
+
+def ddi_quads_from_observations(pairs: DataFrame) -> DataFrame:
+    """Aggregate pair observations into DRUG_INTERACTION quads: salted
+    refs-set merge per (pair, effect), then the direction-conflict
+    exclusion — a (pair, side-effect) seen with both increase_ and
+    decrease_ is dropped (reference: build_benchmarks.py:101-105). NOT
+    monotone under appends (a new observation can retract a quad), which
+    is why the incremental path recomputes per affected pair."""
+    refs = salted_collect_set(pairs, ["d1", "d2", "effect"], "ref", out_col="refs")
+    base_se = F.regexp_replace("effect", "^(increase|decrease)_", "")
+    per_se = refs.select(
+        "d1", "d2", "effect", "refs", base_se.alias("se")
+    ).groupBy("d1", "d2", "se").agg(
+        F.collect_list(F.struct("effect", "refs")).alias("fx")
+    )
+    consistent = per_se.where(F.size("fx") == 1)
+    return consistent.select(
+        "d1", "d2", F.explode("fx").alias("x")
+    ).select(
+        F.col("d1").alias("subj"),
+        F.lit("DRUG_INTERACTION").alias("pred"),
+        F.col("d2").alias("obj"),
+        F.col("x.effect").alias("qual"),
+        F.col("x.refs").alias("refs"),
+    )
+
+
 class KGPipeline:
     def __init__(
         self,
@@ -676,55 +739,13 @@ class KGPipeline:
         two-phase set agg (hot pairs); the conflict rule — a (pair,
         side-effect) seen with both increase_ and decrease_ is dropped
         (reference: build_benchmarks.py:101-105) — is one aggregation over
-        the ≤2 direction rows per (pair, se), no extra join."""
-        fx = extracted.where(F.col("ddi").isNotNull()).select(
-            "conv_id", "turn_idx", F.explode("ddi.effects").alias("effect")
-        )
-        drugs = F.transform(
-            F.filter(F.col("ms"), lambda m: m["entity_type"] == "DRUG"),
-            lambda m: m["eid"],
-        )
-        per_turn = turn_sets.select("conv_id", "turn_idx", drugs.alias("drugs")).where(
-            F.size("drugs") >= 2
-        )
-        da = F.col("drugs")
-        pair_arr = F.flatten(
-            F.transform(
-                da,
-                lambda a, i: F.transform(
-                    F.slice(da, i + F.lit(2), F.size(da)),
-                    lambda b: F.struct(a.alias("d1"), b.alias("d2")),
-                ),
-            )
-        )
-        pairs = (
-            per_turn.join(fx, ["conv_id", "turn_idx"])
-            .select(
-                F.explode(pair_arr).alias("p"),
-                "effect",
-                F.concat_ws("#", "conv_id", "turn_idx").alias("ref"),
-            )
-            .select("p.d1", "p.d2", "effect", "ref")
-            .where(F.col("d1") != F.col("d2"))
-        )
-        refs = salted_collect_set(
-            pairs, ["d1", "d2", "effect"], "ref", out_col="refs"
-        )
-        base_se = F.regexp_replace("effect", "^(increase|decrease)_", "")
-        per_se = refs.select(
-            "d1", "d2", "effect", "refs", base_se.alias("se")
-        ).groupBy("d1", "d2", "se").agg(
-            F.collect_list(F.struct("effect", "refs")).alias("fx")
-        )
-        consistent = per_se.where(F.size("fx") == 1)
-        return consistent.select(
-            "d1", "d2", F.explode("fx").alias("x")
-        ).select(
-            F.col("d1").alias("subj"),
-            F.lit("DRUG_INTERACTION").alias("pred"),
-            F.col("d2").alias("obj"),
-            F.col("x.effect").alias("qual"),
-            F.col("x.refs").alias("refs"),
+        the ≤2 direction rows per (pair, se), no extra join.
+
+        Split into two module-level steps (observations → aggregation) so
+        the streaming incremental path can recompute per affected drug
+        pair (streaming/ingest.py) with the SAME aggregation semantics."""
+        return ddi_quads_from_observations(
+            ddi_pair_observations(turn_sets, extracted)
         )
 
     # -- stage 4c: drug-protein action quads (5/6-column extended form) ----

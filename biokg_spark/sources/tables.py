@@ -177,3 +177,55 @@ def _read_xlsx_stdlib(
         cols = [f"_c{i}" for i in range(width)]
         body = raw_rows
     return cols, [tuple(r) for r in body]
+
+
+def write_family_table(
+    df: DataFrame,
+    target: str,
+    partition_by: list[str] | None = None,
+    catalog_format: str = "iceberg",
+) -> str:
+    """Partitioned family-table sink — the cluster form of the per-family
+    emit (SURVEY §1.4: one Iceberg/parquet table per family,
+    ``writeTo(...).partitionedBy(...)`` — the Spark analog of the
+    reference's predicate-partitioned file tree, compile_biokg.py:292-305).
+
+    Two paths, chosen by what the session actually supports:
+
+    - **Catalog path** (``target`` = ``catalog.db.table``): DataFrameWriterV2
+      ``df.writeTo(target).using('iceberg').partitionedBy(col, ...)
+      .createOrReplace()`` — transactional replace, snapshot history,
+      hidden-partition evolution, and compaction handled by the table
+      format. This is the production route on a real cluster; it needs
+      the Iceberg runtime jar + a configured catalog
+      (``spark.sql.catalog.<name>`` + extensions), which this container
+      does not ship.
+    - **Path fallback** (``target`` = a filesystem path, or the catalog
+      write fails to resolve): ``write.partitionBy(...).parquet(path)``
+      with dynamic partition overwrite, giving the same layout and
+      partition pruning, minus transactionality.
+
+    Returns which path ran ('catalog' | 'path') so callers/tests can
+    assert the routing.
+    """
+    looks_like_table = "/" not in target and "." in target
+    if looks_like_table:
+        try:
+            w = df.writeTo(target).using(catalog_format)
+            if partition_by:
+                from pyspark.sql import functions as _F
+
+                w = w.partitionedBy(*[_F.col(c) for c in partition_by])
+            w.createOrReplace()
+            return "catalog"
+        except Exception:
+            # no catalog/runtime for the format in this session — fall
+            # through to the filesystem layout (same partition shape)
+            target = "/tmp/" + target.replace(".", "_")
+    w = df.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(target)
+    return "path"

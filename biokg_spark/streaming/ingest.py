@@ -79,3 +79,66 @@ def incremental_mentions(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental downstream recompute: links and quads over a GROWING corpus
+# without full re-runs. The reference's only incrementality is md5-skip
+# re-runs of whole stages (main.py:91-98); these operators are the true
+# streaming analog — each new batch touches only the keys it affects.
+# ---------------------------------------------------------------------------
+
+
+def incremental_links(
+    links_old: DataFrame,
+    turn_sets_new: DataFrame,
+    top_level: DataFrame | None = None,
+) -> DataFrame:
+    """Merge co-occurrence links from NEW turns into the links table.
+
+    Links are turn-granular and distinct-union-monotone: a turn arrives
+    whole (per the ingest key contract), so a new batch can only ADD
+    links — merge = union + distinct, no recompute of history. Work is
+    proportional to the batch, not the corpus.
+    """
+    from biokg_spark.pipeline.kg import links_from_entity_sets
+
+    new_links = links_from_entity_sets(turn_sets_new, top_level=top_level)
+    return links_old.unionByName(new_links).dropDuplicates()
+
+
+def incremental_quads(
+    quads_old: DataFrame,
+    obs_all: DataFrame,
+    obs_new: DataFrame,
+) -> DataFrame:
+    """Keyed upsert of DRUG_INTERACTION quads for the drug pairs a new
+    batch touches.
+
+    Quads are NOT monotone: the direction-conflict exclusion
+    (build_benchmarks.py:101-105) means one new observation can RETRACT
+    an existing quad (a pair/side-effect seen with the opposite
+    direction), and the refs list of an existing quad grows. The correct
+    incremental unit is the drug pair:
+
+    1. affected pairs = distinct (d1, d2) in the new batch's observations;
+    2. recompute quads for those pairs over the FULL observation history
+       (semi-join — work ∝ affected pairs' history, not the corpus);
+    3. drop the affected pairs' old rows (anti-join) and insert the
+       recomputed ones.
+
+    ``obs_all``/``obs_new``: (d1, d2, effect, ref) from
+    pipeline.kg.ddi_pair_observations over the grown corpus / the new
+    batch. Both joins shuffle on the pair key only.
+    """
+    from biokg_spark.pipeline.kg import ddi_quads_from_observations
+
+    pairs = obs_new.select("d1", "d2").dropDuplicates()
+    affected_obs = obs_all.join(pairs, ["d1", "d2"], "left_semi")
+    recomputed = ddi_quads_from_observations(affected_obs)
+    kept = quads_old.join(
+        pairs,
+        (quads_old.subj == pairs.d1) & (quads_old.obj == pairs.d2),
+        "left_anti",
+    )
+    return kept.unionByName(recomputed)

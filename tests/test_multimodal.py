@@ -58,3 +58,76 @@ def test_sample_frames_video_only(spark):
         by_id.setdefault(r.media_id, []).append(r.frame_idx)
     assert all(sorted(v) == [0, 2] for v in by_id.values())
     assert all(len(r.frame) == 4 for r in out)
+
+
+def _png_bytes(w, h):
+    """A genuine minimal PNG built with stdlib only (valid CRCs/zlib)."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x00\x00\x00" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _jpeg_bytes(w, h):
+    """Minimal JPEG header stream: SOI, APP0 (JFIF), DQT stub, SOF0."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x48\x00\x48\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def test_png_jpeg_header_decode_real():
+    """PNG IHDR / JPEG SOF dimensions parse for real (stdlib struct) —
+    the marker walk must skip APP0/DQT segments to reach SOF0."""
+    from biokg_spark.operators.multimodal import (
+        _decode_dimensions,
+        _jpeg_dimensions,
+        _png_dimensions,
+    )
+
+    assert _png_dimensions(_png_bytes(7, 13)) == (7, 13)
+    assert _png_dimensions(_png_bytes(640, 480)) == (640, 480)
+    assert _jpeg_dimensions(_jpeg_bytes(31, 17)) == (31, 17)
+    assert _jpeg_dimensions(_jpeg_bytes(1920, 1080)) == (1920, 1080)
+    # non-image payloads fall back to the deterministic stub, never raise
+    for junk in (b"", b"\x89PNGbad", b"\xff\xd8\x00\x00", b"plain text"):
+        w, h = _decode_dimensions(junk)
+        assert 16 <= w < 80 and 16 <= h < 80
+    # truncated real headers degrade to the fallback, not an exception
+    assert _png_dimensions(_png_bytes(9, 9)[:20]) is None
+    assert _jpeg_dimensions(_jpeg_bytes(9, 9)[:6]) is None
+
+
+def test_media_features_real_dimensions(spark):
+    """End-to-end through the Arrow kernel: real PNG/JPEG payloads come
+    back with their true dimensions alongside stub-decoded payloads."""
+    from biokg_spark.operators.multimodal import MEDIA_SCHEMA, extract_media_features
+
+    rows = [
+        (1, "image", bytearray(_png_bytes(12, 34)), "image/png"),
+        (2, "image", bytearray(_jpeg_bytes(56, 78)), "image/jpeg"),
+        (3, "audio", bytearray(b"not-an-image"), "audio/wav"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: (r.width, r.height) for r in extract_media_features(media).collect()}
+    assert got[1] == (12, 34)
+    assert got[2] == (56, 78)
+    assert 16 <= got[3][0] < 80  # fallback path

@@ -176,3 +176,28 @@ def test_excel_rels_resolution_and_implicit_columns(spark, tmp_path):
     df2 = read_excel_table(spark, path, sheet=0, header=False)
     assert df2.columns == ["_c0", "_c1"]
     assert {tuple(r) for r in df2.collect()} == {("H1", "H2"), ("a", "7")}
+
+
+def test_write_family_table_partitioned(spark, tmp_path):
+    """The family-table sink lays out one directory per partition value
+    (predicate-partitioned family tables, SURVEY §1.4); the catalog
+    (Iceberg) route is documented and auto-falls back to the parquet
+    layout when no catalog is configured — as in this container."""
+    import os
+
+    from biokg_spark.sources.tables import write_family_table
+
+    df = spark.createDataFrame(
+        [("a", "PPI", "b"), ("c", "DPI", "d"), ("e", "PPI", "f")],
+        "subj string, pred string, obj string",
+    )
+    out = str(tmp_path / "links_table")
+    mode = write_family_table(df, out, partition_by=["pred"])
+    assert mode == "path"
+    parts = {d for d in os.listdir(out) if d.startswith("pred=")}
+    assert parts == {"pred=PPI", "pred=DPI"}
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    # partition pruning: a pred filter must prune to one partition dir
+    plan = back.where("pred = 'PPI'")._jdf.queryExecution().executedPlan().toString()
+    assert "PPI" in plan

@@ -110,3 +110,65 @@ def test_incremental_mentions_matches_batch(spark, tmp_path):
     q2.awaitTermination(120)
     again = Counter(tuple(r) for r in spark.read.parquet(out).select(*cols).collect())
     assert again == want
+
+
+def test_incremental_links_quads_match_full_recompute(spark, tmp_path):
+    """Growing-corpus increment: after batch 2 arrives, merging
+    incremental links (union of new turns' links) and incremental quads
+    (per-affected-pair keyed upsert) must equal a full recompute over
+    batch1+batch2 — including conflict RETRACTIONS where batch 2 flips a
+    (pair, side-effect) direction."""
+    from pyspark.sql import functions as F
+
+    from biokg_spark.datagen import entity_lexicon, id_mapping, ontology
+    from biokg_spark.pipeline import KGPipeline
+    from biokg_spark.pipeline.kg import ddi_pair_observations
+    from biokg_spark.pipeline.taxonomy import top_level_pathways
+    from biokg_spark.streaming.ingest import incremental_links, incremental_quads
+
+    tx = transcripts(spark, n_conversations=40)
+    # deterministic split: conversations whose numeric suffix is even are
+    # the initial corpus, odd arrive as the new batch
+    conv_num = F.regexp_extract("conv_id", r"(\d+)", 1).cast("int")
+    tx1, tx2 = tx.where(conv_num % 2 == 0), tx.where(conv_num % 2 == 1)
+    lex, mp, onto = entity_lexicon(spark), id_mapping(spark), ontology(spark)
+    tl = top_level_pathways(lex, onto)
+
+    out1 = KGPipeline(spark, str(tmp_path / "b1"), lex, mp, onto, buckets=4).run(
+        tx1, run_key="b1"
+    )
+    out2 = KGPipeline(spark, str(tmp_path / "b2"), lex, mp, onto, buckets=4).run(
+        tx2, run_key="b2"
+    )
+    full = KGPipeline(spark, str(tmp_path / "full"), lex, mp, onto, buckets=4).run(
+        tx, run_key="full"
+    )
+
+    inc_links = incremental_links(out1["links"], out2["turn_sets"], top_level=tl)
+    got_links = {(r.subj, r.pred, r.obj) for r in inc_links.collect()}
+    want_links = {(r.subj, r.pred, r.obj) for r in full["links"].collect()}
+    assert got_links == want_links
+
+    obs_all = ddi_pair_observations(
+        out1["turn_sets"].unionByName(out2["turn_sets"]),
+        out1["extracted"].unionByName(out2["extracted"]),
+    )
+    obs_new = ddi_pair_observations(out2["turn_sets"], out2["extracted"])
+    inc_quads = incremental_quads(out1["quads"], obs_all, obs_new)
+
+    def qset(df):
+        return {
+            (r.subj, r.pred, r.obj, r.qual, tuple(sorted(r.refs)))
+            for r in df.collect()
+        }
+
+    assert qset(inc_quads) == qset(full["quads"])
+    # the increment must do real retraction work: at least one pair is
+    # touched by both batches (otherwise this test is vacuous)
+    touched_both = (
+        obs_new.select("d1", "d2")
+        .join(ddi_pair_observations(out1["turn_sets"], out1["extracted"])
+              .select("d1", "d2").dropDuplicates(), ["d1", "d2"], "left_semi")
+        .count()
+    )
+    assert touched_both > 0
