@@ -33,13 +33,16 @@ Stages (each a checkpointed parquet table, resumable):
      compile_biokg.py:855-888);
    - organism-qualified 6-column phosphorylation quads (reference:
      parsers.py:2703-2744);
-   - ontology passthrough (NAME/TYPE) + TREE prefix expansion
-     (reference: parsers.py:3073-3083).
+   - the FULL published properties/metadata taxonomy routed off the
+     ontology dim (GO/InterPro/SIDER/ATC/TREE/pathway hierarchy +
+     per-type metadata — pipeline/taxonomy.py; reference contract:
+     properties_description.txt:7-306, meta_description.txt:8-346).
    Closed predicate vocabulary enforced exactly like the reference's
    fan-out writers raise on unknown predicates (compile_biokg.py:969).
 5. **emit** — partitioned-by-predicate parquet table families
    (links / properties / metadata), the Spark analog of the reference's
-   per-predicate file tree (compile_biokg.py:292-305).
+   per-predicate file tree (compile_biokg.py:292-305); plus the
+   per-species PPI fan-out export (compile_biokg.py:215-272).
 """
 
 from __future__ import annotations
@@ -371,6 +374,19 @@ class KGPipeline:
             self._onto_ck = self.ontology.localCheckpoint()
         return self._onto_ck
 
+    def _prepare_ontology(self) -> tuple[DataFrame, DataFrame]:
+        """Ontology routing (properties/metadata taxonomy + the top-level
+        pathway set): ONE declarative pass over the lineage-truncated dim,
+        checked against the published per-type vocabularies up front — the
+        Spark analog of the reference's per-file fan-out writers raising
+        on unknown predicates (compile_biokg.py:969). assert_routed is a
+        limit-1 job on a dim table, not a hot-path collect. Runs on the
+        background pool, concurrent with the mention chain."""
+        onto = self._onto()
+        routed = route_ontology(onto)
+        assert_routed(routed)
+        return routed, top_level_pathways(onto)
+
     # ------------------------------------------------------------------
     def run(self, transcripts: DataFrame, run_key: str = "default") -> dict[str, DataFrame]:
         fp0 = fingerprint("ingest", run_key, str(self.buckets))
@@ -383,9 +399,18 @@ class KGPipeline:
         # wall: the two scans of the same bucketed input overlap instead
         # of serializing; measured ~15 s hidden at local[8]/3M turns).
         fp1b = fingerprint("extracted", fp0, self.extractor_backend)
-        extract_pool = ThreadPoolExecutor(max_workers=1)
+        extract_pool = ThreadPoolExecutor(max_workers=2)
         extracted_fut = extract_pool.submit(
             self.ckpt.run, "extracted", fp1b, lambda: self._extract_facts(ingested)
+        )
+        # ontology prep (localCheckpoint + routing assert + top-level set)
+        # depends on NOTHING from the transcript chain — overlap it with
+        # the mentions scan instead of serializing ~5 s of dim evaluation
+        # between turn_sets and the family fan-out
+        onto_fut = (
+            extract_pool.submit(self._prepare_ontology)
+            if self.ontology is not None
+            else None
         )
 
         try:
@@ -422,26 +447,17 @@ class KGPipeline:
             # extracted table is narrow (a struct + a few short strings)
             # and keeps only turns where at least one extractor hit.
             extracted = extracted_fut.result()
+            routed, top_level = (
+                onto_fut.result() if onto_fut is not None else (None, None)
+            )
         finally:
             # on any failure in the mentions→turn_sets chain, don't leak
-            # the background extraction future/pool: cancel if still
-            # queued, await if running (so its Spark job isn't orphaned)
+            # the background futures/pool: cancel if still queued, await
+            # if running (so their Spark jobs aren't orphaned)
             extracted_fut.cancel()
+            if onto_fut is not None:
+                onto_fut.cancel()
             extract_pool.shutdown(wait=True)
-
-        # Ontology routing (properties/metadata taxonomy + the top-level
-        # pathway set): ONE declarative pass over the dim, checked against
-        # the published per-type vocabularies up front — the Spark analog
-        # of the reference's per-file fan-out writers raising on unknown
-        # predicates (compile_biokg.py:969). assert_routed is a limit-1
-        # job on a dim table, not a hot-path collect.
-        routed = None
-        top_level = None
-        if self.ontology is not None:
-            onto = self._onto()
-            routed = route_ontology(onto)
-            assert_routed(routed)
-            top_level = top_level_pathways(self.lexicon, onto)
 
         # The output families are independent given (turn_sets, extracted)
         # — submit them as CONCURRENT Spark jobs (SparkSession is

@@ -163,22 +163,22 @@ def assert_routed(routed: DataFrame) -> None:
         )
 
 
-def top_level_pathways(
-    lexicon: DataFrame, ontology: DataFrame
-) -> DataFrame:
+def top_level_pathways(ontology: DataFrame) -> DataFrame:
     """Pathways with no parent in the pathway hierarchy — the Reactome
     top-level set behind MEMBER_OF_TOP_LEVEL_PATHWAY
     (links_description.txt:176; the reference ships
     complex_top_level_pathway.txt next to complex_pathway.txt:163).
 
-    One column ``pathway_id``. Anti-join of the pathway universe (canonical
-    lexicon entries) against HAS_PARENT_PATHWAY subjects; both sides are
-    dims, so the join broadcasts.
+    One column ``pathway_id``. Universe = pathways the ontology knows
+    (the hierarchy's own domain, like Reactome's file — and, in the
+    pipeline, a scan of the already lineage-truncated dim rather than a
+    re-evaluation of the lexicon plan); anti-join against
+    HAS_PARENT_PATHWAY subjects. A pathway absent from the ontology
+    conservatively stays MEMBER_OF_PATHWAY. Both sides are dims, so the
+    join broadcasts.
     """
     universe = (
-        lexicon.where(
-            (F.col("entity_type") == "PATHWAY") & (F.col("priority") == 0)
-        )
+        ontology.where(F.col("entity_type") == "PATHWAY")
         .select(F.col("entity_id").alias("pathway_id"))
         .dropDuplicates()
     )

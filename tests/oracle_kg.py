@@ -200,10 +200,10 @@ def expected_outputs(rows, lexicon, mapping, ontology):
     for src, _sns, dst, _dns in mapping:
         id_map.setdefault(src, []).append(dst)
 
-    # top-level pathways: the pathway universe (canonical lexicon rows)
-    # minus pathways that appear as a child in the hierarchy
-    pathway_ids = {eid for _s, eid, ty, prio in lexicon
-                   if ty == "PATHWAY" and prio == 0}
+    # top-level pathways: the ontology's pathway universe minus pathways
+    # that appear as a child in the hierarchy (unknown pathways stay
+    # MEMBER_OF_PATHWAY — matches taxonomy.top_level_pathways)
+    pathway_ids = {eid for eid, ty, _p, _v in ontology if ty == "PATHWAY"}
     children = {eid for eid, _ty, pred, _v in ontology
                 if pred == "HAS_PARENT_PATHWAY"}
     top_level = pathway_ids - children

@@ -132,7 +132,7 @@ def test_incremental_links_quads_match_full_recompute(spark, tmp_path):
     conv_num = F.regexp_extract("conv_id", r"(\d+)", 1).cast("int")
     tx1, tx2 = tx.where(conv_num % 2 == 0), tx.where(conv_num % 2 == 1)
     lex, mp, onto = entity_lexicon(spark), id_mapping(spark), ontology(spark)
-    tl = top_level_pathways(lex, onto)
+    tl = top_level_pathways(onto)
 
     out1 = KGPipeline(spark, str(tmp_path / "b1"), lex, mp, onto, buckets=4).run(
         tx1, run_key="b1"
