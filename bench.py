@@ -218,11 +218,13 @@ def pipeline_worker(cpus: int, tx_path: str, workdir: str, reps: int = 1) -> Non
     spark = make_spark(cpus, app=f"biokg-scale-{cpus}")
     n_turns = spark.read.parquet(tx_path).count()  # warm input footers
     best = None
+    rep_walls = []
     for rep in range(reps):
         t0 = time.perf_counter()
         stages = run_pipeline(spark, tx_path, f"{workdir}_r{rep}")
         dt = time.perf_counter() - t0
         log(f"    rep{rep}: {dt:.1f}s")
+        rep_walls.append(round(dt, 1))
         if best is None or dt < best[0]:
             best = (dt, stages)
         shutil.rmtree(f"{workdir}_r{rep}", ignore_errors=True)
@@ -233,6 +235,7 @@ def pipeline_worker(cpus: int, tx_path: str, workdir: str, reps: int = 1) -> Non
                 "cpus": cpus,
                 "n_turns": n_turns,
                 "reps": reps,
+                "rep_walls": rep_walls,
                 "wall_sec": round(dt, 3),
                 "turns_per_sec": round(n_turns / dt, 1),
                 "stages": stages,
@@ -301,7 +304,8 @@ def bench_scaling(n_conversations: int, levels: tuple[int, int] = (2, 8)) -> Non
                 raise RuntimeError(f"pipeline subprocess local[{cpus}] failed")
             results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
             log(f"  local[{cpus}] best-of-{repeats}: {results[cpus]['wall_sec']}s "
-                f"({results[cpus]['turns_per_sec']} turns/s)")
+                f"({results[cpus]['turns_per_sec']} turns/s) "
+                f"reps={results[cpus].get('rep_walls')}")
 
         lo, hi = levels
         eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / (hi / lo)

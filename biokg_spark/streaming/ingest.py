@@ -142,3 +142,18 @@ def incremental_quads(
         "left_anti",
     )
     return kept.unionByName(recomputed)
+
+
+def incremental_distinct_family(
+    family_old: DataFrame, family_new_batch: DataFrame
+) -> DataFrame:
+    """Merge any distinct-dedup (monotone) output family incrementally.
+
+    action_quads / expr_quads / phos_quads are per-turn extractions with
+    a trailing dropDuplicates and no cross-turn aggregation — appends can
+    only ADD rows, so the increment is the batch-local family unioned
+    with the existing table, distinct. (DDI quads are the one family
+    this must NOT be used for — their refs aggregation and conflict rule
+    span turns; use incremental_quads.)
+    """
+    return family_old.unionByName(family_new_batch).dropDuplicates()

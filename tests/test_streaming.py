@@ -172,3 +172,37 @@ def test_incremental_links_quads_match_full_recompute(spark, tmp_path):
         .count()
     )
     assert touched_both > 0
+
+
+def test_incremental_monotone_families_match_full(spark, tmp_path):
+    """action/expr/phos quads are per-turn + distinct (monotone): the
+    batch increment merged by union-distinct equals full recompute."""
+    from pyspark.sql import functions as F
+
+    from biokg_spark.datagen import entity_lexicon, id_mapping, ontology
+    from biokg_spark.pipeline import KGPipeline
+    from biokg_spark.streaming.ingest import incremental_distinct_family
+
+    tx = transcripts(spark, n_conversations=24)
+    conv_num = F.regexp_extract("conv_id", r"(\d+)", 1).cast("int")
+    tx1, tx2 = tx.where(conv_num % 2 == 0), tx.where(conv_num % 2 == 1)
+    lex, mp, onto = entity_lexicon(spark), id_mapping(spark), ontology(spark)
+
+    out1 = KGPipeline(spark, str(tmp_path / "m1"), lex, mp, onto, buckets=4).run(
+        tx1, run_key="m1"
+    )
+    out2 = KGPipeline(spark, str(tmp_path / "m2"), lex, mp, onto, buckets=4).run(
+        tx2, run_key="m2"
+    )
+    full = KGPipeline(spark, str(tmp_path / "mf"), lex, mp, onto, buckets=4).run(
+        tx, run_key="mf"
+    )
+    for family, cols in [
+        ("action_quads", ("subj", "pred", "obj", "action", "refs")),
+        ("expr_quads", ("subj", "pred", "obj", "level")),
+        ("phos_quads", ("subj", "pred", "obj", "site", "kin_organism", "sub_organism")),
+    ]:
+        merged = incremental_distinct_family(out1[family], out2[family])
+        got = {tuple(r[c] for c in cols) for r in merged.collect()}
+        want = {tuple(r[c] for c in cols) for r in full[family].collect()}
+        assert got == want and got, family
