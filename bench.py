@@ -57,11 +57,13 @@ HEADLINE = [
     "kg_property_fanout",
     "ddi_cascade_effects",
     "dedup_exact",
+    "dedup_chunk_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_cluster_components",
     "dedup_embedding_cosine",
     "text_quality",
+    "text_repetition",
     "text_tokenize_bpe",
     "embed_cosine_topk",
     "embed_ann_lsh",

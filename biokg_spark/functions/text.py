@@ -149,3 +149,35 @@ def doc_fingerprint(col: Column | str) -> Column:
     Spark and DuckDB, so the oracle compares directly."""
     norm = F.regexp_replace(F.lower(F.trim(_c(col))), "\\s+", " ")
     return F.md5(norm)
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    """Number of DISTINCT whitespace tokens (vocabulary size per row).
+    Together with ``token_count`` this gives the type/token ratio —
+    the classic Gopher-style repetition signal."""
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def trigram_dup_count(col: Column | str) -> Column:
+    """How many of the row's word trigrams are repeats of an earlier
+    trigram in the SAME row (Gopher's duplicate-n-gram repetition
+    filter, n=3). 0 for texts under three tokens. Pure Column — rides
+    whole-stage codegen; the n-2 trigram array is row-local, never
+    exploded."""
+    t = tokens(col)
+    n = F.size(t)
+    # sequence(1, n-2) would run DESCENDING for n < 3 (Spark infers a
+    # negative step), so the short-text case must be guarded explicitly
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i),
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.size(tri) - F.size(F.array_distinct(tri))

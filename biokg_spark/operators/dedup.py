@@ -335,3 +335,46 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
         )
         .select(id_col, "simhash")
     )
+
+
+def chunk_dup_stats(
+    df: DataFrame, text_col: str, id_col: str, chunk_tokens: int = 8
+) -> DataFrame:
+    """Chunk-level exact-substring duplication stats per document.
+
+    The practical Spark analog of suffix-array substring dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"):
+    split each document into NON-overlapping ``chunk_tokens``-token
+    chunks (last chunk may be short), md5 each chunk, count every chunk
+    hash corpus-wide, and report per document how many of its chunks
+    also occur elsewhere (or repeat within the document). Returns
+    (id_col, n_chunks, n_dup_chunks) — a chunk is "dup" when its hash
+    has corpus-wide occurrence count > 1.
+
+    Scale shape: one explode (docs × n/k chunks — k× smaller than a
+    shingle explode), one map-side-partial groupBy on the chunk hash,
+    and one equi-join back; no all-pairs stage anywhere. Downstream
+    filtering (drop docs with n_dup_chunks / n_chunks above a threshold)
+    is a cheap post-filter on this output.
+    """
+    assert chunk_tokens >= 1
+    k = chunk_tokens
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    # non-overlapping chunk j covers tokens [j*k+1, j*k+k] (1-based);
+    # floor((n-1)/k) is the last chunk index, so a short tail chunk is
+    # kept rather than dropped (dropping it would hide tail duplication)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / k).cast("int")),
+        lambda j: F.md5(F.array_join(F.slice(toks, j * k + 1, k), " ")),
+    )
+    exploded = df.select(F.col(id_col), F.explode(chunks).alias("chunk_hash"))
+    counts = exploded.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        exploded.join(counts, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(F.col("occ") > 1, F.lit(1))).alias("n_dup_chunks"),
+        )
+        .select(id_col, "n_chunks", "n_dup_chunks")
+    )

@@ -1,7 +1,8 @@
 """Multimodal column plumbing: binary payloads + typed metadata.
 
-PNG and JPEG dimensions are decoded for REAL via stdlib header parsing
-(IHDR chunk / SOF marker — no image library needed); other formats and
+PNG/JPEG/GIF/BMP dimensions and WAV audio metadata are decoded for REAL
+via stdlib header parsing (IHDR chunk / SOF marker / logical screen
+descriptor / BITMAPINFOHEADER / RIFF chunk walk); other formats and
 the resize/frame-sample pixel work fall back to deterministic stand-ins
 clearly marked as such (PIL/torchaudio are not in this container). The
 Spark-side contract (schema, Arrow batch shape, ``mapInPandas``
@@ -107,17 +108,77 @@ def _jpeg_dimensions(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _gif_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """GIF logical-screen width/height (stdlib only): 6-byte version
+    signature then two little-endian 16-bit ints."""
+    import struct
+
+    if len(payload) < 10 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", payload[6:10])
+    return w, h
+
+
+def _bmp_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """BMP width/height from the BITMAPINFOHEADER (stdlib only): 14-byte
+    file header, then header size + two little-endian 32-bit ints.
+    Height is signed — negative means a top-down bitmap, so take abs."""
+    import struct
+
+    if len(payload) < 26 or payload[:2] != b"BM":
+        return None
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:  # BITMAPCOREHEADER uses 16-bit dims
+        w, h = struct.unpack("<HH", payload[18:22])
+        return w, h
+    w, h = struct.unpack("<ii", payload[18:26])
+    return abs(w), abs(h)
+
+
 def _decode_dimensions(payload: bytes) -> tuple[int, int]:
-    """Image dimensions: REAL stdlib header parse for PNG (IHDR chunk)
-    and JPEG (SOF marker); other formats fall back to a deterministic
+    """Image dimensions: REAL stdlib header parse for PNG (IHDR chunk),
+    JPEG (SOF marker), GIF (logical screen descriptor) and BMP
+    (BITMAPINFOHEADER); other formats fall back to a deterministic
     STUB (stable pseudo-dimensions from the content hash — a real
     deployment swaps the fallback for PIL.Image.open; neither image lib
     is in this container)."""
-    dims = _png_dimensions(payload) or _jpeg_dimensions(payload)
+    dims = (
+        _png_dimensions(payload)
+        or _jpeg_dimensions(payload)
+        or _gif_dimensions(payload)
+        or _bmp_dimensions(payload)
+    )
     if dims is not None:
         return dims
     h = hashlib.md5(payload).digest()
     return 16 + h[0] % 64, 16 + h[1] % 64
+
+
+def _wav_audio_meta(payload: bytes) -> tuple[int, int, int] | None:
+    """(channels, sample_rate, n_samples) from a RIFF/WAVE payload
+    (stdlib only): walk the chunk list for 'fmt ' (channels LE16 @+2,
+    rate LE32 @+4, bits/sample LE16 @+14) and 'data' (byte length →
+    sample count). Chunks are word-aligned (odd sizes pad one byte)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    channels = rate = bits = data_len = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4:i + 8])
+        body = payload[i + 8:i + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            channels, rate = struct.unpack("<HI", body[2:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen % 2)
+    if not channels or not rate or not bits or data_len is None:
+        return None
+    n_samples = data_len // max(1, channels * (bits // 8))
+    return channels, rate, n_samples
 
 
 
@@ -145,6 +206,56 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Audio metadata per payload, partition-parallel via Arrow.
+
+    REAL stdlib RIFF/WAVE chunk parse (channels / sample rate / sample
+    count → duration); non-WAV payloads fall back to a deterministic
+    STUB (stable pseudo-metadata from the content hash — a real
+    deployment swaps the fallback for soundfile/torchaudio, neither of
+    which is in this container). Only ``kind='audio'`` rows produce
+    output; narrow transformation, payload column pruned upstream of
+    any metadata-only consumer.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            auds = pdf[pdf["kind"] == "audio"]
+            for mid, p in zip(auds["media_id"], auds["payload"]):
+                raw = bytes(p)
+                meta = _wav_audio_meta(raw)
+                if meta is None:
+                    h = hashlib.md5(raw).digest()
+                    meta = (1 + h[0] % 2, 8000 * (1 + h[1] % 6), len(raw))
+                ch, rate, n = meta
+                rows.append((mid, len(raw), ch, rate, n, n * 1000 // rate))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "n_bytes", "channels",
+                        "sample_rate", "n_samples", "duration_ms",
+                    ],
+                )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=AUDIO_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = StructType(

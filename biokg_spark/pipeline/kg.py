@@ -203,26 +203,31 @@ def links_from_entity_sets(
         )
         .where(F.col("e1") != F.col("e2"))
     )
-    pred = F.lit(None).cast("string")
-    directed_first = F.lit(None).cast("string")
-    for (ta, tb), (pname, _und) in LINK_PREDICATES.items():
-        hit_ab = (F.col("t1") == ta) & (F.col("t2") == tb)
-        hit_ba = (F.col("t1") == tb) & (F.col("t2") == ta)
-        pred = F.when(hit_ab | hit_ba, F.lit(pname)).otherwise(pred)
-        directed_first = (
-            F.when(hit_ab, F.col("e1")).when(hit_ba, F.col("e2")).otherwise(directed_first)
-        )
-    typed = pairs.select(
-        "e1", "e2", pred.alias("pred"), directed_first.alias("dfirst")
-    ).where(F.col("pred").isNotNull())
-    undirected_names = [p for p, und in LINK_PREDICATES.values() if und]
-    subj = F.when(
-        F.col("pred").isin(undirected_names), F.least("e1", "e2")
-    ).otherwise(F.col("dfirst"))
-    obj = F.when(
-        F.col("pred").isin(undirected_names), F.greatest("e1", "e2")
-    ).otherwise(
-        F.when(F.col("dfirst") == F.col("e1"), F.col("e2")).otherwise(F.col("e1"))
+    # Typing runs as a BROADCAST HASH JOIN against the ~20-row
+    # (t1, t2) → (pred, undirected, ab_first) dim instead of a 15-branch
+    # CASE chain: referencing the chain from the subj/obj expressions
+    # re-inlines it (Catalyst collapses adjacent projections) and the
+    # blown-up projection falls out of whole-stage codegen — measured
+    # 38.5 s for this stage at 9M turns / local[8]; the join form (pred
+    # becomes a join-output attribute, so downstream refs are plain
+    # column reads inside codegen) runs the same stage in ~7 s. A
+    # transform()-let-bound variant was also tried: 46 s — higher-order
+    # functions are interpreted per row, worse than the inlined chain.
+    # Same plan-shape hazard family as functions/cascade.py:319-331.
+    dim_rows = []
+    for (ta, tb), (pname, und) in LINK_PREDICATES.items():
+        dim_rows.append((ta, tb, pname, und, True))
+        if ta != tb:
+            dim_rows.append((tb, ta, pname, und, False))
+    type_dim = per_group.sparkSession.createDataFrame(
+        dim_rows, "t1 string, t2 string, pred string, und boolean, ab_first boolean"
+    )
+    typed = pairs.join(F.broadcast(type_dim), ["t1", "t2"])  # untyped pairs drop
+    subj = F.when(F.col("und"), F.least("e1", "e2")).otherwise(
+        F.when(F.col("ab_first"), F.col("e1")).otherwise(F.col("e2"))
+    )
+    obj = F.when(F.col("und"), F.greatest("e1", "e2")).otherwise(
+        F.when(F.col("ab_first"), F.col("e2")).otherwise(F.col("e1"))
     )
     links = typed.select(subj.alias("subj"), F.col("pred"), obj.alias("obj"))
     if top_level is not None:

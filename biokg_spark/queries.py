@@ -28,8 +28,11 @@ from biokg_spark.functions.text import (
     quality_score,
     sanitize_text,
     token_count,
+    tokens,
+    trigram_dup_count,
 )
 from biokg_spark.operators.dedup import (
+    chunk_dup_stats,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -1182,6 +1185,85 @@ def text_lang_ngram(spark, sf_dir):
 def doc_fingerprints(spark, sf_dir):
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+@q(
+    "text_repetition",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+    tri AS (
+      SELECT doc_id, ts,
+             CASE WHEN len(ts) >= 3
+                  THEN len(ts) - 2
+                     - len(list_distinct(list_transform(
+                         generate_series(1, len(ts) - 2),
+                         i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))))
+                  ELSE 0 END AS dup_trigram_count
+      FROM tok),
+    cnt AS (
+      SELECT doc_id, dup_trigram_count, w, count(*) AS c
+      FROM (SELECT doc_id, dup_trigram_count, unnest(ts) AS w FROM tri)
+      GROUP BY doc_id, dup_trigram_count, w)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct_tokens,
+           dup_trigram_count, max(c) AS top_token_count
+    FROM cnt GROUP BY doc_id, dup_trigram_count
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per document: token count,
+    vocabulary size (type/token), within-row duplicate trigram count,
+    and the count of the single most frequent token. The trigram part
+    is a row-local Column expression computed BEFORE the explode and
+    carried through the aggregation keys (constant per doc), so the
+    whole query is one explode + two map-side-partial aggregates — no
+    join, no all-pairs stage, scales linearly in corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        trigram_dup_count("text").alias("dup_trigram_count"),
+        F.explode(tokens("text")).alias("w"),
+    )
+    return (
+        ex.groupBy("doc_id", "dup_trigram_count", "w")
+        .count()
+        .groupBy("doc_id", "dup_trigram_count")
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("count").alias("top_token_count"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_distinct_tokens",
+            "dup_trigram_count", "top_token_count",
+        )
+    )
+
+
+@q(
+    "dedup_chunk_exact",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(ts, j * 8 + 1, j * 8 + 8), ' ')) AS chunk_hash
+      FROM tok, unnest(generate_series(0, CAST(floor((len(ts) - 1) / 8.0) AS BIGINT))) AS t(j)),
+    cnt AS (SELECT chunk_hash, count(*) AS occ FROM ch GROUP BY chunk_hash)
+    SELECT doc_id, count(*) AS n_chunks,
+           count(CASE WHEN occ > 1 THEN 1 END) AS n_dup_chunks
+    FROM ch JOIN cnt USING (chunk_hash)
+    GROUP BY doc_id
+    """,
+)
+def dedup_chunk_exact(spark, sf_dir):
+    """Chunk-level exact-substring duplication (the Spark-shaped analog
+    of suffix-array substring dedup): non-overlapping 8-token chunks,
+    corpus-wide occurrence counts, per-doc duplicate-chunk tally."""
+    return chunk_dup_stats(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", chunk_tokens=8
     )
 
 

@@ -158,3 +158,60 @@ def test_hot_bucket_guard_embedding(spark):
         ).collect()
     }
     assert got == {(100, 101)}
+
+
+def test_chunk_dup_stats(spark):
+    from biokg_spark.operators.dedup import chunk_dup_stats
+
+    # chunk_tokens=3: doc 1 = [a b c][d e f][g], doc 2 shares the "a b c"
+    # and "d e f" chunks; doc 3 repeats "a b c" WITHIN itself; doc 4 is
+    # unique; doc 5 is shorter than one chunk (single short chunk).
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "a b c d e f"),
+        (3, "a b c a b c"),
+        (4, "x y z w v u"),
+        (5, "p q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks)
+        for r in chunk_dup_stats(df, "text", "doc_id", chunk_tokens=3).collect()
+    }
+    assert out[1] == (3, 2)  # "a b c", "d e f" dup; tail "g" unique
+    assert out[2] == (2, 2)
+    assert out[3] == (2, 2)  # within-doc repeat counts as dup
+    assert out[4] == (2, 0)
+    assert out[5] == (1, 0)
+
+
+def test_repetition_columns(spark):
+    import pyspark.sql.functions as F
+
+    from biokg_spark.functions.text import (
+        distinct_token_count,
+        token_count,
+        trigram_dup_count,
+    )
+
+    rows = [
+        (1, "a b c a b c a b c"),  # trigram "a b c" x3 (+ rotations)
+        (2, "one two three four"),  # no repeats
+        (3, "x y"),                 # under 3 tokens -> 0, not a crash
+        (4, ""),                    # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n, r.d, r.t)
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("n"),
+            distinct_token_count("text").alias("d"),
+            trigram_dup_count("text").alias("t"),
+        ).collect()
+    }
+    # 9 tokens, 3 distinct; 7 trigrams but only 3 distinct -> 4 dups
+    assert out[1] == (9, 3, 4)
+    assert out[2] == (4, 4, 0)
+    assert out[3] == (2, 2, 0)
+    assert out[4][2] == 0

@@ -131,3 +131,72 @@ def test_media_features_real_dimensions(spark):
     assert got[1] == (12, 34)
     assert got[2] == (56, 78)
     assert 16 <= got[3][0] < 80  # fallback path
+
+
+def _gif_bytes(w, h):
+    import struct
+
+    # header + logical screen descriptor + trailer (no frames needed
+    # for the dimension parse; screen descriptor carries the size)
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
+
+
+def _bmp_bytes(w, h, top_down=False):
+    import struct
+
+    info = struct.pack("<Iii", 40, w, -h if top_down else h) + bytes(28)
+    pixels = bytes(((w * 3 + 3) // 4 * 4) * h)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 54)
+    return hdr + info + pixels
+
+
+def _wav_bytes(channels, rate, n_samples, bits=16):
+    import struct
+
+    data = bytes(n_samples * channels * (bits // 8))
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * bits // 8, channels * bits // 8, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+         + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_gif_bmp_header_decode_real():
+    from biokg_spark.operators.multimodal import (
+        _bmp_dimensions,
+        _decode_dimensions,
+        _gif_dimensions,
+    )
+
+    assert _gif_dimensions(_gif_bytes(11, 29)) == (11, 29)
+    assert _bmp_dimensions(_bmp_bytes(33, 21)) == (33, 21)
+    # top-down BMP stores a negative height; parse must abs() it
+    assert _bmp_dimensions(_bmp_bytes(8, 6, top_down=True)) == (8, 6)
+    assert _decode_dimensions(_gif_bytes(200, 100)) == (200, 100)
+    assert _gif_dimensions(b"GIF89") is None
+    assert _bmp_dimensions(b"BMshort") is None
+
+
+def test_wav_audio_meta_real(spark):
+    from biokg_spark.operators.multimodal import (
+        _wav_audio_meta,
+        extract_audio_features,
+    )
+
+    assert _wav_audio_meta(_wav_bytes(2, 44100, 44100)) == (2, 44100, 44100)
+    assert _wav_audio_meta(_wav_bytes(1, 16000, 8000)) == (1, 16000, 8000)
+    assert _wav_audio_meta(b"RIFFxxxxJUNK") is None
+    # through the Arrow kernel: one real WAV + one stub payload
+    rows = [
+        (1, "audio", bytearray(_wav_bytes(1, 16000, 16000)), "audio/wav"),
+        (2, "audio", bytearray(b"not a wav"), "application/octet-stream"),
+        (3, "image", bytearray(b"ignored"), "image/png"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+    out = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert set(out) == {1, 2}  # audio rows only
+    assert (out[1].channels, out[1].sample_rate, out[1].n_samples) == (1, 16000, 16000)
+    assert out[1].duration_ms == 1000
+    assert out[2].sample_rate % 8000 == 0  # deterministic stub fallback
