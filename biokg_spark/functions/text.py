@@ -161,23 +161,36 @@ def distinct_token_count(col: Column | str) -> Column:
 def trigram_dup_count(col: Column | str) -> Column:
     """How many of the row's word trigrams are repeats of an earlier
     trigram in the SAME row (Gopher's duplicate-n-gram repetition
-    filter, n=3). 0 for texts under three tokens. Pure Column — rides
-    whole-stage codegen; the n-2 trigram array is row-local, never
-    exploded."""
-    t = tokens(col)
-    n = F.size(t)
-    # sequence(1, n-2) would run DESCENDING for n < 3 (Spark infers a
-    # negative step), so the short-text case must be guarded explicitly
-    tri = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(t, i),
-                F.element_at(t, i + 1),
-                F.element_at(t, i + 2),
+    filter, n=3). 0 for texts under three tokens. The n-2 trigram array
+    is row-local, never exploded.
+
+    Both the token array and the trigram array are LET-BOUND via
+    ``transform()`` over a singleton array: referencing the ``split()``
+    expression from inside the per-trigram lambda re-inlines it
+    (Catalyst), re-running the split for every ``element_at`` — O(n²)
+    splits per row, measured as a single-core multi-minute stall on
+    5k documents of ~500 tokens. Lambda variables bind exactly once.
+    Same hazard family as functions/cascade.py:319-331."""
+
+    def over_trigrams(tri: Column) -> Column:
+        return F.size(tri) - F.size(F.array_distinct(tri))
+
+    def over_tokens(t: Column) -> Column:
+        n = F.size(t)
+        # sequence(1, n-2) would run DESCENDING for n < 3 (Spark infers
+        # a negative step), so the short-text case is guarded explicitly
+        tri = F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.size(tri) - F.size(F.array_distinct(tri))
+        ).otherwise(F.array().cast("array<string>"))
+        return F.element_at(F.transform(F.array(tri), over_trigrams), 1)
+
+    return F.element_at(F.transform(F.array(tokens(col)), over_tokens), 1)
