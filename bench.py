@@ -64,6 +64,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "text_quality",
     "text_repetition",
+    "corpus_filter",
     "text_tokenize_bpe",
     "embed_cosine_topk",
     "embed_ann_lsh",

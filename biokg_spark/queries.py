@@ -1249,6 +1249,84 @@ def text_repetition(spark, sf_dir):
 
 
 @q(
+    "corpus_filter",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split(lower(trim(text)), ' ')) END AS n_tokens,
+             len(list_filter(string_split(lower(trim(text)), ' '),
+                             w -> w IN {{stop_sql}})) AS n_stop,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents),
+    surv AS (SELECT fp, min(doc_id) AS keep_id FROM base GROUP BY fp),
+    top AS (
+      SELECT doc_id, max(c) AS top_cnt
+      FROM (SELECT doc_id, count(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+                  FROM documents)
+            GROUP BY doc_id, w)
+      GROUP BY doc_id)
+    SELECT b.doc_id,
+           CASE WHEN b.doc_id <> s.keep_id THEN 'exact_dup'
+                WHEN b.n_tokens < 8 THEN 'too_short'
+                WHEN t.top_cnt * 8 >= b.n_tokens THEN 'repetitive'
+                WHEN b.n_stop * 25 < b.n_tokens THEN 'non_english'
+                ELSE 'keep' END AS reason,
+           (b.doc_id = s.keep_id AND b.n_tokens >= 8
+            AND t.top_cnt * 8 < b.n_tokens
+            AND b.n_stop * 25 >= b.n_tokens) AS keep
+    FROM base b JOIN surv s USING (fp) JOIN top t ON t.doc_id = b.doc_id
+    """.replace("{stop_sql}", "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"),
+)
+def corpus_filter(spark, sf_dir):
+    """End-to-end training-corpus keep/drop decision: exact-dup survivor
+    election, length floor, top-token repetition cap (integer ratio —
+    engine-exact), and a stopword-density language gate, composed with
+    an ordered reason. Shapes: one md5 groupBy (dedup), one token
+    explode + two map-side-partial aggs (repetition), two equi-joins on
+    doc_id/fp — no all-pairs stage; every signal reuses an operator the
+    registry already oracles individually."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    base = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.size(
+            F.filter(tokens("text"), lambda w: F.array_contains(stop_arr, w))
+        ).alias("n_stop"),
+        doc_fingerprint("text").alias("fp"),
+    )
+    surv = base.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    top = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"))
+    )
+    j = base.join(surv, "fp").join(top, "doc_id")
+    reason = (
+        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup"))
+        .when(F.col("n_tokens") < 8, F.lit("too_short"))
+        .when(F.col("top_cnt") * 8 >= F.col("n_tokens"), F.lit("repetitive"))
+        .when(F.col("n_stop") * 25 < F.col("n_tokens"), F.lit("non_english"))
+        .otherwise(F.lit("keep"))
+    )
+    return j.select(
+        "doc_id",
+        reason.alias("reason"),
+        (
+            (F.col("doc_id") == F.col("keep_id"))
+            & (F.col("n_tokens") >= 8)
+            & (F.col("top_cnt") * 8 < F.col("n_tokens"))
+            & (F.col("n_stop") * 25 >= F.col("n_tokens"))
+        ).alias("keep"),
+    )
+
+
+@q(
     "dedup_chunk_exact",
     """
     WITH tok AS (

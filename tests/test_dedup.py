@@ -215,3 +215,31 @@ def test_repetition_columns(spark):
     assert out[2] == (4, 4, 0)
     assert out[3] == (2, 2, 0)
     assert out[4][2] == 0
+
+
+def test_corpus_filter_reason_ordering(spark):
+    """exact_dup wins over every other reason; too_short before
+    repetitive; survivor of a dup group is the min doc_id."""
+    import os
+    import tempfile
+
+    from biokg_spark.queries import REGISTRY
+
+    rows = [
+        (1, "the cat sat on mat with dog near bird today fine"),
+        (2, "the cat sat on mat with dog near bird today fine"),  # dup of 1
+        (3, "tiny short"),                                   # too_short
+        (4, "spam spam spam spam spam spam spam the is"),    # repetitive
+        (5, "zork blee qux vamp gren plox trid nuvo karn selt"),  # non_english
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.doc_id: (r.reason, r.keep)
+               for r in REGISTRY["corpus_filter"][0](spark, d).collect()}
+    assert out[1] == ("keep", True)
+    assert out[2] == ("exact_dup", False)
+    assert out[3] == ("too_short", False)
+    assert out[4] == ("repetitive", False)
+    assert out[5] == ("non_english", False)
