@@ -269,13 +269,59 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
-    """Resize images to fit ``max_dim`` (STUB decode/encode, real plumbing).
+def _bmp_resize(payload: bytes, max_dim: int) -> tuple[bytes, int, int] | None:
+    """REAL nearest-neighbor resize for uncompressed 24-bpp BMPs,
+    stdlib only: parse BITMAPFILEHEADER/BITMAPINFOHEADER, sample source
+    pixels (rows are 4-byte aligned; positive height = bottom-up, which
+    the resample preserves), and re-emit a valid 54-byte-header BMP.
+    Returns None for any other BMP flavor (palette, RLE, 32-bpp...)."""
+    import struct
 
-    A real deployment swaps the body for PIL resize + re-encode; the stub
-    clamps the fake-decoded dimensions preserving aspect ratio and
-    truncates the payload proportionally so size assertions are exact.
-    Narrow transformation: no shuffle, payload column pruned for any
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        return None
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    h = abs(h_signed)
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    stride = (w * 3 + 3) // 4 * 4
+    if data_off + stride * h > len(payload):
+        return None
+    scale = min(1.0, max_dim / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    nstride = (nw * 3 + 3) // 4 * 4
+    rows = []
+    for oy in range(nh):
+        sy = min(h - 1, oy * h // nh)
+        src = data_off + sy * stride
+        row = bytearray(nstride)
+        for ox in range(nw):
+            sx = min(w - 1, ox * w // nw)
+            row[ox * 3:ox * 3 + 3] = payload[src + sx * 3:src + sx * 3 + 3]
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, nw, nh if h_signed > 0 else -nh,
+        1, 24, 0, len(pixels), 2835, 2835, 0, 0,
+    )
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    return hdr + info + pixels, nw, nh
+
+
+def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
+    """Resize images to fit ``max_dim``, preserving aspect ratio.
+
+    REAL nearest-neighbor decode→resample→re-encode for uncompressed
+    24-bpp BMPs (stdlib struct, no image library); other formats keep
+    the labeled deterministic stand-in (clamp the header-decoded
+    dimensions, truncate the payload proportionally) — a real deployment
+    swaps that fallback for PIL resize + re-encode. Narrow
+    transformation: no shuffle, payload column pruned for any
     downstream metadata-only consumer.
     """
 
@@ -284,6 +330,10 @@ def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
             out_rows = []
             for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 raw = bytes(p)
+                real = _bmp_resize(raw, max_dim)
+                if real is not None:
+                    out_rows.append((mid, kind, *real))
+                    continue
                 w, h = _decode_dimensions(raw)
                 scale = min(1.0, max_dim / max(w, h))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))

@@ -1249,6 +1249,43 @@ def text_repetition(spark, sf_dir):
 
 
 @q(
+    "corpus_stats",
+    """
+    WITH t AS (
+      SELECT CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split(lower(trim(text)), ' ')) END AS nt,
+             len(text) AS nc
+      FROM documents)
+    SELECT count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           round(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(nt, 0.9), 4) AS p90_tokens,
+           max(nt) AS max_tokens,
+           round(avg(nc), 4) AS mean_chars
+    FROM t
+    """,
+)
+def corpus_stats(spark, sf_dir):
+    """Corpus profile summary (A6-style): doc/token totals and exact
+    token-count percentiles (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` both interpolate continuously, so the oracle is
+    exact). One aggregate over a two-column projection — the scan never
+    touches more than (text) and prunes everything else."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        token_count("text").alias("nt"), F.length("text").alias("nc")
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.round(F.percentile("nt", F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile("nt", F.lit(0.9)), 4).alias("p90_tokens"),
+        F.max("nt").alias("max_tokens"),
+        F.round(F.avg("nc"), 4).alias("mean_chars"),
+    )
+
+
+@q(
     "corpus_filter",
     f"""
     WITH base AS (

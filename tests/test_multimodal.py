@@ -200,3 +200,60 @@ def test_wav_audio_meta_real(spark):
     assert (out[1].channels, out[1].sample_rate, out[1].n_samples) == (1, 16000, 16000)
     assert out[1].duration_ms == 1000
     assert out[2].sample_rate % 8000 == 0  # deterministic stub fallback
+
+
+def _bmp_halves(w, h):
+    """24bpp BMP, left half solid red (BGR 00 00 FF), right half blue."""
+    import struct
+
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for _ in range(h):
+        row = bytearray(stride)
+        for x in range(w):
+            row[x * 3:x * 3 + 3] = (b"\x00\x00\xff" if x < w // 2 else b"\xff\x00\x00")
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    return b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54) + info + pixels
+
+
+def test_bmp_resize_real():
+    """The BMP resize is a genuine pixel resample: output re-parses as a
+    valid BMP at the clamped size and the left/right color split
+    survives the downsample."""
+    import struct
+
+    from biokg_spark.operators.multimodal import _bmp_dimensions, _bmp_resize
+
+    src = _bmp_halves(64, 32)
+    out, nw, nh = _bmp_resize(src, 16)
+    assert (nw, nh) == (16, 8)
+    assert _bmp_dimensions(out) == (16, 8)
+    (data_off,) = struct.unpack("<I", out[10:14])
+    stride = (nw * 3 + 3) // 4 * 4
+    px = lambda x, y: out[data_off + y * stride + x * 3: data_off + y * stride + x * 3 + 3]
+    assert px(2, 3) == b"\x00\x00\xff"   # left stays red
+    assert px(13, 3) == b"\xff\x00\x00"  # right stays blue
+    # small images are not upscaled
+    _, w2, h2 = _bmp_resize(_bmp_halves(8, 4), 16)
+    assert (w2, h2) == (8, 4)
+    # non-24bpp / truncated payloads fall back to None, never raise
+    assert _bmp_resize(b"BM" + bytes(60), 16) is None
+    assert _bmp_resize(src[:40], 16) is None
+
+
+def test_resize_media_uses_real_bmp_path(spark):
+    from biokg_spark.operators.multimodal import resize_media
+
+    rows = [
+        (1, "image", bytearray(_bmp_halves(64, 32)), "image/bmp"),
+        (2, "image", bytearray(b"not an image"), "application/octet-stream"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+    out = {r.media_id: r for r in resize_media(media, max_dim=16).collect()}
+    assert (out[1].width, out[1].height) == (16, 8)
+    assert bytes(out[1].payload)[:2] == b"BM"  # still a decodable BMP
+    assert out[2].width <= 16 and out[2].height <= 16  # stub fallback
