@@ -53,3 +53,39 @@ def test_union_refs_comma_string_input(spark):
     )
     rows = union_refs(df, ["s", "o"]).collect()
     assert rows[0].refs == ["1", "5", "9"]
+
+
+def test_links_typing_dim_join_semantics(spark):
+    """The broadcast-dim pair typing (pipeline/kg.py) preserves the CASE
+    chain contract it replaced: directed predicates orient by the
+    vocabulary's subject type REGARDLESS of input order, undirected ones
+    canonicalize to (least, greatest), and pairs with no vocabulary
+    entry drop."""
+    from pyspark.sql import functions as F
+
+    from biokg_spark.pipeline.kg import links_from_entity_sets
+
+    def ts(*ents):
+        ms = sorted([{"eid": e, "entity_type": t} for e, t in ents],
+                    key=lambda m: (m["eid"], m["entity_type"]))
+        return spark.createDataFrame(
+            [("c", 0, ms)],
+            "conv_id string, turn_idx int, ms array<struct<eid:string,entity_type:string>>",
+        )
+
+    def links(*ents):
+        return {(r.subj, r.pred, r.obj)
+                for r in links_from_entity_sets(ts(*ents)).collect()}
+
+    # directed: DRUG is DPI's subject type whichever side sorts first
+    assert links(("zz9", "DRUG"), ("aa1", "PROTEIN")) == {("zz9", "DPI", "aa1")}
+    assert links(("aa1", "DRUG"), ("zz9", "PROTEIN")) == {("aa1", "DPI", "zz9")}
+    # undirected: canonical (least, greatest) independent of type order
+    assert links(("q2", "PROTEIN"), ("q1", "PROTEIN")) == {("q1", "PPI", "q2")}
+    # untyped combination drops (no GENETIC_DISORDER x PATHWAY predicate)
+    assert links(("g1", "GENETIC_DISORDER"), ("p1", "PATHWAY")) == set()
+    # top_level refine still applies after the dim join
+    tl = spark.createDataFrame([("pw1",)], "pathway_id string")
+    got = {(r.subj, r.pred, r.obj) for r in links_from_entity_sets(
+        ts(("cx1", "COMPLEX"), ("pw1", "PATHWAY")), top_level=tl).collect()}
+    assert got == {("cx1", "MEMBER_OF_TOP_LEVEL_PATHWAY", "pw1")}
