@@ -154,8 +154,14 @@ def doc_fingerprint(col: Column | str) -> Column:
 def distinct_token_count(col: Column | str) -> Column:
     """Number of DISTINCT whitespace tokens (vocabulary size per row).
     Together with ``token_count`` this gives the type/token ratio —
-    the classic Gopher-style repetition signal."""
-    return F.size(F.array_distinct(tokens(col)))
+    the classic Gopher-style repetition signal. 0 for empty/blank text
+    (``split('')`` yields ``['']``, which would otherwise count as one
+    token and make the type/token pair inconsistent: 1 distinct over 0
+    total)."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.array_distinct(tokens(col)))
+    )
 
 
 def trigram_dup_count(col: Column | str) -> Column:

@@ -128,9 +128,11 @@ def _bmp_dimensions(payload: bytes) -> tuple[int, int] | None:
     if len(payload) < 26 or payload[:2] != b"BM":
         return None
     (hdr_size,) = struct.unpack("<I", payload[14:18])
-    if hdr_size < 40:  # BITMAPCOREHEADER uses 16-bit dims
+    if hdr_size == 12:  # 12-byte BITMAPCOREHEADER is the ONLY 16-bit-dim form
         w, h = struct.unpack("<HH", payload[18:22])
         return w, h
+    if hdr_size < 40:  # rare OS/2 2.x short headers (e.g. 16) store
+        return None    # 32-bit dims but truncate later fields — fall back
     w, h = struct.unpack("<ii", payload[18:26])
     return abs(w), abs(h)
 
@@ -173,7 +175,10 @@ def _wav_audio_meta(payload: bytes) -> tuple[int, int, int] | None:
             channels, rate = struct.unpack("<HI", body[2:8])
             (bits,) = struct.unpack("<H", body[14:16])
         elif cid == b"data":
-            data_len = clen
+            # clamp to the bytes actually present: a truncated WAV whose
+            # declared chunk length exceeds the remaining payload must not
+            # overstate n_samples/duration
+            data_len = min(clen, max(0, len(payload) - i - 8))
         i += 8 + clen + (clen % 2)
     if not channels or not rate or not bits or data_len is None:
         return None

@@ -242,8 +242,11 @@ def read_jsonl_table(
     intended for exploration, not pipelines. Corrupt lines land in
     ``_corrupt_record`` (PERMISSIVE mode) instead of failing the job —
     at web scale some malformed records are a certainty and one bad line
-    must not kill a 1000-executor stage. Filter or count that column to
-    monitor feed health.
+    must not kill a 1000-executor stage. To monitor feed health,
+    ``cache()`` the DataFrame (or select other columns alongside) before
+    filtering/counting ``_corrupt_record`` — since Spark 2.3 a query
+    that references ONLY the internal corrupt-record column of an
+    uncached JSON read raises AnalysisException.
     """
     r = spark.read
     if schema is not None:

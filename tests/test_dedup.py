@@ -214,7 +214,9 @@ def test_repetition_columns(spark):
     assert out[1] == (9, 3, 4)
     assert out[2] == (4, 4, 0)
     assert out[3] == (2, 2, 0)
-    assert out[4][2] == 0
+    # empty text: 0 tokens AND 0 distinct tokens (a 1 here would make the
+    # type/token ratio 1/0 on empty docs — ADVICE r3)
+    assert out[4] == (0, 0, 0)
 
 
 def test_corpus_filter_reason_ordering(spark):

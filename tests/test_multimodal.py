@@ -175,6 +175,16 @@ def test_gif_bmp_header_decode_real():
     assert _decode_dimensions(_gif_bytes(200, 100)) == (200, 100)
     assert _gif_dimensions(b"GIF89") is None
     assert _bmp_dimensions(b"BMshort") is None
+    # 12-byte BITMAPCOREHEADER is the only 16-bit-dim form; other sub-40
+    # header sizes (OS/2 2.x short headers, 32-bit dims) must fall back
+    # to None rather than misparse (ADVICE r3)
+    import struct
+    core = (b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+            + struct.pack("<IHH", 12, 17, 13) + bytes(8))
+    assert _bmp_dimensions(core) == (17, 13)
+    os2 = (b"BM" + struct.pack("<IHHI", 30, 0, 0, 30)
+           + struct.pack("<Iii", 16, 17, 13) + bytes(8))
+    assert _bmp_dimensions(os2) is None
 
 
 def test_wav_audio_meta_real(spark):
@@ -186,6 +196,11 @@ def test_wav_audio_meta_real(spark):
     assert _wav_audio_meta(_wav_bytes(2, 44100, 44100)) == (2, 44100, 44100)
     assert _wav_audio_meta(_wav_bytes(1, 16000, 8000)) == (1, 16000, 8000)
     assert _wav_audio_meta(b"RIFFxxxxJUNK") is None
+    # truncated WAV: declared data length exceeds the payload — clamp to
+    # bytes present instead of overstating n_samples (ADVICE r3)
+    full = _wav_bytes(1, 16000, 1000)  # 2000 data bytes
+    truncated = full[:-1500]           # only 500 data bytes remain
+    assert _wav_audio_meta(truncated) == (1, 16000, 250)
     # through the Arrow kernel: one real WAV + one stub payload
     rows = [
         (1, "audio", bytearray(_wav_bytes(1, 16000, 16000)), "audio/wav"),
