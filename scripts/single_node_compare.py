@@ -34,8 +34,11 @@ def main() -> None:
     from biokg_spark.session import get_spark
     from tests.oracle_kg import expected_outputs
 
+    from biokg_spark.plans.hostprobe import host_calibration
+
     spark = get_spark(app_name="single-node-compare")
     spark.sparkContext.setLogLevel("ERROR")
+    cal_start = host_calibration(spark)
     tx = transcripts(spark, n_conversations=n_conv)
     lex, mp, onto = entity_lexicon(spark), id_mapping(spark), ontology(spark)
 
@@ -56,7 +59,7 @@ def main() -> None:
     # -- Spark pipeline (fresh checkpoints, includes all stage writes) ---
     best = None
     with tempfile.TemporaryDirectory() as wd:
-        for rep in range(2):
+        for rep in range(3):
             t0 = time.perf_counter()
             out = KGPipeline(
                 spark, f"{wd}/r{rep}", lex, mp, onto,
@@ -85,6 +88,7 @@ def main() -> None:
             "turns_per_sec": round(n_turns / t_spark, 1),
         },
         "speedup": round(t_ref / t_spark, 2),
+        "calibration": {"start": cal_start, "end": host_calibration(spark)},
         "note": (
             "reference-idiom = tests/oracle_kg.py, single thread, "
             "row-at-a-time (the reference's execution model); outputs "
