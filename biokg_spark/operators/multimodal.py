@@ -2,9 +2,12 @@
 
 PNG/JPEG/GIF/BMP dimensions and WAV audio metadata are decoded for REAL
 via stdlib header parsing (IHDR chunk / SOF marker / logical screen
-descriptor / BITMAPINFOHEADER / RIFF chunk walk); other formats and
-the resize/frame-sample pixel work fall back to deterministic stand-ins
-clearly marked as such (PIL/torchaudio are not in this container). The
+descriptor / BITMAPINFOHEADER / RIFF chunk walk). Pixel-level resize is
+REAL for 24-bpp BMP (struct) and 8-bit non-interlaced PNG (zlib inflate
++ the five RFC 2083 scanline filters, nearest-neighbor resample, filter-0
+deflate re-encode); other formats and frame sampling fall back to
+deterministic stand-ins clearly marked as such (PIL/torchaudio are not
+in this container). The
 Spark-side contract (schema, Arrow batch shape, ``mapInPandas``
 partition-parallel execution) is real and tested either way; swapping a
 stub body for a PIL/torchaudio call changes nothing about the plan.
@@ -318,12 +321,152 @@ def _bmp_resize(payload: bytes, max_dim: int) -> tuple[bytes, int, int] | None:
     return hdr + info + pixels, nw, nh
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # greyscale, RGB, grey+A, RGBA
+
+
+def _png_decode(payload: bytes) -> tuple[bytearray, int, int, int] | None:
+    """REAL PNG pixel decode, stdlib only (``zlib`` + ``struct``): walk
+    the chunk list, inflate the concatenated IDAT stream, and undo the
+    five per-scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6).
+    Returns (flat pixel bytes, width, height, channels) for 8-bit-depth
+    non-interlaced images of any color type without a palette; None for
+    palette/16-bit/interlaced flavors (the labeled stand-in covers those).
+    """
+    import struct
+    import zlib
+
+    if len(payload) < 33 or payload[:8] != _PNG_SIG:
+        return None
+    w = h = channels = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[i:i + 4])
+        ctype = payload[i + 4:i + 8]
+        body = payload[i + 8:i + 8 + clen]
+        if ctype == b"IHDR":
+            if len(body) < 13:
+                return None
+            w, h = struct.unpack(">II", body[:8])
+            bit_depth, color_type, _comp, _filt, interlace = body[8:13]
+            if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+                return None
+            channels = _PNG_CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + data + crc
+    if not w or not h or channels is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        return None
+    out = bytearray(stride * h)
+    prev_start = -1  # start of the previous RECONSTRUCTED row in `out`
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        o = y * stride
+        if ftype == 1:  # Sub
+            for x in range(channels, stride):
+                row[x] = (row[x] + row[x - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            if prev_start >= 0:
+                for x in range(stride):
+                    row[x] = (row[x] + out[prev_start + x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = row[x - channels] if x >= channels else 0
+                b = out[prev_start + x] if prev_start >= 0 else 0
+                row[x] = (row[x] + (a + b) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - channels] if x >= channels else 0
+                b = out[prev_start + x] if prev_start >= 0 else 0
+                c = out[prev_start + x - channels] if (
+                    prev_start >= 0 and x >= channels
+                ) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out[o:o + stride] = row
+        prev_start = o
+    return out, w, h, channels
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode(pixels: bytes, w: int, h: int, channels: int) -> bytes:
+    """Minimal valid PNG writer (stdlib only): filter 0 on every
+    scanline, one zlib-deflated IDAT, correct CRCs."""
+    import struct
+
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    stride = w * channels
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * stride:(y + 1) * stride]) for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_resize(payload: bytes, max_dim: int) -> tuple[bytes, int, int] | None:
+    """REAL nearest-neighbor PNG resize: decode (all five scanline
+    filters), resample, re-encode (filter 0 + deflate). Same contract
+    as ``_bmp_resize``; returns None for flavors ``_png_decode`` skips."""
+    dec = _png_decode(payload)
+    if dec is None:
+        return None
+    pixels, w, h, channels = dec
+    scale = min(1.0, max_dim / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    stride = w * channels
+    out = bytearray(nw * nh * channels)
+    for oy in range(nh):
+        sy = min(h - 1, oy * h // nh)
+        src = sy * stride
+        dst = oy * nw * channels
+        for ox in range(nw):
+            sx = min(w - 1, ox * w // nw) * channels
+            out[dst + ox * channels:dst + (ox + 1) * channels] = pixels[
+                src + sx:src + sx + channels
+            ]
+    return _png_encode(out, nw, nh, channels), nw, nh
+
+
 def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
     """Resize images to fit ``max_dim``, preserving aspect ratio.
 
     REAL nearest-neighbor decode→resample→re-encode for uncompressed
-    24-bpp BMPs (stdlib struct, no image library); other formats keep
-    the labeled deterministic stand-in (clamp the header-decoded
+    24-bpp BMPs (stdlib struct) AND for 8-bit non-interlaced PNGs of any
+    color type (stdlib zlib: inflate IDAT, undo all five scanline
+    filters, resample, re-deflate — no image library); other formats
+    keep the labeled deterministic stand-in (clamp the header-decoded
     dimensions, truncate the payload proportionally) — a real deployment
     swaps that fallback for PIL resize + re-encode. Narrow
     transformation: no shuffle, payload column pruned for any
@@ -335,7 +478,7 @@ def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
             out_rows = []
             for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 raw = bytes(p)
-                real = _bmp_resize(raw, max_dim)
+                real = _bmp_resize(raw, max_dim) or _png_resize(raw, max_dim)
                 if real is not None:
                     out_rows.append((mid, kind, *real))
                     continue

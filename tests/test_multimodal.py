@@ -272,3 +272,131 @@ def test_resize_media_uses_real_bmp_path(spark):
     assert (out[1].width, out[1].height) == (16, 8)
     assert bytes(out[1].payload)[:2] == b"BM"  # still a decodable BMP
     assert out[2].width <= 16 and out[2].height <= 16  # stub fallback
+
+
+# ---------------------------------------------------------------------------
+# real PNG decode / resize (stdlib zlib) — round-4 verdict item 2
+# ---------------------------------------------------------------------------
+
+
+def _png_forward_filter(pixels, w, h, channels, filters):
+    """Independent FORWARD filter implementation (test-side oracle for
+    the decoder's unfiltering): applies the given per-row filter types
+    per RFC 2083 §6 and wraps the result in valid PNG chunks."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = w * channels
+    raw = bytearray()
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        cur = pixels[y * stride:(y + 1) * stride]
+        pre = pixels[(y - 1) * stride:y * stride] if y else bytes(stride)
+        row = bytearray(stride)
+        for x in range(stride):
+            a = cur[x - channels] if x >= channels else 0
+            b = pre[x]
+            c = pre[x - channels] if x >= channels else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            row[x] = (cur[x] - pred) & 0xFF
+        raw += bytes([ft]) + row
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _gradient_pixels(w, h, channels):
+    return bytes(
+        (x * 13 + y * 7 + ch * 31) & 0xFF
+        for y in range(h) for x in range(w) for ch in range(channels)
+    )
+
+
+def test_png_decode_all_filters():
+    """The decoder undoes every scanline filter type: a PNG forward-
+    filtered row-by-row with types 0..4 (independent test-side
+    implementation) decodes to the exact original pixels."""
+    from biokg_spark.operators.multimodal import _png_decode
+
+    for channels in (1, 3, 4):
+        px = _gradient_pixels(9, 10, channels)  # odd width: stride not word-aligned
+        payload = _png_forward_filter(px, 9, 10, channels, [0, 1, 2, 3, 4])
+        dec = _png_decode(payload)
+        assert dec is not None
+        out, w, h, ch = dec
+        assert (w, h, ch) == (9, 10, channels)
+        assert bytes(out) == px
+
+
+def test_png_encode_decode_roundtrip():
+    from biokg_spark.operators.multimodal import (
+        _png_decode,
+        _png_dimensions,
+        _png_encode,
+    )
+
+    px = _gradient_pixels(17, 5, 3)
+    payload = _png_encode(px, 17, 5, 3)
+    assert _png_dimensions(payload) == (17, 5)
+    out, w, h, ch = _png_decode(payload)
+    assert (w, h, ch, bytes(out)) == (17, 5, 3, px)
+
+
+def test_png_resize_real():
+    """PNG resize is a genuine pixel resample (mirrors the BMP test):
+    output re-parses as a valid PNG at the clamped size and the
+    left-red / right-blue split survives the downsample."""
+    from biokg_spark.operators.multimodal import _png_decode, _png_resize
+
+    w, h = 64, 32
+    px = bytearray()
+    for _y in range(h):
+        for x in range(w):
+            px += b"\xff\x00\x00" if x < w // 2 else b"\x00\x00\xff"
+    src = _png_forward_filter(bytes(px), w, h, 3, [4])  # all-Paeth input
+    out, nw, nh = _png_resize(src, 16)
+    assert (nw, nh) == (16, 8)
+    dec, dw, dh, ch = _png_decode(out)
+    assert (dw, dh, ch) == (16, 8, 3)
+    for y in range(dh):
+        row = dec[y * dw * 3:(y + 1) * dw * 3]
+        assert bytes(row[:3]) == b"\xff\x00\x00"          # left edge red
+        assert bytes(row[(dw - 1) * 3:]) == b"\x00\x00\xff"  # right edge blue
+    # palette/16-bit/interlaced flavors fall back (return None)
+    assert _png_resize(b"\x89PNG\r\n\x1a\njunk", 16) is None
+
+
+def test_resize_media_uses_real_png_path(spark):
+    from biokg_spark.operators.multimodal import (
+        _png_decode,
+        resize_media,
+    )
+
+    png = _png_forward_filter(_gradient_pixels(40, 20, 4), 40, 20, 4, [1, 2])
+    rows = [(1, "image", bytearray(png), "image/png")]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+    out = resize_media(media, max_dim=10).collect()[0]
+    assert (out.width, out.height) == (10, 5)
+    dec = _png_decode(bytes(out.payload))
+    assert dec is not None and (dec[1], dec[2], dec[3]) == (10, 5, 4)
