@@ -1782,3 +1782,52 @@ def kg_property_fanout(spark, sf_dir):
     return route_ontology(_onto_rows_col(spark, sf_dir)).select(
         "subj", "pred", "obj", "family"
     )
+
+
+@q(
+    "xml_extract_flatten",
+    """
+    SELECT n_regionkey AS region_key,
+           CAST(n_nationkey AS VARCHAR) AS nation_key,
+           n_name AS nation_name,
+           CASE WHEN n_nationkey % 2 = 0 THEN lower(n_name) END AS iso
+    FROM nation
+    """,
+)
+def xml_extract_flatten(spark, sf_dir):
+    """DuckDB cross-check for the XML extraction SEMANTICS (r3 verdict
+    item 5): DuckDB has no XML reader, so the oracle states the expected
+    flattened (record, field, value) relation directly while the Spark
+    side goes the long way — build one XML document per region JVM-side
+    (several <nation> records each; <iso> child present only for even
+    keys), then recover the rows with the real ``xml_extract_records``
+    Arrow kernel (operators/xmlscan.py; reference stream-parse:
+    parsers.py:568-630). Equality checks per-record multiplicity, field
+    extraction, NULL-on-missing-path, and key carry-through."""
+    from biokg_spark.operators.xmlscan import xml_extract_records
+
+    nation = load_table(spark, sf_dir, "nation")
+    rec = F.concat(
+        F.lit("<nation><key>"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("</key><name>"),
+        F.col("n_name"),
+        F.lit("</name>"),
+        F.when(
+            F.col("n_nationkey") % 2 == 0,
+            F.concat(F.lit("<iso>"), F.lower("n_name"), F.lit("</iso>")),
+        ).otherwise(F.lit("")),
+        F.lit("</nation>"),
+    )
+    docs = nation.groupBy(F.col("n_regionkey").alias("region_key")).agg(
+        F.concat(
+            F.lit("<doc>"), F.concat_ws("", F.collect_list(rec)), F.lit("</doc>")
+        ).alias("xml")
+    )
+    return xml_extract_records(
+        docs,
+        "xml",
+        "nation",
+        fields={"nation_key": "key", "nation_name": "name", "iso": "iso"},
+        keys=("region_key",),
+    )
