@@ -283,6 +283,118 @@ _SPLIT_PATTERN = "[^A-Za-z0-9_]+"
 _SPLIT_RX = re.compile(_SPLIT_PATTERN)
 
 
+def scan_mentions_join(
+    df: DataFrame,
+    lexicon: DataFrame,
+    text_col: str = "text",
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    max_surface_tokens: int | None = None,
+) -> DataFrame:
+    """Lexicon-JOIN mention scan: multi-token surfaces, ZERO driver
+    materialization of the lexicon (r3 verdict item 6).
+
+    Every other backend collects the lexicon driver-side before
+    broadcasting — correct for curated dims (measured to 10^6 surfaces,
+    SCALE.md) but impossible at a 10^7..10^8-row derived lexicon. This
+    backend keeps the lexicon distributed end-to-end:
+
+    1. lexicon side: normalize each surface to its word-token sequence
+       (lowercased, split on non-word runs) and resolve the priority
+       tie-break per normalized surface with one partial-aggregated
+       ``min(struct(priority, entity_id, entity_type))``;
+    2. text side: emit positioned word n-grams for n = 1..M (M = max
+       surface token count — either passed, or ONE scalar aggregate on
+       the lexicon; never a row collect). Cost is tokens x M rows,
+       linear in corpus size;
+    3. equi-join on the n-gram string — Catalyst picks broadcast-hash
+       when the lexicon fits under the threshold and shuffle-hash/SMJ
+       beyond it, which is exactly the scale behavior wanted;
+    4. longest-at-start: per (keys, pos) keep the max token count — a
+       partial-aggregable groupBy, not a window shuffle.
+
+    Semantics vs the automaton: word-SEQUENCE granularity. Tokenizing
+    both sides means any non-word separator run matches any other
+    ("heat-shock protein" text matches surface "heat shock protein");
+    the automaton matches the literal surface bytes only. For lexicons
+    whose surfaces are single-space-separated and word-boundary-clean —
+    every curated lexicon here — the two are identical (pinned by
+    parity test). ``surface`` in the output is the NORMALIZED form;
+    ``span_start`` is NULL (offsets are a regex/AC extra).
+    """
+    keys_l = list(keys)
+    norm = F.filter(
+        F.split(F.lower(F.col("surface")), _SPLIT_PATTERN), lambda x: x != ""
+    )
+    lex_norm = (
+        lexicon.select(
+            norm.alias("_toks"), "entity_id", "entity_type", "priority"
+        )
+        .where(F.size("_toks") > 0)
+        .select(
+            F.concat_ws(" ", "_toks").alias("g"),
+            F.size("_toks").alias("n"),
+            F.struct("priority", "entity_id", "entity_type").alias("cand"),
+        )
+        .groupBy("g", "n")
+        .agg(F.min("cand").alias("cand"))
+        .select("g", "n", "cand.entity_id", "cand.entity_type")
+    )
+    if max_surface_tokens is None:
+        # one scalar aggregate — the only driver-visible value; the
+        # lexicon ROWS never leave the executors
+        max_surface_tokens = lex_norm.agg(F.max("n")).first()[0] or 1
+
+    gram_t = "array<struct<pos:int,n:int,g:string>>"
+
+    def _grams_of(n: int):
+        # closure, NOT a defaulted lambda parameter: pyspark dispatches
+        # on lambda arity, so `lambda i, n=n:` would receive (element,
+        # index) and silently bind n to the 0-based index
+        return F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - n + 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice("_toks", i, n)).alias("g"),
+            ),
+        )
+
+    grams = [
+        F.when(F.size("_toks") >= n, _grams_of(n)).otherwise(
+            F.array().cast(gram_t)
+        )
+        # sequence(1, size-n+1) runs DESCENDING when size < n (negative
+        # inferred step) — the when() guard above is load-bearing
+        for n in range(1, max_surface_tokens + 1)
+    ]
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), _SPLIT_PATTERN), lambda x: x != ""
+    )
+    # _toks materialized in its own select BELOW the explode: the gram
+    # arrays are the generator argument (computed once per row), but the
+    # token split itself must not be re-inlined per exploded element
+    # (catalyst explode co-location hazard, SCALE.md)
+    ng = (
+        df.select(*keys_l, toks.alias("_toks"))
+        .select(*keys_l, F.explode(F.concat(*grams)).alias("ng"))
+        .select(*keys_l, "ng.pos", "ng.n", "ng.g")
+    )
+    # g determines n (token count is spaces+1), so the join key is g alone
+    hits = ng.join(lex_norm.drop("n"), "g")
+    best = (
+        hits.groupBy(*keys_l, "pos")
+        .agg(F.max(F.struct("n", "g", "entity_id", "entity_type")).alias("m"))
+        .select(
+            *keys_l,
+            F.col("m.g").alias("surface"),
+            F.col("m.entity_id").alias("entity_id"),
+            F.col("m.entity_type").alias("entity_type"),
+            F.lit(None).cast("int").alias("span_start"),
+        )
+    )
+    return best
+
+
 def scan_mentions(
     df: DataFrame,
     lexicon: DataFrame,
@@ -307,7 +419,12 @@ def scan_mentions(
       degrades linearly with lexicon size (157 s at 20k surfaces) — kept
       for span-exactness cross-checks.
     - ``'sql'``: pure-JVM tokenize+broadcast-join, single-token surfaces
-      only; the only backend with zero Python in the plan.
+      only; zero Python in the plan (lexicon still collected driver-side
+      for priority resolution).
+    - ``'join'``: pure-JVM positioned n-gram join — multi-token surfaces
+      AND no driver materialization of the lexicon at all; the backend
+      for derived lexicons beyond dim scale (10^7+ surfaces). See
+      ``scan_mentions_join``.
 
     Every Arrow batch is scanned as one concatenated string (`\\x00`
     separators preserve boundary semantics); hits map back to rows by
@@ -322,6 +439,8 @@ def scan_mentions(
     """
     if backend == "sql":
         return scan_mentions_sql(df, lexicon, text_col, keys)
+    if backend == "join":
+        return scan_mentions_join(df, lexicon, text_col, keys)
     lex_rows = [
         (r["surface"], r["entity_id"], r["entity_type"], r["priority"])
         for r in lexicon.select("surface", "entity_id", "entity_type", "priority").collect()

@@ -615,6 +615,25 @@ def kg_mention_scan(spark, sf_dir):
 
 
 @q(
+    "kg_mention_scan_join",
+    f"WITH {_MENTIONS_SQL} SELECT conv_id, turn_idx, entity_id, entity_type FROM m",
+)
+def kg_mention_scan_join(spark, sf_dir):
+    """The zero-driver-materialization lexicon-JOIN backend (positioned
+    n-gram equi-join, operators/mentions.py scan_mentions_join) against
+    the same oracle as the Arrow scanner — same mention semantics, but
+    the lexicon never leaves the executors (the backend for derived
+    lexicons beyond broadcast scale)."""
+    from biokg_spark.operators.mentions import scan_mentions_join
+
+    return (
+        scan_mentions_join(doc_transcripts(spark, sf_dir), kg_lexicon_df(spark))
+        .select("conv_id", "turn_idx", "entity_id", "entity_type")
+        .dropDuplicates()
+    )
+
+
+@q(
     "kg_mention_counts",
     f"""
     WITH tx AS ({_TX_SQL}),

@@ -156,3 +156,108 @@ def test_lexicon_broadcast_executor_cache(spark):
     # per (lexicon fingerprint, backend)
     keys = [k for k in M._SCANNER_CACHE if k.endswith("|dict")]
     assert len({k for k in keys}) == len(set(keys))  # sanity
+
+
+def test_join_backend_parity_single_token(spark):
+    """backend='join' agrees with every other backend on single-token
+    lexicons (the common curated-dim case)."""
+    from collections import Counter
+
+    from biokg_spark.datagen import entity_lexicon, transcripts
+
+    tx = transcripts(spark, n_conversations=30)
+    lex = entity_lexicon(spark)
+    cols = ["conv_id", "turn_idx", "surface", "entity_id", "entity_type"]
+
+    def multiset(backend):
+        got = scan_mentions(tx, lex, backend=backend).select(*cols).collect()
+        return Counter(tuple(r) for r in got)
+
+    assert multiset("join") == multiset("dict")
+
+
+def test_join_backend_multiword_parity_with_ac(spark):
+    """backend='join' reproduces the automaton's multi-token semantics —
+    word boundaries, longest-at-start, priority tie-break, overlapping
+    hits at different starts — on space-separated surfaces."""
+    from collections import Counter
+
+    from biokg_spark.operators.mentions import scan_mentions_join
+
+    lex = spark.createDataFrame(
+        [
+            ("heat shock protein", "P1", "PROTEIN", 0),
+            ("heat shock", "P2", "PROTEIN", 0),
+            ("shock", "D1", "DISEASE", 0),
+            ("protein", "T1", "TERM", 0),
+            ("aspirin", "DB1", "DRUG", 0),
+            ("aspirin", "DB2", "DRUG", 1),  # loses the tie-break
+        ],
+        "surface string, entity_id string, entity_type string, priority int",
+    )
+    df = spark.createDataFrame(
+        [
+            ("c0", 0, "the Heat Shock Protein binds aspirin"),
+            ("c0", 1, "shock without heat"),
+            ("c0", 2, "heatshock is one word: no boundary match"),
+            ("c0", 3, ""),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    cols = ["conv_id", "turn_idx", "surface", "entity_id", "entity_type"]
+
+    got = Counter(
+        tuple(r)
+        for r in scan_mentions_join(df, lex).select(*cols).collect()
+    )
+    want = Counter(
+        tuple(r)
+        for r in scan_mentions(df, lex, backend="ac").select(*cols).collect()
+    )
+    assert got == want
+    # and the semantics themselves, pinned: longest wins at pos 0 of turn
+    # 0 ("heat shock protein" not "heat shock"), contained surfaces still
+    # hit at LATER starts ("shock", "protein"), tie-break picks DB1
+    t0 = {(r[2], r[3]) for r in got if r[1] == 0}
+    assert t0 == {
+        ("heat shock protein", "P1"),
+        ("shock", "D1"),
+        ("protein", "T1"),
+        ("aspirin", "DB1"),
+    }
+    assert not any(r[1] == 2 for r in got)  # no boundary-less match
+
+
+def test_join_backend_huge_lexicon_no_driver_materialization(spark):
+    """The join backend scans against a 10^7-surface lexicon that is
+    never collected to the driver: the lexicon exists only as a JVM-side
+    range expression, and matches come back exact."""
+    from pyspark.sql import functions as F
+
+    from biokg_spark.operators.mentions import scan_mentions_join
+
+    lex = spark.range(10_000_000).select(
+        F.concat(F.lit("ent"), F.col("id").cast("string"), F.lit(" protein")).alias(
+            "surface"
+        ),
+        F.concat(F.lit("P"), F.col("id").cast("string")).alias("entity_id"),
+        F.lit("PROTEIN").alias("entity_type"),
+        F.lit(0).alias("priority"),
+    )
+    df = spark.createDataFrame(
+        [
+            ("c0", 0, "binding of ent4217 protein to ent9999999 protein observed"),
+            ("c0", 1, "ent123 alone is not a surface; neither is protein10"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {
+        (r.turn_idx, r.surface, r.entity_id)
+        for r in scan_mentions_join(
+            df, lex, max_surface_tokens=2
+        ).collect()
+    }
+    assert got == {
+        (0, "ent4217 protein", "P4217"),
+        (0, "ent9999999 protein", "P9999999"),
+    }
