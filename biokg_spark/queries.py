@@ -1568,6 +1568,23 @@ def embed_ann_lsh(spark, sf_dir):
     )
 
 
+@q("embed_ann_hnsw", REGISTRY["embed_ann_ivf"][1])  # same brute-force oracle
+def embed_ann_hnsw(spark, sf_dir):
+    """Graph-ANN tier (per-cell HNSW built executor-side via
+    cogroup-applyInPandas) at its exactness configuration — every cell
+    probed, unbounded beam over a connected-by-construction base layer —
+    which is provably brute-force top-k whatever the graph looks like,
+    so the whole build→route→walk→score machinery gets the EXACT
+    brute-force DuckDB oracle. Partial-beam recall is pinned in
+    tests/test_similarity.py."""
+    from biokg_spark.operators.similarity import hnsw_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hnsw_topk(emb, emb.where("vec_id < 5"), k=3).select(
+        "q_id", "c_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Full DDI side-effect cascade over reference-shaped sentences (F2/§2.9).
 # Sentences are synthesized deterministically from doc_id in BOTH engines;

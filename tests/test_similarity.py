@@ -110,3 +110,65 @@ def test_ivf_partial_probe_recall(spark):
         recalls[n_probe] = len(exact & approx) / len(exact)
     assert recalls[2] >= 0.15 and recalls[4] >= 0.4 and recalls[6] >= 0.65, recalls
     assert recalls[2] <= recalls[4] <= recalls[6], recalls
+
+
+def test_hnsw_full_probe_unbounded_beam_equals_brute_force(spark):
+    """The graph tier's exactness dial: probe every cell + unbounded
+    beam over the connected-by-construction base layer == brute-force
+    top-k, including sims and ranks (scored by the shared Spark cosine
+    expression)."""
+    from biokg_spark.operators.similarity import cosine_topk, hnsw_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.where("vec_id < 5")
+    exact = {
+        (r.q_id, r.c_id, r.sim, r.rank) for r in cosine_topk(emb, q, k=3).collect()
+    }
+    got = {
+        (r.q_id, r.c_id, r.sim, r.rank) for r in hnsw_topk(emb, q, k=3).collect()
+    }
+    assert got == exact and len(got) == 15
+
+
+def test_hnsw_partial_beam_recall_monotone(spark):
+    """Approximate configs: recall@3 vs exact grows with (n_probe, ef)
+    and the candidate set stays a subset of the probed cells."""
+    from biokg_spark.operators.similarity import cosine_topk, hnsw_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.where("vec_id < 5")
+    exact = {(r.q_id, r.c_id) for r in cosine_topk(emb, q, k=3).collect()}
+    recalls = {}
+    for n_probe, ef in ((1, 16), (2, 32), (3, 64)):
+        approx = {
+            (r.q_id, r.c_id)
+            for r in hnsw_topk(emb, q, k=3, n_probe=n_probe, ef_search=ef).collect()
+        }
+        recalls[(n_probe, ef)] = len(exact & approx) / len(exact)
+    vals = list(recalls.values())
+    assert vals[0] <= vals[1] <= vals[2], recalls
+    assert vals[0] >= 0.2 and vals[2] >= 0.7, recalls
+
+
+def test_hnsw_index_search_exhaustive_when_unbounded():
+    """Driver-free unit check of the in-process index: with ef=None the
+    beam visits EVERY element (connectivity chain), so the returned
+    candidate ranking is the exact cosine ranking."""
+    import numpy as np
+
+    from biokg_spark.operators.similarity import _HNSW
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(200, 16)
+    idx = _HNSW([list(v) for v in vecs], m=4)
+    qv = rng.randn(16)
+    got = idx.search(list(qv), None)
+    assert len(got) == 200  # visited everything
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    qu = qv / np.linalg.norm(qv)
+    want = np.argsort(-(unit @ qu), kind="stable").tolist()
+    assert got[:10] == want[:10]
