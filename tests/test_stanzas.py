@@ -222,3 +222,65 @@ def test_jsonl_source_explicit_schema_and_corrupt_records(spark, tmp_path):
     assert good == {1: "alpha beta", 2: "gamma"}
     bad = [r for r in rows if r._corrupt_record is not None]
     assert len(bad) == 2  # the non-JSON line and the type-mismatched one
+
+
+def test_write_family_table_iceberg_runtime_smoke(tmp_path):
+    """Real Iceberg catalog write IF the runtime jar is present, else a
+    pinned skip (r3 verdict item 8).
+
+    The container ships no iceberg-spark-runtime jar and has no network
+    to fetch one (verified: pyspark/jars has no iceberg artifact;
+    Maven Central unresolvable), so the catalog branch of
+    write_family_table cannot be integration-tested here. The moment a
+    jar lands in SPARK_GRAFT_ICEBERG_JAR (or pyspark/jars), this test
+    builds a hadoop-type Iceberg catalog in tmp_path, writes a
+    partitioned family table through the writeTo(...).partitionedBy(...)
+    branch, and asserts the 'catalog' route + readback."""
+    import glob
+    import os
+
+    import pyspark
+    import pytest
+
+    jars = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars", "*iceberg*.jar")
+    )
+    env_jar = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if env_jar:
+        jars.append(env_jar)
+    if not jars:
+        pytest.skip(
+            "iceberg-spark-runtime jar not available in this container "
+            "(no network to vendor it); catalog branch covered by the "
+            "documented path fallback in test_write_family_table_partitioned"
+        )
+
+    from pyspark.sql import SparkSession
+
+    from biokg_spark.sources.tables import write_family_table
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("iceberg-smoke")
+        .config("spark.jars", ",".join(jars))
+        .config(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        )
+        .config("spark.sql.catalog.smoke", "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.smoke.type", "hadoop")
+        .config("spark.sql.catalog.smoke.warehouse", str(tmp_path / "wh"))
+        .getOrCreate()
+    )
+    try:
+        df = spark.createDataFrame(
+            [("a", "PPI", "b"), ("c", "TARGET", "d")],
+            "subj string, pred string, obj string",
+        )
+        mode = write_family_table(df, "smoke.db.links", partition_by=["pred"])
+        assert mode == "catalog"
+        back = spark.table("smoke.db.links")
+        assert back.count() == 2
+        assert {r.pred for r in back.select("pred").collect()} == {"PPI", "TARGET"}
+    finally:
+        spark.stop()
