@@ -53,6 +53,7 @@ HEADLINE = [
     "asof_join_events",
     "range_join_intervals",
     "kg_mention_scan",
+    "kg_mention_scan_join",
     "kg_cooccurrence_links",
     "kg_property_fanout",
     "ddi_cascade_effects",
@@ -68,6 +69,7 @@ HEADLINE = [
     "text_tokenize_bpe",
     "embed_cosine_topk",
     "embed_ann_lsh",
+    "embed_ann_hnsw",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline
