@@ -503,14 +503,69 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _gif_split_frames(payload: bytes) -> list[bytes] | None:
+    """REAL GIF container demux, stdlib only: walk the block structure
+    (logical screen descriptor + global palette, extension blocks, image
+    descriptors with optional local palettes and LZW sub-block chains)
+    and re-wrap EACH animation frame as a standalone valid single-frame
+    GIF (shared header/global palette + that frame's graphic-control
+    extension + descriptor + image data + trailer). The LZW pixel data
+    passes through untouched — demux-without-decode, the same contract
+    as packet-level video frame extraction. Returns None for non-GIF or
+    structurally corrupt payloads (caller falls back to the stub)."""
+    if len(payload) < 14 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        flags = payload[10]
+        gct = 3 * (2 ** ((flags & 7) + 1)) if flags & 0x80 else 0
+        header = payload[: 13 + gct]
+        i = 13 + gct
+        frames: list[bytes] = []
+        pending_gce = b""
+        while i < len(payload):
+            b0 = payload[i]
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension block
+                ext_start = i
+                label = payload[i + 1]
+                i += 2
+                while payload[i] != 0:  # sub-block chain
+                    i += 1 + payload[i]
+                i += 1  # block terminator
+                if label == 0xF9:  # graphic control: belongs to next frame
+                    pending_gce = payload[ext_start:i]
+                # comment/application extensions are dropped per-frame
+            elif b0 == 0x2C:  # image descriptor
+                start = i
+                dflags = payload[i + 9]
+                i += 10
+                if dflags & 0x80:  # local color table
+                    i += 3 * (2 ** ((dflags & 7) + 1))
+                i += 1  # LZW minimum code size
+                while payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1
+                frames.append(header + pending_gce + payload[start:i] + b"\x3b")
+                pending_gce = b""
+            else:
+                return None  # unknown block type: corrupt stream
+        return frames or None
+    except IndexError:
+        return None  # truncated stream
+
+
 def sample_frames(media: DataFrame, every_nth: int = 4, frame_bytes: int = 4) -> DataFrame:
     """Sample frames from video payloads — the 1→N (UDTF-shaped) media op.
 
-    STUB decoder: treats the payload as ``frame_bytes``-sized frames and
-    emits every ``every_nth`` one. The real version swaps the body for a
-    container demuxer; the Spark contract (mapInPandas fan-out, one input
-    batch → many output rows, binary frame column) is what is under test.
-    Only ``kind='video'`` rows produce output.
+    REAL for animated GIFs: a stdlib container demuxer
+    (``_gif_split_frames``) splits the block structure into frames, each
+    re-wrapped as a standalone valid GIF, and every ``every_nth`` one is
+    emitted. Other containers keep the labeled STUB (payload treated as
+    ``frame_bytes``-sized frames) — a real deployment swaps that branch
+    for an mp4/mkv demuxer; the Spark contract (mapInPandas fan-out, one
+    input batch → many output rows, binary frame column) is identical
+    either way. Only ``kind='video'`` rows produce output.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -519,6 +574,11 @@ def sample_frames(media: DataFrame, every_nth: int = 4, frame_bytes: int = 4) ->
             vids = pdf[pdf["kind"] == "video"]
             for mid, p in zip(vids["media_id"], vids["payload"]):
                 raw = bytes(p)
+                gif_frames = _gif_split_frames(raw)
+                if gif_frames is not None:
+                    for i in range(0, len(gif_frames), every_nth):
+                        rows.append((mid, i, gif_frames[i]))
+                    continue
                 n_frames = len(raw) // frame_bytes
                 for i in range(0, n_frames, every_nth):
                     rows.append((mid, i, raw[i * frame_bytes:(i + 1) * frame_bytes]))

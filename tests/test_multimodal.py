@@ -400,3 +400,83 @@ def test_resize_media_uses_real_png_path(spark):
     assert (out.width, out.height) == (10, 5)
     dec = _png_decode(bytes(out.payload))
     assert dec is not None and (dec[1], dec[2], dec[3]) == (10, 5, 4)
+
+
+# ---------------------------------------------------------------------------
+# real GIF frame demux (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _animated_gif(n_frames, w=4, h=4, with_gct=True, local_palette_frame=None):
+    """Valid multi-frame GIF89a built block-by-block (independent of the
+    demuxer): global palette, app extension, per-frame graphic-control
+    extensions, optional local palette, LZW sub-block chains."""
+    import struct
+
+    flags = 0x80 | 0x01 if with_gct else 0  # GCT present, 2-bit -> size 4
+    out = b"GIF89a" + struct.pack("<HHBBB", w, h, (0xF1 if with_gct else 0x71), 0, 0)
+    if with_gct:
+        out += bytes(range(6)) * 2  # 4-entry palette = 12 bytes
+    # application extension (NETSCAPE loop) — must be skipped cleanly
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    frames_payload = []
+    for f in range(n_frames):
+        gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # graphic control ext
+        desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                     0x81 if f == local_palette_frame else 0)
+        lct = bytes(12) if f == local_palette_frame else b""
+        # LZW min code size + two data sub-blocks + terminator (opaque to
+        # the demuxer; contents deliberately frame-specific)
+        data = bytes([2]) + bytes([3, f, f, f]) + bytes([2, 0xAA, f]) + b"\x00"
+        frames_payload.append(gce + desc + lct + data)
+        out += gce + desc + lct + data
+    return out + b"\x3b", frames_payload
+
+
+def test_gif_split_frames_real():
+    from biokg_spark.operators.multimodal import (
+        _gif_dimensions,
+        _gif_split_frames,
+    )
+
+    gif, _parts = _animated_gif(3, local_palette_frame=1)
+    frames = _gif_split_frames(gif)
+    assert frames is not None and len(frames) == 3
+    for f in frames:
+        # each emitted frame is itself a structurally valid GIF
+        assert f[:6] == b"GIF89a" and f[-1:] == b"\x3b"
+        assert _gif_dimensions(f) == (4, 4)
+        assert _gif_split_frames(f) is not None and len(_gif_split_frames(f)) == 1
+    # frames carry their own (distinct) image data
+    assert len({f for f in frames}) == 3
+    # non-GIF / truncated payloads fall back, never raise
+    assert _gif_split_frames(b"not a gif") is None
+    # truncation mid-LZW-chain: must degrade cleanly (None or the frames
+    # completed before the cut), never raise
+    _gif_split_frames(gif[: len(gif) // 2])
+    assert _gif_split_frames(b"GIF89a\x04\x00") is None
+
+
+def test_sample_frames_gif_real_demux(spark):
+    from biokg_spark.operators.multimodal import sample_frames
+
+    gif, _ = _animated_gif(5)
+    rows = [
+        (1, "video", bytearray(gif), "image/gif"),
+        (2, "video", bytearray(b"0123456789abcdef"), "application/octet-stream"),
+        (3, "image", bytearray(gif), "image/gif"),  # non-video: ignored
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+    out = sample_frames(media, every_nth=2, frame_bytes=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == {1, 2}
+    # GIF path: frames 0, 2, 4 of 5, each a standalone GIF
+    gif_rows = sorted(by_id[1], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in gif_rows] == [0, 2, 4]
+    assert all(bytes(r.frame)[:6] == b"GIF89a" for r in gif_rows)
+    # stub path unchanged for non-GIF payloads
+    assert [r.frame_idx for r in sorted(by_id[2], key=lambda r: r.frame_idx)] == [0, 2]
