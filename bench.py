@@ -186,7 +186,7 @@ def bench_default() -> None:
     # work, so `slowdown` ~1.0 marks a healthy window and ~2-5 marks the
     # stall windows this host exhibits (BASELINE.md). Without these a
     # reader cannot tell a 5x host stall from a 5x regression.
-    cal_start = host_calibration(spark)
+    cal_start = host_calibration(spark, multicore=min(CPUS, 8))
     log(f"  calibration(start): {cal_start}")
 
     # Min-of-k per query, not a single shot: the sandbox host stalls the
@@ -237,7 +237,7 @@ def bench_default() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    cal_end = host_calibration(spark)
+    cal_end = host_calibration(spark, multicore=min(CPUS, 8))
     log(f"  calibration(end): {cal_end}")
     crosscheck = _singlenode_crosscheck(turns_per_sec)
     if crosscheck:
@@ -280,7 +280,10 @@ def pipeline_worker(cpus: int, tx_path: str, workdir: str, reps: int = 1) -> Non
 
     spark = make_spark(cpus, app=f"biokg-scale-{cpus}")
     n_turns = spark.read.parquet(tx_path).count()  # warm input footers
-    cal = host_calibration(spark)
+    # multicore probe at the leg's own width: the single-core probes
+    # missed a window where 8-core delivery was ~1.5x degraded while
+    # 1-core reads were healthy (hypervisor burst throttling)
+    cal = host_calibration(spark, multicore=cpus)
     best = None
     rep_walls = []
     for rep in range(reps):
@@ -310,7 +313,11 @@ def pipeline_worker(cpus: int, tx_path: str, workdir: str, reps: int = 1) -> Non
     spark.stop()
 
 
-def bench_scaling(n_conversations: int, levels: tuple[int, int] = (2, 8)) -> None:
+def bench_scaling(
+    n_conversations: int,
+    levels: tuple[int, int] = (2, 8),
+    concurrent: bool = False,
+) -> None:
     """Same pipeline, same input, two parallelism levels (N and 4N cores).
 
     The input is sized so per-stage compute dominates fixed per-job
@@ -338,6 +345,17 @@ def bench_scaling(n_conversations: int, levels: tuple[int, int] = (2, 8)) -> Non
 
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
         results: dict[int, dict] = {}
+        # Sequential legs sample DIFFERENT host windows, and this host's
+        # delivered multi-core throughput drifts ~1.5x on ~10-minute
+        # timescales (round-4 A/B: same code+input measured 173.6 s and
+        # 131.6 s at local[8] forty minutes apart, single-core probes
+        # healthy throughout). --concurrent runs both legs at once on
+        # DISJOINT pinned core sets (e.g. 0-1 and 2-9), so both legs see
+        # the identical window by construction and the ratio measures the
+        # SOFTWARE. Total load (N + 4N cores) stays under the ~20 cores
+        # this box actually delivers.
+        procs: dict[int, subprocess.Popen] = {}
+        core_base = 0
         for cpus in levels:
             # Pin the whole JVM to exactly `cpus` CPUs: without it, a
             # local[2] JVM still sizes GC/IO thread pools off the
@@ -345,11 +363,14 @@ def bench_scaling(n_conversations: int, levels: tuple[int, int] = (2, 8)) -> Non
             # mention scan runs 19% faster unpinned at local[2]) — a
             # cluster of 2-core slices has no such bonus, so the unpinned
             # stand-in inflates the small leg and understates scaling.
+            # Concurrent mode pins the legs to DISJOINT ranges.
             pin = (
-                ["taskset", "-c", f"0-{cpus - 1}"]
+                ["taskset", "-c", f"{core_base}-{core_base + cpus - 1}"]
                 if shutil.which("taskset")
                 else []
             )
+            if concurrent:
+                core_base += cpus
             cmd = pin + [
                 sys.executable,
                 os.path.abspath(__file__),
@@ -363,6 +384,11 @@ def bench_scaling(n_conversations: int, levels: tuple[int, int] = (2, 8)) -> Non
                 "--workdir",
                 os.path.join(tmp, f"ckpt_{cpus}"),
             ]
+            if concurrent:
+                procs[cpus] = subprocess.Popen(
+                    cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True
+                )
+                continue
             out = subprocess.run(cmd, capture_output=True, text=True)
             if out.returncode != 0:
                 log(out.stderr[-4000:])
@@ -372,12 +398,24 @@ def bench_scaling(n_conversations: int, levels: tuple[int, int] = (2, 8)) -> Non
                 f"({results[cpus]['turns_per_sec']} turns/s) "
                 f"reps={results[cpus].get('rep_walls')}")
 
+        for cpus, p in procs.items():
+            stdout, stderr = p.communicate()
+            if p.returncode != 0:
+                log(stderr[-4000:])
+                raise RuntimeError(f"pipeline subprocess local[{cpus}] failed")
+            results[cpus] = json.loads(stdout.strip().splitlines()[-1])
+            log(f"  local[{cpus}] best-of-{repeats} (concurrent): "
+                f"{results[cpus]['wall_sec']}s "
+                f"({results[cpus]['turns_per_sec']} turns/s) "
+                f"reps={results[cpus].get('rep_walls')}")
+
         lo, hi = levels
         eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / (hi / lo)
         report = {
             "metric": "kg_pipeline_scaling_efficiency",
             "value": round(eff, 3),
             "unit": f"efficiency local[{lo}]->local[{hi}]",
+            "mode": "concurrent-disjoint-cores" if concurrent else "sequential",
             "n_turns": n_turns,
             "levels": {str(c): results[c] for c in levels},
             "criterion": ">=0.8 (BASELINE.json north_rule)",
@@ -391,6 +429,9 @@ def bench_scaling(n_conversations: int, levels: tuple[int, int] = (2, 8)) -> Non
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--concurrent", action="store_true",
+                    help="run both scaling legs at once on disjoint pinned "
+                         "cores (same host window by construction)")
     ap.add_argument("--levels", type=str, default="2,8",
                     help="comma-separated core counts N,4N for --scaling")
     ap.add_argument("--conversations", type=int, default=100_000)
@@ -405,7 +446,9 @@ def main() -> None:
         pipeline_worker(args.cpus, args.input, args.workdir, reps=args.reps)
     elif args.scaling:
         lo, hi = (int(x) for x in args.levels.split(","))
-        bench_scaling(args.conversations, levels=(lo, hi))
+        bench_scaling(
+            args.conversations, levels=(lo, hi), concurrent=args.concurrent
+        )
     else:
         bench_default()
 
