@@ -47,6 +47,8 @@ Stages (each a checkpointed parquet table, resumable):
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -431,6 +433,8 @@ class KGPipeline:
             else None
         )
 
+        early_pool = None
+        early_futs: dict = {}
         try:
             fp1 = fingerprint(
                 "mentions", fp0, self.scanner_backend, self.disambiguation
@@ -448,13 +452,6 @@ class KGPipeline:
             fp2 = fingerprint("linked", fp1, self.canonicalizer)
             linked = self._link(mentions)
 
-            # shared per-turn entity sets: the single aggregation both the
-            # links and quads stages consume (one shuffle instead of two)
-            fp2b = fingerprint("turn_sets", fp2)
-            turn_sets = self.ckpt.run(
-                "turn_sets", fp2b, lambda: self._turn_sets(linked)
-            )
-
             # ONE extraction pass over the (wide) text column feeds all
             # four quad families (submitted above, concurrent with mention
             # scanning). Before this stage existed, each family rescanned
@@ -464,14 +461,68 @@ class KGPipeline:
             # the table and scanning it four times was the regression. The
             # extracted table is narrow (a struct + a few short strings)
             # and keeps only turns where at least one extractor hit.
+            # (Awaited here, before turn_sets: extracted consistently
+            # finishes under the mentions pole — 42 s vs 63 s at local[8],
+            # 197 s vs 234 s at local[2], 9M turns — so this wait is free
+            # and unblocks the early-family launch below.)
             extracted = extracted_fut.result()
             routed, top_level = (
                 onto_fut.result() if onto_fut is not None else (None, None)
             )
-        finally:
+
+            # EARLY families — everything whose inputs are already on
+            # disk: metadata (linked + routed; the largest output table),
+            # properties (routed only) and phos_quads (extracted only)
+            # do NOT depend on turn_sets, so they run CONCURRENT with the
+            # turn_sets aggregation instead of queueing behind it. At
+            # local[8]/9M turns this hides most of the 29 s metadata wall
+            # under the 19 s turn_sets shuffle + the remaining family
+            # phase; at local[2] the cores are saturated either way, so
+            # the overlap is a pure scaling-efficiency win (the idle-slot
+            # fill a real cluster gets from independent-job submission).
+            early_tasks: dict[str, tuple] = {
+                "phos_quads": (
+                    fingerprint("phos_quads", fp1b),
+                    lambda: self._phos_quads(extracted),
+                    None,
+                ),
+                "metadata": (
+                    fingerprint("metadata", fp2, "v3"),
+                    lambda: self._metadata(linked, routed),
+                    ["pred"],
+                ),
+            }
+            if routed is not None:
+                early_tasks["properties"] = (
+                    fingerprint("properties", run_key, "v3"),
+                    lambda: self._properties(routed),
+                    ["pred"],
+                )
+            early_pool = ThreadPoolExecutor(max_workers=len(early_tasks))
+            early_futs = {
+                name: early_pool.submit(
+                    self.ckpt.run, name, fp, build, partition_by=pb
+                )
+                for name, (fp, build, pb) in early_tasks.items()
+            }
+
+            # shared per-turn entity sets: the single aggregation both the
+            # links and quads stages consume (one shuffle instead of two)
+            fp2b = fingerprint("turn_sets", fp2)
+            turn_sets = self.ckpt.run(
+                "turn_sets", fp2b, lambda: self._turn_sets(linked)
+            )
+        except BaseException:
             # on any failure in the mentions→turn_sets chain, don't leak
-            # the background futures/pool: cancel if still queued, await
-            # if running (so their Spark jobs aren't orphaned)
+            # the background futures/pools: cancel if still queued, await
+            # if running (so their Spark jobs aren't orphaned) — including
+            # the early families if they were already launched
+            for fut in early_futs.values():
+                fut.cancel()
+            if early_pool is not None:
+                early_pool.shutdown(wait=True)
+            raise
+        finally:
             extracted_fut.cancel()
             if onto_fut is not None:
                 onto_fut.cancel()
@@ -504,23 +555,7 @@ class KGPipeline:
                 lambda: self._expression_quads(turn_sets, extracted),
                 None,
             ),
-            "phos_quads": (
-                fingerprint("phos_quads", fp1b),
-                lambda: self._phos_quads(extracted),
-                None,
-            ),
-            "metadata": (
-                fingerprint("metadata", fp2, "v3"),
-                lambda: self._metadata(linked, routed),
-                ["pred"],
-            ),
         }
-        if routed is not None:
-            tasks["properties"] = (
-                fingerprint("properties", run_key, "v3"),
-                lambda: self._properties(routed),
-                ["pred"],
-            )
         out = {
             "ingest": ingested,
             "mentions": mentions,
@@ -528,13 +563,31 @@ class KGPipeline:
             "turn_sets": turn_sets,
             "extracted": extracted,
         }
-        with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
-            futures = {
-                name: pool.submit(self.ckpt.run, name, fp, build, partition_by=pb)
-                for name, (fp, build, pb) in tasks.items()
-            }
-            for name, fut in futures.items():
-                out[name] = fut.result()
+        try:
+            with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+                futures = {
+                    name: pool.submit(
+                        self.ckpt.run, name, fp, build, partition_by=pb
+                    )
+                    for name, (fp, build, pb) in tasks.items()
+                }
+                for name, fut in futures.items():
+                    out[name] = fut.result()
+        finally:
+            # the early families (launched before turn_sets) are reaped
+            # even if a late family failed, so their Spark jobs are never
+            # orphaned; every fut is awaited even if one raised (the first
+            # early-family error propagates only when the late phase
+            # succeeded, so it never masks the primary failure)
+            early_err = None
+            for name, fut in early_futs.items():
+                try:
+                    out[name] = fut.result()
+                except BaseException as e:  # noqa: BLE001 — reap them all
+                    early_err = early_err or e
+            early_pool.shutdown(wait=True)
+            if early_err is not None and sys.exc_info()[0] is None:
+                raise early_err
         self._assert_vocabulary(out)
         return out
 
