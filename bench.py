@@ -268,15 +268,26 @@ def bench_default() -> None:
 # ---------------------------------------------------------------------------
 
 
-def pipeline_worker(cpus: int, tx_path: str, workdir: str, reps: int = 1) -> None:
+def pipeline_worker(
+    cpus: int, tx_path: str, workdir: str, reps: int = 1, coordinate: bool = False
+) -> None:
     """Subprocess body: run the pipeline ``reps`` times at local[cpus] in ONE
     JVM (fresh checkpoint dir per rep — no resume shortcuts) and report the
     best rep. Steady-state measurement: a long-lived cluster job runs with
     a warm JIT and warm Python workers; and the sandbox host stalls the VM
     for ~20-30 s at random intervals (observed: one arbitrary stage per run
     absorbs the hit, ~0% steal reported), so min-of-k is the only estimator
-    that converges on the machine's true rate."""
-    from biokg_spark.plans.hostprobe import host_calibration
+    that converges on the machine's true rate.
+
+    ``coordinate=True`` (the --interleaved scaling protocol): instead of
+    looping freely, block on stdin for a ``GO`` line before each rep and
+    print ``REPDONE {json}`` after it; ``EXIT`` ends the loop and emits the
+    final JSON. The parent alternates GO between the two leg processes so
+    consecutive (lo, hi) reps sample the SAME host window — the drift that
+    broke the sequential protocol (same code+input: 173.6 s and 131.6 s at
+    local[8] forty minutes apart) cancels out of the ratio. Both JVMs stay
+    alive (warm JIT) but the idle one is blocked on a read, using no CPU."""
+    from biokg_spark.plans.hostprobe import cpu_probe, host_calibration
 
     spark = make_spark(cpus, app=f"biokg-scale-{cpus}")
     n_turns = spark.read.parquet(tx_path).count()  # warm input footers
@@ -286,37 +297,145 @@ def pipeline_worker(cpus: int, tx_path: str, workdir: str, reps: int = 1) -> Non
     cal = host_calibration(spark, multicore=cpus)
     best = None
     rep_walls = []
-    for rep in range(reps):
+    rep_probes = []
+    rep = 0
+    while True:
+        if coordinate:
+            line = sys.stdin.readline()
+            if not line or line.strip() == "EXIT":
+                break
+        elif rep >= reps:
+            break
         t0 = time.perf_counter()
         stages = run_pipeline(spark, tx_path, f"{workdir}_r{rep}")
         dt = time.perf_counter() - t0
         log(f"    rep{rep}: {dt:.1f}s")
         rep_walls.append(round(dt, 1))
+        # one cheap single-core probe per rep: stamps each wall with the
+        # host window it ran in (0.35 s, negligible vs the 100-400 s rep)
+        rep_probes.append(cpu_probe(reps=1)["slowdown"])
         if best is None or dt < best[0]:
             best = (dt, stages)
         shutil.rmtree(f"{workdir}_r{rep}", ignore_errors=True)
+        if coordinate:
+            print(
+                "REPDONE "
+                + json.dumps({"rep": rep, "wall_sec": round(dt, 3)}),
+                flush=True,
+            )
+        rep += 1
     dt, stages = best
     print(
         json.dumps(
             {
                 "cpus": cpus,
                 "n_turns": n_turns,
-                "reps": reps,
+                "reps": rep,
                 "rep_walls": rep_walls,
+                "rep_cpu_slowdowns": rep_probes,
                 "wall_sec": round(dt, 3),
                 "turns_per_sec": round(n_turns / dt, 1),
                 "calibration": cal,
                 "stages": stages,
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
+
+
+def _interleaved_legs(
+    levels: tuple[int, int], tx_path: str, tmp: str, repeats: int
+) -> tuple[dict[int, dict], list[dict]]:
+    """Run both pinned leg processes with ALTERNATING warm reps
+    (lo, hi, lo, hi, ...) via the GO/REPDONE stdin protocol.
+
+    Sequential legs sample different host windows and this host's
+    delivered multi-core throughput drifts ~1.5x on ~10-minute timescales;
+    fully concurrent legs share L3/memory bandwidth and contaminate the
+    ratio with hardware interference. Interleaving is the middle path:
+    each leg runs ALONE on its pinned cores (no cross-leg contention),
+    but consecutive reps of the two legs are adjacent in time, so the
+    min-of-k of each leg samples the same set of windows. Per-cycle
+    paired ratios land in the artifact as the drift evidence."""
+    core_base = 0
+    procs: dict[int, subprocess.Popen] = {}
+    errfiles: dict[int, object] = {}
+    for cpus in levels:
+        pin = (
+            ["taskset", "-c", f"{core_base}-{core_base + cpus - 1}"]
+            if shutil.which("taskset")
+            else []
+        )
+        core_base += cpus
+        cmd = pin + [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--pipeline-run",
+            "--coordinate",
+            "--cpus",
+            str(cpus),
+            "--input",
+            tx_path,
+            "--workdir",
+            os.path.join(tmp, f"ckpt_{cpus}"),
+        ]
+        errfiles[cpus] = open(os.path.join(tmp, f"leg_{cpus}.stderr"), "w")
+        procs[cpus] = subprocess.Popen(
+            cmd,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=errfiles[cpus],
+            text=True,
+            bufsize=1,
+        )
+
+    def one_rep(cpus: int) -> float:
+        p = procs[cpus]
+        p.stdin.write("GO\n")
+        p.stdin.flush()
+        while True:
+            line = p.stdout.readline()
+            if not line:
+                raise RuntimeError(
+                    f"leg local[{cpus}] died mid-rep (see leg_{cpus}.stderr)"
+                )
+            if line.startswith("REPDONE "):
+                return json.loads(line[len("REPDONE "):])["wall_sec"]
+
+    cycles: list[dict] = []
+    lo, hi = levels
+    for cycle in range(repeats):
+        walls = {c: one_rep(c) for c in levels}
+        eff = (walls[lo] / walls[hi]) / (hi / lo)
+        cycles.append(
+            {"cycle": cycle, "walls": {str(c): walls[c] for c in levels},
+             "paired_efficiency": round(eff, 3)}
+        )
+        log(f"  cycle{cycle}: local[{lo}]={walls[lo]}s local[{hi}]={walls[hi]}s "
+            f"paired_eff={eff:.3f}")
+
+    results: dict[int, dict] = {}
+    for cpus, p in procs.items():
+        p.stdin.write("EXIT\n")
+        p.stdin.flush()
+        stdout, _ = p.communicate()
+        errfiles[cpus].close()
+        if p.returncode != 0:
+            raise RuntimeError(f"pipeline subprocess local[{cpus}] failed")
+        results[cpus] = json.loads(stdout.strip().splitlines()[-1])
+        log(f"  local[{cpus}] min-of-{results[cpus]['reps']} (interleaved): "
+            f"{results[cpus]['wall_sec']}s "
+            f"({results[cpus]['turns_per_sec']} turns/s) "
+            f"reps={results[cpus].get('rep_walls')}")
+    return results, cycles
 
 
 def bench_scaling(
     n_conversations: int,
     levels: tuple[int, int] = (2, 8),
     concurrent: bool = False,
+    interleaved: bool = False,
 ) -> None:
     """Same pipeline, same input, two parallelism levels (N and 4N cores).
 
@@ -344,7 +463,13 @@ def bench_scaling(
         log(f"scaling: {n_conversations} conversations, {n_turns} turns at {tx_path}")
 
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
-        results: dict[int, dict] = {}
+        cycles: list[dict] | None = None
+        if interleaved:
+            results, cycles = _interleaved_legs(levels, tx_path, tmp, repeats)
+            _emit_scaling_report(levels, results, n_turns,
+                                 mode="interleaved-pinned", cycles=cycles)
+            return
+        results = {}
         # Sequential legs sample DIFFERENT host windows, and this host's
         # delivered multi-core throughput drifts ~1.5x on ~10-minute
         # timescales (round-4 A/B: same code+input measured 173.6 s and
@@ -409,21 +534,36 @@ def bench_scaling(
                 f"({results[cpus]['turns_per_sec']} turns/s) "
                 f"reps={results[cpus].get('rep_walls')}")
 
-        lo, hi = levels
-        eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / (hi / lo)
-        report = {
-            "metric": "kg_pipeline_scaling_efficiency",
-            "value": round(eff, 3),
-            "unit": f"efficiency local[{lo}]->local[{hi}]",
-            "mode": "concurrent-disjoint-cores" if concurrent else "sequential",
-            "n_turns": n_turns,
-            "levels": {str(c): results[c] for c in levels},
-            "criterion": ">=0.8 (BASELINE.json north_rule)",
-            "pass": eff >= 0.8,
-        }
-        print(json.dumps(report))
+        _emit_scaling_report(
+            levels, results, n_turns,
+            mode="concurrent-disjoint-cores" if concurrent else "sequential",
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _emit_scaling_report(
+    levels: tuple[int, int],
+    results: dict[int, dict],
+    n_turns: int,
+    mode: str,
+    cycles: list[dict] | None = None,
+) -> None:
+    lo, hi = levels
+    eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / (hi / lo)
+    report = {
+        "metric": "kg_pipeline_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"efficiency local[{lo}]->local[{hi}]",
+        "mode": mode,
+        "n_turns": n_turns,
+        "levels": {str(c): results[c] for c in levels},
+        "criterion": ">=0.8 (BASELINE.json north_rule)",
+        "pass": eff >= 0.8,
+    }
+    if cycles is not None:
+        report["cycles"] = cycles
+    print(json.dumps(report))
 
 
 def main() -> None:
@@ -432,6 +572,11 @@ def main() -> None:
     ap.add_argument("--concurrent", action="store_true",
                     help="run both scaling legs at once on disjoint pinned "
                          "cores (same host window by construction)")
+    ap.add_argument("--interleaved", action="store_true",
+                    help="alternate warm reps between the two pinned legs "
+                         "(each runs ALONE, adjacent in time: window drift "
+                         "cancels without cross-leg interference)")
+    ap.add_argument("--coordinate", action="store_true", help="internal")
     ap.add_argument("--levels", type=str, default="2,8",
                     help="comma-separated core counts N,4N for --scaling")
     ap.add_argument("--conversations", type=int, default=100_000)
@@ -443,11 +588,15 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.pipeline_run:
-        pipeline_worker(args.cpus, args.input, args.workdir, reps=args.reps)
+        pipeline_worker(
+            args.cpus, args.input, args.workdir,
+            reps=args.reps, coordinate=args.coordinate,
+        )
     elif args.scaling:
         lo, hi = (int(x) for x in args.levels.split(","))
         bench_scaling(
-            args.conversations, levels=(lo, hi), concurrent=args.concurrent
+            args.conversations, levels=(lo, hi), concurrent=args.concurrent,
+            interleaved=args.interleaved,
         )
     else:
         bench_default()

@@ -10,8 +10,45 @@ counts sized to the local test harness but overridable for a real cluster.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+# FAIR-scheduler pools for concurrent job submission (KGPipeline launches
+# the turn_sets-independent output families as background jobs overlapping
+# the critical mentions→turn_sets chain). Under the default FIFO scheduler
+# those early jobs get head-of-line priority and STEAL task slots from the
+# critical path exactly when parallelism is plentiful (measured: ~6% e2e
+# regression at local[8] while the same overlap HELPS at local[2], where
+# the cores are saturated either way). Weighted FAIR pools give the
+# critical chain 8/9 of contended slots while background jobs keep
+# backfilling idle ones — the same pools a real cluster job would declare.
+# "default" is the pool every un-annotated job lands in; only background
+# work opts in via BACKGROUND_POOL (see KGPipeline.run).
+BACKGROUND_POOL = "background"
+_FAIR_POOLS_XML = """<?xml version="1.0"?>
+<allocations>
+  <pool name="default">
+    <schedulingMode>FIFO</schedulingMode>
+    <weight>8</weight>
+    <minShare>0</minShare>
+  </pool>
+  <pool name="background">
+    <schedulingMode>FIFO</schedulingMode>
+    <weight>1</weight>
+    <minShare>0</minShare>
+  </pool>
+</allocations>
+"""
+
+
+def _fair_pools_file() -> str:
+    """Materialize the pool definitions where the JVM can read them (the
+    conf must be a filesystem path; a --py-files zip member is not)."""
+    path = os.path.join(tempfile.gettempdir(), "biokg_fairscheduler.xml")
+    with open(path, "w") as f:
+        f.write(_FAIR_POOLS_XML)
+    return path
 
 # Defaults chosen for the local[32] sandbox; on a 1000-executor cluster the
 # same code runs with shuffle partitions sized via
@@ -69,6 +106,8 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = builder.master(master)
     conf = dict(_DEFAULTS)
+    conf["spark.scheduler.mode"] = "FAIR"
+    conf["spark.scheduler.allocation.file"] = _fair_pools_file()
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
