@@ -55,6 +55,7 @@ HEADLINE = [
     "kg_mention_scan",
     "kg_mention_scan_join",
     "kg_cooccurrence_links",
+    "kg_negative_sampling",
     "kg_property_fanout",
     "ddi_cascade_effects",
     "dedup_exact",

@@ -704,6 +704,62 @@ def kg_cooccurrence_links(spark, sf_dir):
 
 
 @q(
+    "kg_negative_sampling",
+    f"""
+    WITH {_MENTIONS_SQL},
+    pairs AS (
+      SELECT a.entity_id AS e1, a.entity_type AS t1,
+             b.entity_id AS e2, b.entity_type AS t2
+      FROM m a JOIN m b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.entity_id < b.entity_id),
+    typed AS (
+      SELECT e1, t1, e2, t2, {_KG_PRED_CASE} AS pred FROM pairs),
+    oriented AS (
+      SELECT pred,
+             CASE WHEN pred IN {_KG_UNDIRECTED} THEN least(e1, e2)
+                  WHEN t1 = {_KG_FIRST_TYPE} THEN e1 ELSE e2 END AS subj,
+             CASE WHEN pred IN {_KG_UNDIRECTED} THEN greatest(e1, e2)
+                  WHEN t1 = {_KG_FIRST_TYPE} THEN e2 ELSE e1 END AS obj
+      FROM typed WHERE pred IS NOT NULL),
+    pos AS (SELECT DISTINCT subj, pred, obj FROM oriented),
+    uni AS (
+      SELECT pred, obj,
+             CAST(row_number() OVER (PARTITION BY pred ORDER BY obj) - 1
+                  AS INT) AS idx
+      FROM (SELECT DISTINCT pred, obj FROM pos)),
+    cnt AS (SELECT pred, count(*) AS n_ent FROM uni GROUP BY pred),
+    cand AS (
+      SELECT p.subj, p.pred, t.neg_ix,
+             CAST(('0x' || substr(md5(p.subj || '|' || p.pred || '|' || p.obj
+                     || '|' || CAST(t.neg_ix AS VARCHAR)), 1, 8))::BIGINT
+                  % c.n_ent AS INT) AS idx
+      FROM pos p
+      JOIN cnt c ON p.pred = c.pred
+      CROSS JOIN (SELECT CAST(unnest(range(3)) AS INT) AS neg_ix) t)
+    SELECT cand.subj, cand.pred, u.obj AS neg_obj, cand.neg_ix
+    FROM cand JOIN uni u ON cand.pred = u.pred AND cand.idx = u.idx
+    WHERE u.obj <> cand.subj
+      AND NOT EXISTS (
+      SELECT 1 FROM pos WHERE pos.subj = cand.subj AND pos.pred = cand.pred
+        AND pos.obj = u.obj)
+    """,
+)
+def kg_negative_sampling(spark, sf_dir):
+    """Filtered tail-corruption negatives over the co-occurrence triples —
+    the KG-embedding trainers' standard protocol, deterministic via
+    md5-derived corruption indices (operators/negatives.py; the step the
+    reference leaves to consumers of its build_benchmarks.py TSVs)."""
+    from biokg_spark.operators.negatives import negative_samples
+
+    ents = kg_mentions(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.col("entity_id").alias("eid"), "entity_type"
+    )
+    links = cooccurrence_links(ents, keys=["conv_id", "turn_idx"])
+    return negative_samples(links, k=3)
+
+
+@q(
     "kg_turn_ordering",
     f"""
     WITH tx AS ({_TX_SQL})
