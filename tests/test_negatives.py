@@ -27,21 +27,24 @@ def _links(spark, n_subj=30, n_obj=40):
     return spark.createDataFrame(rows, "subj string, pred string, obj string")
 
 
-def _oracle(rows, k=3):
-    by_pred: dict[str, list[str]] = {}
-    true = set(rows)
-    for _, p, o in rows:
-        by_pred.setdefault(p, [])
-    for p in by_pred:
-        by_pred[p] = sorted({o for _, pp, o in rows if pp == p})
+def _oracle(rows, k=3, corrupt="obj"):
+    side = 2 if corrupt == "obj" else 0
+    keep = 0 if corrupt == "obj" else 2
+    by_pred = {
+        p: sorted({r[side] for r in rows if r[1] == p}) for _, p, _ in rows
+    }
+    true = {(r[keep], r[1], r[side]) for r in rows}
     out = set()
     for s, p, o in rows:
         uni = by_pred[p]
         for ix in range(k):
             h = int(hashlib.md5(f"{s}|{p}|{o}|{ix}".encode()).hexdigest()[:8], 16)
             cand = uni[h % len(uni)]
-            if cand != s and (s, p, cand) not in true:
-                out.add((s, p, cand, ix))
+            kept = (s, p, o)[keep]
+            if cand != kept and (kept, p, cand) not in true:
+                out.add(
+                    (s, p, cand, ix) if corrupt == "obj" else (cand, p, o, ix)
+                )
     return out
 
 
@@ -76,6 +79,31 @@ def test_filtered_protocol_invariants(spark):
     # at most k rows per positive slot group
     per_pos = negs.groupBy("subj", "pred").count()
     assert per_pos.agg(F.max("count")).first()[0] <= 3 * 40  # k * max objs/subj
+
+
+def test_head_corruption_matches_oracle(spark):
+    links = _links(spark)
+    got = {
+        tuple(r) for r in negative_samples(links, k=3, corrupt="subj").collect()
+    }
+    rows = [tuple(r) for r in links.collect()]
+    assert got == _oracle(rows, k=3, corrupt="subj")
+    assert len(got) > 1000
+
+
+def test_both_mode_unions_the_two_sides(spark):
+    links = _links(spark)
+    both = negative_samples(links, k=2, corrupt="both")
+    assert both.columns == ["subj", "pred", "obj", "corrupted", "neg_ix"]
+    rows = [tuple(r) for r in links.collect()]
+    tails = {
+        (s, p, o, "obj", ix) for s, p, o, ix in _oracle(rows, k=2, corrupt="obj")
+    }
+    heads = {
+        (s, p, o, "subj", ix)
+        for s, p, o, ix in _oracle(rows, k=2, corrupt="subj")
+    }
+    assert {tuple(r) for r in both.collect()} == tails | heads
 
 
 def test_deterministic_across_partitionings(spark):
