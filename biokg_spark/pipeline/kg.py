@@ -174,7 +174,9 @@ def entity_sets(
 
 
 def links_from_entity_sets(
-    per_group: DataFrame, top_level: DataFrame | None = None
+    per_group: DataFrame,
+    top_level: DataFrame | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Typed distinct (subj, pred, obj) from per-group entity sets.
 
@@ -183,7 +185,15 @@ def links_from_entity_sets(
     emit MEMBER_OF_TOP_LEVEL_PATHWAY instead of MEMBER_OF_PATHWAY
     (reference ships both files, links_description.txt:163 and :176;
     top-level = no parent in the Reactome hierarchy). Broadcast join —
-    the set is dim-sized."""
+    the set is dim-sized.
+
+    ``carry``: extra per-group columns preserved on every emitted edge
+    (provenance consumers: conversation id, timestamp). With carry the
+    result is per-occurrence, NOT distinct — each group contributes each
+    edge at most once (the entity set is a set), so duplicates across
+    rows are exactly the cross-group support an aggregating caller
+    (edge_provenance) wants to count; a blanket dropDuplicates here
+    would both break that and add a pointless wide shuffle."""
     per_group = per_group.where(F.size("ms") >= 2)
     ms = F.col("ms")
     # ordered pairs (i < j) from the sorted set: a.eid <= b.eid by sort order
@@ -197,8 +207,9 @@ def links_from_entity_sets(
         )
     )
     pairs = (
-        per_group.select(F.explode(pair_arr).alias("p"))
+        per_group.select(*carry, F.explode(pair_arr).alias("p"))
         .select(
+            *carry,
             F.col("p.a.eid").alias("e1"),
             F.col("p.a.entity_type").alias("t1"),
             F.col("p.b.eid").alias("e2"),
@@ -232,7 +243,9 @@ def links_from_entity_sets(
     obj = F.when(F.col("und"), F.greatest("e1", "e2")).otherwise(
         F.when(F.col("ab_first"), F.col("e2")).otherwise(F.col("e1"))
     )
-    links = typed.select(subj.alias("subj"), F.col("pred"), obj.alias("obj"))
+    links = typed.select(
+        *carry, subj.alias("subj"), F.col("pred"), obj.alias("obj")
+    )
     if top_level is not None:
         # MEMBER_OF_PATHWAY only arises from COMPLEX×PATHWAY (protein
         # memberships carry PROTEIN_PATHWAY_ASSOCIATION), so obj is
@@ -254,7 +267,60 @@ def links_from_entity_sets(
             )
             .drop("_tl_pid", "_is_top")
         )
-    return links.dropDuplicates()
+    return links if carry else links.dropDuplicates()
+
+
+def edge_provenance(
+    ents: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    conv_col: str = "conv_id",
+    id_col: str = "eid",
+    type_col: str = "entity_type",
+) -> DataFrame:
+    """Per-triple provenance: support count, distinct-conversation count,
+    and temporal extent of the evidence.
+
+    The reference keeps provenance as comma-joined pubmed-ref qualifiers
+    on quads (parsers.py:901, 2153) and drops it for plain links; a KG
+    built from timestamped transcripts additionally wants, per emitted
+    (subj, pred, obj): how many turns support it, across how many
+    conversations, and the first/last time it was observed — the edge
+    confidence/recency signal downstream rankers consume.
+
+    ``ents``: one row per (keys, entity, type) mention occurrence, plus a
+    ``ts_col`` (constant within a group — a turn has one timestamp) and
+    ``conv_col`` (must be in or functionally determined by ``keys``).
+
+    Physical plan at 10^12 turns: the SAME single-shuffle pair expansion
+    as cooccurrence_links (entity sets collected per group, pairs
+    expanded array-side, typing via broadcast dim join), then ONE
+    hash-aggregate on (subj, pred, obj) — count/min/max all combine
+    map-side, and count_distinct(conv) is a two-phase partial aggregate;
+    the output key space (entity × entity) is tiny, so the final shuffle
+    is negligible. No new scale hazard beyond the links stage itself.
+    """
+    ents = ents.select(
+        *keys,
+        F.col(conv_col).alias("_conv"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("entity_type"),
+    )
+    per_group = ents.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_set(F.struct(F.col("eid"), F.col("entity_type")))
+        ).alias("ms"),
+        F.first("_conv").alias("_conv"),
+        F.min("_ts").alias("_ts"),
+    )
+    edges = links_from_entity_sets(per_group, carry=("_conv", "_ts"))
+    return edges.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("n_support"),
+        F.countDistinct("_conv").alias("n_convs"),
+        F.min("_ts").alias("first_seen"),
+        F.max("_ts").alias("last_seen"),
+    )
 
 
 def ddi_pair_observations(turn_sets: DataFrame, extracted: DataFrame) -> DataFrame:

@@ -760,6 +760,58 @@ def kg_negative_sampling(spark, sf_dir):
 
 
 @q(
+    "kg_edge_provenance",
+    f"""
+    WITH {_MENTIONS_SQL},
+    pairs AS (
+      SELECT a.conv_id, a.turn_idx,
+             a.entity_id AS e1, a.entity_type AS t1,
+             b.entity_id AS e2, b.entity_type AS t2
+      FROM m a JOIN m b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.entity_id < b.entity_id),
+    typed AS (
+      SELECT conv_id, turn_idx, e1, t1, e2, t2, {_KG_PRED_CASE} AS pred
+      FROM pairs),
+    oriented AS (
+      SELECT conv_id,
+             CAST(substr(conv_id, 5) AS BIGINT) * 1440
+               + turn_idx * 7 AS t_min,
+             pred,
+             CASE WHEN pred IN {_KG_UNDIRECTED} THEN least(e1, e2)
+                  WHEN t1 = {_KG_FIRST_TYPE} THEN e1 ELSE e2 END AS subj,
+             CASE WHEN pred IN {_KG_UNDIRECTED} THEN greatest(e1, e2)
+                  WHEN t1 = {_KG_FIRST_TYPE} THEN e2 ELSE e1 END AS obj
+      FROM typed WHERE pred IS NOT NULL)
+    SELECT subj, pred, obj,
+           count(*) AS n_support,
+           count(DISTINCT conv_id) AS n_convs,
+           min(t_min) AS first_seen,
+           max(t_min) AS last_seen
+    FROM oriented GROUP BY subj, pred, obj
+    """,
+)
+def kg_edge_provenance(spark, sf_dir):
+    """Per-triple provenance: support count, conversation spread, temporal
+    extent (pipeline/kg.py::edge_provenance). The documents-derived
+    transcripts carry no timestamp, so each turn gets a deterministic
+    minute offset (conv_no*1440 + turn_idx*7) both engines compute
+    identically — integers, not timestamps, per the registry's
+    hash-stability contract."""
+    from biokg_spark.pipeline.kg import edge_provenance
+
+    conv_no = F.substring("conv_id", 5, 16).cast("long")
+    ents = kg_mentions(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        (conv_no * 1440 + F.col("turn_idx").cast("long") * 7).alias("t_min"),
+        F.col("entity_id").alias("eid"),
+        "entity_type",
+    )
+    return edge_provenance(ents, keys=["conv_id", "turn_idx"], ts_col="t_min")
+
+
+@q(
     "kg_turn_ordering",
     f"""
     WITH tx AS ({_TX_SQL})

@@ -89,3 +89,39 @@ def test_links_typing_dim_join_semantics(spark):
     got = {(r.subj, r.pred, r.obj) for r in links_from_entity_sets(
         ts(("cx1", "COMPLEX"), ("pw1", "PATHWAY")), top_level=tl).collect()}
     assert got == {("cx1", "MEMBER_OF_TOP_LEVEL_PATHWAY", "pw1")}
+
+
+def test_edge_provenance_support_and_extent(spark):
+    """edge_provenance: n_support = number of turns where the pair
+    co-occurs (per-turn duplicate mentions collapse), n_convs = distinct
+    conversations, first/last_seen = temporal extent; orientation follows
+    the link vocabulary regardless of mention order."""
+    from biokg_spark.pipeline.kg import edge_provenance
+
+    rows = [
+        # conv A turn 0 (ts 10): p1+p2 PPI, plus a duplicate p1 mention
+        ("A", 0, 10, "p1", "PROTEIN"),
+        ("A", 0, 10, "p1", "PROTEIN"),
+        ("A", 0, 10, "p2", "PROTEIN"),
+        # conv A turn 1 (ts 20): same pair again, reversed mention order
+        ("A", 1, 20, "p2", "PROTEIN"),
+        ("A", 1, 20, "p1", "PROTEIN"),
+        # conv B turn 0 (ts 5): same pair, plus a DPI with drug sorted last
+        ("B", 0, 5, "p1", "PROTEIN"),
+        ("B", 0, 5, "p2", "PROTEIN"),
+        ("B", 0, 5, "zz", "DRUG"),
+        # conv B turn 1 (ts 99): lone mention — no edge
+        ("B", 1, 99, "p1", "PROTEIN"),
+    ]
+    ents = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, t long, eid string, entity_type string"
+    )
+    got = {
+        (r.subj, r.pred, r.obj): (r.n_support, r.n_convs, r.first_seen, r.last_seen)
+        for r in edge_provenance(ents, ["conv_id", "turn_idx"], ts_col="t").collect()
+    }
+    assert got[("p1", "PPI", "p2")] == (3, 2, 5, 20)
+    # DPI oriented drug-first even though 'zz' sorts after the proteins
+    assert got[("zz", "DPI", "p1")] == (1, 1, 5, 5)
+    assert got[("zz", "DPI", "p2")] == (1, 1, 5, 5)
+    assert len(got) == 3
