@@ -1,0 +1,93 @@
+"""Metapath link inference: 2-hop path composition over the triple table.
+
+The reference tags rows it derives (rather than reads) with the
+provenance qualifier ``INFERRED`` (parsers.py:2084-2086, 2214, 2271) but
+never performs the derivation step itself — consumers of its compiled
+graph do (e.g. drug-repurposing candidates from DPI ∘ PROTEIN_DISEASE
+paths). This operator makes that step first-class: compose two link
+predicates through a shared mid entity, count the distinct supporting
+paths per inferred pair, and anti-join away pairs the graph already
+asserts directly.
+
+Scale shape (100 TB): the input is the DEDUPED links table — orders of
+magnitude smaller than the mention stream it came from — and the join
+key is the mid entity. Hub mids (a protein touched by thousands of
+drugs AND diseases) make the path fan-out quadratic per hub; the
+aggregation to (subj, obj, n_paths) collapses that volume again, and
+partial aggregation combines map-side within the join's output
+partitions, so the only genuine hazard is a single pathological hub key
+— exactly what AQE skew-split handles for a shuffle join (both sides
+are fact-sized, so no broadcast). ``max_mid_degree`` optionally drops
+hubs wholesale first (two cheap degree aggregates), the same guard
+discipline as dedup.py's ``max_doc_freq``/``max_bucket_size``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def metapath_infer(
+    links: DataFrame,
+    first_pred: str,
+    second_pred: str,
+    out_pred: str,
+    exclude_direct: bool = True,
+    max_mid_degree: int | None = None,
+    flag_novel: bool = False,
+) -> DataFrame:
+    """Infer ``(s, out_pred, o)`` from ``(s, first_pred, m)`` ∘
+    ``(m, second_pred, o)`` with ``n_paths`` = distinct supporting mids.
+
+    ``links``: (subj, pred, obj) triple table (deduped).
+    ``exclude_direct``: drop inferred pairs already asserted under ANY
+    predicate between s and o (left_anti on the endpoint pair) — the
+    candidate set should be novel edges only.
+    ``flag_novel``: keep all inferred pairs and add ``is_novel`` (int
+    0/1) instead of dropping asserted ones (overrides exclude_direct) —
+    the ranking-consumer form, where direct edges are training
+    positives rather than noise.
+    ``max_mid_degree``: if set, mids whose degree on either leg exceeds
+    the cap are excluded from path composition (hub guard).
+    """
+    a = links.where(F.col("pred") == first_pred).select(
+        F.col("subj").alias("s"), F.col("obj").alias("m")
+    )
+    b = links.where(F.col("pred") == second_pred).select(
+        F.col("subj").alias("m"), F.col("obj").alias("o")
+    )
+    if max_mid_degree is not None:
+        for side in ("a", "b"):
+            src = a if side == "a" else b
+            deg = (
+                src.groupBy("m")
+                .agg(F.count(F.lit(1)).alias("_deg"))
+                .where(F.col("_deg") <= max_mid_degree)
+                .select("m")
+            )
+            if side == "a":
+                a = a.join(deg, "m", "left_semi")
+            else:
+                b = b.join(deg, "m", "left_semi")
+    paths = a.join(b, "m").where(F.col("s") != F.col("o"))
+    inferred = paths.groupBy("s", "o").agg(
+        F.countDistinct("m").alias("n_paths")
+    )
+    extra: list[str] = []
+    direct = links.select(F.col("subj").alias("s"), F.col("obj").alias("o"))
+    if flag_novel:
+        hit = direct.distinct().withColumn("_direct", F.lit(1))
+        inferred = inferred.join(hit, ["s", "o"], "left").withColumn(
+            "is_novel", F.when(F.col("_direct").isNull(), 1).otherwise(0)
+        )
+        extra = ["is_novel"]
+    elif exclude_direct:
+        inferred = inferred.join(direct, ["s", "o"], "left_anti")
+    return inferred.select(
+        F.col("s").alias("subj"),
+        F.lit(out_pred).alias("pred"),
+        F.col("o").alias("obj"),
+        "n_paths",
+        *extra,
+    )

@@ -760,6 +760,60 @@ def kg_negative_sampling(spark, sf_dir):
 
 
 @q(
+    "kg_metapath_inference",
+    f"""
+    WITH {_MENTIONS_SQL},
+    pairs AS (
+      SELECT a.entity_id AS e1, a.entity_type AS t1,
+             b.entity_id AS e2, b.entity_type AS t2
+      FROM m a JOIN m b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.entity_id < b.entity_id),
+    typed AS (
+      SELECT e1, t1, e2, t2, {_KG_PRED_CASE} AS pred FROM pairs),
+    oriented AS (
+      SELECT pred,
+             CASE WHEN pred IN {_KG_UNDIRECTED} THEN least(e1, e2)
+                  WHEN t1 = {_KG_FIRST_TYPE} THEN e1 ELSE e2 END AS subj,
+             CASE WHEN pred IN {_KG_UNDIRECTED} THEN greatest(e1, e2)
+                  WHEN t1 = {_KG_FIRST_TYPE} THEN e2 ELSE e1 END AS obj
+      FROM typed WHERE pred IS NOT NULL),
+    links AS (SELECT DISTINCT subj, pred, obj FROM oriented),
+    a AS (SELECT subj AS s, obj AS m FROM links WHERE pred = 'DPI'),
+    b AS (SELECT subj AS m, obj AS o FROM links
+          WHERE pred = 'PROTEIN_DISEASE_ASSOCIATION'),
+    inf AS (SELECT s, o, count(DISTINCT a.m) AS n_paths
+            FROM a JOIN b ON a.m = b.m WHERE s <> o GROUP BY s, o)
+    SELECT s AS subj, 'INFERRED_DRUG_DISEASE_ASSOCIATION' AS pred,
+           o AS obj, n_paths,
+           CASE WHEN EXISTS (SELECT 1 FROM links l
+                             WHERE l.subj = inf.s AND l.obj = inf.o)
+                THEN 0 ELSE 1 END AS is_novel
+    FROM inf
+    """,
+)
+def kg_metapath_inference(spark, sf_dir):
+    """2-hop metapath link inference (operators/infer.py): drug→protein
+    ∘ protein→disease composes into INFERRED_DRUG_DISEASE_ASSOCIATION
+    candidates with distinct-path support and an is_novel flag vs the
+    graph's direct edges — the reference's INFERRED provenance status
+    (parsers.py:2084-2086) made a first-class derivation."""
+    from biokg_spark.operators.infer import metapath_infer
+
+    ents = kg_mentions(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.col("entity_id").alias("eid"), "entity_type"
+    )
+    links = cooccurrence_links(ents, keys=["conv_id", "turn_idx"])
+    return metapath_infer(
+        links,
+        first_pred="DPI",
+        second_pred="PROTEIN_DISEASE_ASSOCIATION",
+        out_pred="INFERRED_DRUG_DISEASE_ASSOCIATION",
+        flag_novel=True,
+    )
+
+
+@q(
     "kg_edge_provenance",
     f"""
     WITH {_MENTIONS_SQL},

@@ -1,0 +1,78 @@
+"""Metapath inference semantics (operators/infer.py)."""
+
+from __future__ import annotations
+
+from biokg_spark.operators.infer import metapath_infer
+
+
+def _links(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+BASE = [
+    ("d1", "DPI", "p1"),
+    ("d1", "DPI", "p2"),
+    ("d2", "DPI", "p1"),
+    ("p1", "PDA", "x1"),
+    ("p2", "PDA", "x1"),
+    ("p1", "PDA", "x2"),
+    # d2-x2 asserted directly: must be excluded / flagged not-novel
+    ("d2", "DRUG_DISEASE_ASSOCIATION", "x2"),
+]
+
+
+def test_metapath_counts_and_exclusion(spark):
+    got = {
+        (r.subj, r.pred, r.obj): r.n_paths
+        for r in metapath_infer(
+            _links(spark, BASE), "DPI", "PDA", "IDD"
+        ).collect()
+    }
+    # d1: p1,p2 both reach x1 (2 paths); p1 reaches x2 (1 path)
+    # d2: p1 reaches x1 and x2, but d2-x2 is direct -> excluded
+    assert got == {
+        ("d1", "IDD", "x1"): 2,
+        ("d1", "IDD", "x2"): 1,
+        ("d2", "IDD", "x1"): 1,
+    }
+
+
+def test_metapath_flag_novel_keeps_direct(spark):
+    got = {
+        (r.subj, r.obj): (r.n_paths, r.is_novel)
+        for r in metapath_infer(
+            _links(spark, BASE), "DPI", "PDA", "IDD", flag_novel=True
+        ).collect()
+    }
+    assert got[("d2", "x2")] == (1, 0)
+    assert got[("d1", "x1")] == (2, 1)
+    assert len(got) == 4
+
+
+def test_metapath_hub_guard_drops_high_degree_mid(spark):
+    # p1 has degree 2 on BOTH legs (drugs d1,d2; diseases x1,x2); cap 1
+    # removes every p1 path, leaving only d1-p2-x1
+    got = {
+        (r.subj, r.obj)
+        for r in metapath_infer(
+            _links(spark, BASE), "DPI", "PDA", "IDD", max_mid_degree=1
+        ).collect()
+    }
+    assert got == {("d1", "x1")}
+    # cap 2 keeps everything (max degree is exactly 2)
+    all_pairs = {
+        (r.subj, r.obj)
+        for r in metapath_infer(
+            _links(spark, BASE), "DPI", "PDA", "IDD", max_mid_degree=2
+        ).collect()
+    }
+    assert all_pairs == {("d1", "x1"), ("d1", "x2"), ("d2", "x1")}
+
+
+def test_metapath_self_pair_dropped(spark):
+    rows = [("e1", "A", "m1"), ("m1", "B", "e1"), ("m1", "B", "e2")]
+    got = {
+        (r.subj, r.obj)
+        for r in metapath_infer(_links(spark, rows), "A", "B", "C").collect()
+    }
+    assert got == {("e1", "e2")}
