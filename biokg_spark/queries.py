@@ -759,6 +759,59 @@ def kg_negative_sampling(spark, sf_dir):
     return negative_samples(links, k=3)
 
 
+# mentions → typed/oriented pairs → distinct links, as a reusable CTE chain
+# (the same derivation kg_cooccurrence_links oracles row-for-row)
+_KG_LINKS_CTE = f"""{_MENTIONS_SQL},
+    pairs AS (
+      SELECT a.entity_id AS e1, a.entity_type AS t1,
+             b.entity_id AS e2, b.entity_type AS t2
+      FROM m a JOIN m b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.entity_id < b.entity_id),
+    typed AS (
+      SELECT e1, t1, e2, t2, {_KG_PRED_CASE} AS pred FROM pairs),
+    oriented AS (
+      SELECT pred,
+             CASE WHEN pred IN {_KG_UNDIRECTED} THEN least(e1, e2)
+                  WHEN t1 = {_KG_FIRST_TYPE} THEN e1 ELSE e2 END AS subj,
+             CASE WHEN pred IN {_KG_UNDIRECTED} THEN greatest(e1, e2)
+                  WHEN t1 = {_KG_FIRST_TYPE} THEN e2 ELSE e1 END AS obj
+      FROM typed WHERE pred IS NOT NULL),
+    links AS (SELECT DISTINCT subj, pred, obj FROM oriented)"""
+
+
+def _kg_links(spark, sf_dir):
+    ents = kg_mentions(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.col("entity_id").alias("eid"), "entity_type"
+    )
+    return cooccurrence_links(ents, keys=["conv_id", "turn_idx"])
+
+
+def _pagerank_sql():
+    from biokg_spark.operators.pagerank import pagerank_oracle_ctes
+
+    return pagerank_oracle_ctes(_KG_LINKS_CTE, damping=0.85, iters=10)
+
+
+@q("kg_pagerank", _pagerank_sql())
+def kg_pagerank(spark, sf_dir):
+    """PageRank centrality over the symmetrized KG links
+    (operators/pagerank.py): fixed 10-iteration power method, d=0.85,
+    oracled VALUE-EXACTLY (4 dp) against a DuckDB twin whose iterations
+    unroll as chained CTEs — an iterative graph algorithm with a full
+    SQL oracle, not just a rows-only check."""
+    from biokg_spark.operators.pagerank import pagerank
+
+    links = _kg_links(spark, sf_dir)
+    e = links.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).union(links.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+    pr = pagerank(e, damping=0.85, iters=10)
+    return pr.select(
+        F.col("id").alias("entity_id"), F.round("rank", 4).alias("rank")
+    )
+
+
 @q(
     "kg_metapath_inference",
     f"""
