@@ -56,6 +56,9 @@ HEADLINE = [
     "kg_mention_scan_join",
     "kg_cooccurrence_links",
     "kg_negative_sampling",
+    "kg_edge_provenance",
+    "kg_metapath_inference",
+    "kg_pagerank",
     "kg_property_fanout",
     "ddi_cascade_effects",
     "dedup_exact",

@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import sys
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from biokg_spark.functions.cascade import cascade_column, ddi_effects_column
@@ -320,6 +320,83 @@ def edge_provenance(
         F.countDistinct("_conv").alias("n_convs"),
         F.min("_ts").alias("first_seen"),
         F.max("_ts").alias("last_seen"),
+    )
+
+
+def pmi_links(
+    ents: DataFrame,
+    keys: list[str],
+    n_groups: int,
+    id_col: str = "eid",
+    type_col: str = "entity_type",
+) -> DataFrame:
+    """PMI-weighted co-occurrence links: how much more often two
+    entities share a turn than chance predicts.
+
+    pmi(a,b) = ln( n_pair * N / (n_a * n_b) ) with N = ``n_groups``
+    (total turn count, INCLUDING mention-free turns — the caller knows
+    the full transcript size; deriving it from the mention stream would
+    silently shrink N and inflate every score).
+
+    The reference emits unweighted links only; association strength is
+    the signal a ranking consumer (or an edge-pruning pass at 100 TB,
+    where raw co-occurrence is dominated by chance pairings of frequent
+    entities) needs on top.
+
+    Scale: pair support comes from the SAME single-shuffle expansion as
+    cooccurrence_links; entity counts are a |V|-sized aggregate joined
+    on each endpoint (AQE broadcasts it when |V| is dim-sized); one
+    partial+final agg per side. Output: subj, pred, obj, n_pair, pmi
+    (exact double — round at the consumer).
+    """
+    occ = ents.select(
+        *keys, F.col(id_col).alias("eid"), F.col(type_col).alias("entity_type")
+    ).dropDuplicates()
+    ent_counts = occ.groupBy("eid").agg(F.count(F.lit(1)).alias("n_ent"))
+    per_group = entity_sets(occ, keys)
+    pair_counts = (
+        links_from_entity_sets(per_group, carry=tuple(keys))
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    ca = ent_counts.select(F.col("eid").alias("subj"), F.col("n_ent").alias("n_a"))
+    cb = ent_counts.select(F.col("eid").alias("obj"), F.col("n_ent").alias("n_b"))
+    return (
+        pair_counts.join(ca, "subj")
+        .join(cb, "obj")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "n_pair",
+            F.log(
+                F.col("n_pair") * F.lit(float(n_groups)) / (F.col("n_a") * F.col("n_b"))
+            ).alias("pmi"),
+        )
+    )
+
+
+def entity_vocab(ents: DataFrame, id_col: str = "eid") -> DataFrame:
+    """Dense integer vocabulary ids for the entity universe, ordered by
+    mention frequency (desc) then id — the export KG-embedding trainers
+    (TransE-family) consume, which the reference leaves to downstream
+    users of its TSVs.
+
+    Scale note: the final row_number runs as a GLOBAL window (single
+    partition) — correct here because its input is the already-aggregated
+    entity universe (|V| rows, a dim), never the mention stream; the
+    heavy lifting is the partial+final count aggregate before it. If |V|
+    itself outgrew one partition, the frequency-rank contract would need
+    a sort + per-partition offset scheme instead.
+    """
+    counts = ents.groupBy(F.col(id_col).alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+    w = Window.orderBy(F.desc("n_mentions"), F.asc("entity_id"))
+    return counts.select(
+        "entity_id",
+        "n_mentions",
+        (F.row_number().over(w) - 1).cast("int").alias("vocab_id"),
     )
 
 

@@ -813,6 +813,76 @@ def kg_pagerank(spark, sf_dir):
 
 
 @q(
+    "kg_pmi_links",
+    f"""
+    WITH {_MENTIONS_SQL},
+    pairs AS (
+      SELECT a.entity_id AS e1, a.entity_type AS t1,
+             b.entity_id AS e2, b.entity_type AS t2
+      FROM m a JOIN m b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.entity_id < b.entity_id),
+    typed AS (
+      SELECT e1, t1, e2, t2, {_KG_PRED_CASE} AS pred FROM pairs),
+    oriented AS (
+      SELECT pred,
+             CASE WHEN pred IN {_KG_UNDIRECTED} THEN least(e1, e2)
+                  WHEN t1 = {_KG_FIRST_TYPE} THEN e1 ELSE e2 END AS subj,
+             CASE WHEN pred IN {_KG_UNDIRECTED} THEN greatest(e1, e2)
+                  WHEN t1 = {_KG_FIRST_TYPE} THEN e2 ELSE e1 END AS obj
+      FROM typed WHERE pred IS NOT NULL),
+    pc AS (SELECT subj, pred, obj, count(*) AS n_pair
+           FROM oriented GROUP BY subj, pred, obj),
+    ec AS (SELECT entity_id, count(*) AS n_ent FROM m GROUP BY entity_id),
+    nn AS (SELECT count(*) AS n FROM tx)
+    SELECT pc.subj, pc.pred, pc.obj, pc.n_pair,
+           round(ln(pc.n_pair * 1.0 * (SELECT n FROM nn)
+                    / (a.n_ent * b.n_ent)), 4) AS pmi
+    FROM pc
+    JOIN ec a ON pc.subj = a.entity_id
+    JOIN ec b ON pc.obj = b.entity_id
+    """,
+)
+def kg_pmi_links(spark, sf_dir):
+    """PMI-weighted co-occurrence links (pipeline/kg.py::pmi_links):
+    association strength vs chance, the edge-pruning/ranking signal on
+    top of the reference's unweighted links. N = total turns including
+    mention-free ones."""
+    from biokg_spark.pipeline.kg import pmi_links
+
+    tx = doc_transcripts(spark, sf_dir)
+    ents = kg_mentions(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.col("entity_id").alias("eid"), "entity_type"
+    )
+    out = pmi_links(ents, keys=["conv_id", "turn_idx"], n_groups=tx.count())
+    return out.withColumn("pmi", F.round("pmi", 4))
+
+
+@q(
+    "kg_entity_vocab",
+    f"""
+    WITH {_MENTIONS_SQL}
+    SELECT entity_id, count(*) AS n_mentions,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, entity_id) - 1
+                AS INT) AS vocab_id
+    FROM m GROUP BY entity_id
+    """,
+)
+def kg_entity_vocab(spark, sf_dir):
+    """Dense frequency-ranked vocabulary ids for the entity universe
+    (pipeline/kg.py::entity_vocab) — the integer-id export KG-embedding
+    trainers consume. Frequency = distinct (conv, turn) occurrences."""
+    from biokg_spark.pipeline.kg import entity_vocab
+
+    occ = (
+        kg_mentions(spark, sf_dir)
+        .select("conv_id", "turn_idx", F.col("entity_id").alias("eid"))
+        .dropDuplicates()
+    )
+    return entity_vocab(occ)
+
+
+@q(
     "kg_metapath_inference",
     f"""
     WITH {_MENTIONS_SQL},

@@ -125,3 +125,46 @@ def test_edge_provenance_support_and_extent(spark):
     assert got[("zz", "DPI", "p1")] == (1, 1, 5, 5)
     assert got[("zz", "DPI", "p2")] == (1, 1, 5, 5)
     assert len(got) == 3
+
+
+def test_pmi_links_hand_computed(spark):
+    """pmi = ln(n_pair * N / (n_a * n_b)) with N including mention-free
+    turns; duplicate per-turn mentions collapse before counting."""
+    import math
+
+    from biokg_spark.pipeline.kg import pmi_links
+
+    rows = [
+        ("A", 0, "p1", "PROTEIN"),
+        ("A", 0, "p1", "PROTEIN"),  # dup mention, must not inflate n_ent
+        ("A", 0, "p2", "PROTEIN"),
+        ("A", 1, "p1", "PROTEIN"),
+        ("A", 1, "p2", "PROTEIN"),
+        ("B", 0, "p1", "PROTEIN"),
+    ]
+    ents = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, eid string, entity_type string"
+    )
+    # N=10 turns total; n_p1=3, n_p2=2, n_pair=2
+    got = {
+        (r.subj, r.pred, r.obj): (r.n_pair, r.pmi)
+        for r in pmi_links(ents, ["conv_id", "turn_idx"], n_groups=10).collect()
+    }
+    n_pair, pmi = got[("p1", "PPI", "p2")]
+    assert n_pair == 2
+    assert abs(pmi - math.log(2 * 10 / (3 * 2))) < 1e-12
+    assert len(got) == 1
+
+
+def test_entity_vocab_frequency_rank(spark):
+    from biokg_spark.pipeline.kg import entity_vocab
+
+    occ = spark.createDataFrame(
+        [("A", 0, "x"), ("A", 1, "x"), ("A", 0, "y"),
+         ("B", 0, "y"), ("B", 1, "z")],
+        "conv_id string, turn_idx int, eid string",
+    )
+    got = {r.entity_id: (r.n_mentions, r.vocab_id)
+           for r in entity_vocab(occ).collect()}
+    # x and y tie at 2 -> id order breaks the tie; z last
+    assert got == {"x": (2, 0), "y": (2, 1), "z": (1, 2)}
