@@ -59,6 +59,8 @@ HEADLINE = [
     "kg_edge_provenance",
     "kg_metapath_inference",
     "kg_pagerank",
+    "kg_pmi_links",
+    "kg_entity_vocab",
     "kg_property_fanout",
     "ddi_cascade_effects",
     "dedup_exact",
