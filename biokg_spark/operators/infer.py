@@ -28,6 +28,69 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def node_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_neighbor_degree: int | None = None,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Node-pair similarity by shared neighbors (Jaccard over adjacency
+    sets) — the graph-side alias/duplicate-entity signal: two IDs that
+    connect to largely the same neighborhood are canonicalization
+    candidates (the structural complement to the string-side
+    MinHash/LSH in operators/canonicalize.py).
+
+    jaccard(a,b) = |N(a) ∩ N(b)| / (|N(a)| + |N(b)| − |N(a) ∩ N(b)|)
+
+    ``edges``: directed rows; pass both directions for undirected
+    semantics. Candidate pairs come from an INVERTED INDEX on the
+    neighbor (self-equi-join on nb with a < b) — never all-pairs; a
+    neighbor of degree k contributes k(k−1)/2 pairs, so
+    ``max_neighbor_degree`` drops hub neighbors wholesale before the
+    join (one degree aggregate + semi-join), the same guard discipline
+    as dedup.py's ``max_doc_freq``. Intersection counts collapse
+    map-side (partial agg) and the degree joins run against the
+    |V|-sized count table (AQE broadcasts it when dim-sized).
+    """
+    adj = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nb")
+    ).dropDuplicates()
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    if max_neighbor_degree is not None:
+        keep = (
+            adj.groupBy("nb")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .where(F.col("_d") <= max_neighbor_degree)
+            .select("nb")
+        )
+        adj = adj.join(keep, "nb", "left_semi")
+    left = adj.select(F.col("node").alias("a"), "nb")
+    right = adj.select(F.col("node").alias("b"), "nb")
+    shared = (
+        left.join(right, "nb")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
+    return (
+        shared.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            (
+                F.col("n_shared")
+                / (F.col("_da") + F.col("_db") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def metapath_infer(
     links: DataFrame,
     first_pred: str,

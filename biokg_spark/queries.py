@@ -813,6 +813,37 @@ def kg_pagerank(spark, sf_dir):
 
 
 @q(
+    "kg_node_similarity",
+    f"""
+    WITH {_KG_LINKS_CTE},
+    adj AS (SELECT DISTINCT subj AS node, obj AS nb FROM links
+            UNION SELECT obj, subj FROM links),
+    deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+    shared AS (SELECT l.node AS a, r.node AS b, count(*) AS n_shared
+               FROM adj l JOIN adj r ON l.nb = r.nb AND l.node < r.node
+               GROUP BY l.node, r.node)
+    SELECT a, b, n_shared,
+           round(n_shared * 1.0 / (da.deg + db.deg - n_shared), 4) AS jaccard
+    FROM shared
+    JOIN deg da ON shared.a = da.node
+    JOIN deg db ON shared.b = db.node
+    """,
+)
+def kg_node_similarity(spark, sf_dir):
+    """Shared-neighbor Jaccard over the symmetrized KG
+    (operators/infer.py::node_jaccard): the structural alias/duplicate
+    signal complementing string-side MinHash canonicalization."""
+    from biokg_spark.operators.infer import node_jaccard
+
+    links = _kg_links(spark, sf_dir)
+    e = links.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).union(links.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+    out = node_jaccard(e)
+    return out.withColumn("jaccard", F.round("jaccard", 4))
+
+
+@q(
     "kg_pmi_links",
     f"""
     WITH {_MENTIONS_SQL},

@@ -69,6 +69,38 @@ def test_metapath_hub_guard_drops_high_degree_mid(spark):
     assert all_pairs == {("d1", "x1"), ("d1", "x2"), ("d2", "x1")}
 
 
+def test_node_jaccard_hand_computed(spark):
+    from biokg_spark.operators.infer import node_jaccard
+
+    # undirected star+triangle: a-{x,y,z}, b-{x,y}, c-{z}
+    edges = []
+    for n, nbs in [("a", "xyz"), ("b", "xy"), ("c", "z")]:
+        for nb in nbs:
+            edges += [(n, nb), (nb, n)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.a, r.b): (r.n_shared, round(r.jaccard, 6))
+        for r in node_jaccard(df).collect()
+    }
+    # N(a)={x,y,z}, N(b)={x,y}: shared 2, union 3 -> 2/3
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    # N(a), N(c)={z}: shared 1, union 3 -> 1/3
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    # x,y share neighbors {a,b}: 2/2 = 1.0 ... and z-x/z-y share {a}
+    assert got[("x", "y")] == (2, 1.0)
+    assert ("b", "c") not in got  # no shared neighbor
+
+
+def test_node_jaccard_hub_guard(spark):
+    from biokg_spark.operators.infer import node_jaccard
+
+    # hub neighbor h touches 3 nodes; cap 2 removes all h-mediated pairs
+    edges = [("a", "h"), ("b", "h"), ("c", "h"), ("a", "u"), ("b", "u")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.a, r.b) for r in node_jaccard(df, max_neighbor_degree=2).collect()}
+    assert got == {("a", "b")}  # only the u-mediated pair survives
+
+
 def test_metapath_self_pair_dropped(spark):
     rows = [("e1", "A", "m1"), ("m1", "B", "e1"), ("m1", "B", "e2")]
     got = {
