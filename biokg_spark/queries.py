@@ -1665,6 +1665,32 @@ def corpus_stats_approx(spark, sf_dir):
 
 
 @q(
+    "corpus_stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE CASE
+      WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+      WHEN lang = 'zh' THEN TRUE
+      ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+    END
+    """,
+)
+def corpus_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling
+    (functions/text.py::stratified_keep): rebalance the corpus by
+    capping the dominant language (en at 25%), keeping a low-resource
+    one whole (zh at 100%), and halving the rest — md5-threshold
+    decisions, so the SAME rows survive on every run/engine (unlike
+    ``sampleBy``'s per-run RNG)."""
+    from biokg_spark.functions.text import stratified_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(
+        stratified_keep("lang", "doc_id", {"en": 0.25, "zh": 1.0}, default_rate=0.5)
+    ).select("doc_id", "lang")
+
+
+@q(
     "corpus_filter",
     f"""
     WITH base AS (
