@@ -813,6 +813,47 @@ def kg_pagerank(spark, sf_dir):
 
 
 @q(
+    "kg_triangle_counts",
+    f"""
+    WITH {_KG_LINKS_CTE},
+    und AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+            FROM links WHERE subj <> obj),
+    deg AS (SELECT node, count(*) AS deg FROM
+            (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+            GROUP BY node),
+    o AS (SELECT CASE WHEN da.deg < db.deg
+                        OR (da.deg = db.deg AND und.a < und.b)
+                      THEN und.a ELSE und.b END AS u,
+                 CASE WHEN da.deg < db.deg
+                        OR (da.deg = db.deg AND und.a < und.b)
+                      THEN und.b ELSE und.a END AS v
+          FROM und
+          JOIN deg da ON und.a = da.node
+          JOIN deg db ON und.b = db.node),
+    wedges AS (SELECT e1.u AS w0, e1.v AS w1, e2.v AS w2
+               FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+    tri AS (SELECT w0, w1, w2 FROM wedges
+            WHERE EXISTS (SELECT 1 FROM o
+                          WHERE least(o.u, o.v) = wedges.w1
+                            AND greatest(o.u, o.v) = wedges.w2)),
+    corners AS (SELECT w0 AS node FROM tri
+                UNION ALL SELECT w1 FROM tri
+                UNION ALL SELECT w2 FROM tri)
+    SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
+    """,
+)
+def kg_triangle_counts(spark, sf_dir):
+    """Per-node triangle participation over the KG links
+    (operators/triangles.py): degree-ordered orientation bounds the
+    wedge fan-out at O(sqrt(E)) per vertex — the survives-power-law
+    form of motif counting."""
+    from biokg_spark.operators.triangles import triangle_counts
+
+    links = _kg_links(spark, sf_dir)
+    return triangle_counts(links, src="subj", dst="obj")
+
+
+@q(
     "kg_node_similarity",
     f"""
     WITH {_KG_LINKS_CTE},

@@ -1,0 +1,48 @@
+"""Triangle counting semantics (operators/triangles.py)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from biokg_spark.operators.triangles import triangle_counts
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+
+
+def test_triangle_plus_square_and_pendant(spark):
+    # triangle a-b-c; square c-d-e-f-c (no diagonal => no triangle);
+    # pendant g off a; duplicate and reversed edges thrown in
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("c", "d"), ("d", "e"), ("e", "f"), ("f", "c"),
+        ("a", "g"),
+        ("b", "a"), ("a", "b"),  # reversed + duplicate
+        ("a", "a"),  # self-loop dropped
+    ]
+    got = _run(spark, edges)
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_k4_counts(spark):
+    # K4: 4 triangles, each node in exactly 3
+    edges = [(u, v) for u, v in combinations("abcd", 2)]
+    got = _run(spark, edges)
+    assert got == {n: 3 for n in "abcd"}
+
+
+def test_hub_star_has_no_triangles(spark):
+    # star around h: many wedges at the leaves' orientation target, zero
+    # closures — and the orientation points leaf->hub, so the hub
+    # contributes no wedge pairs at all
+    edges = [("h", f"l{i}") for i in range(20)]
+    assert _run(spark, edges) == {}
+
+
+def test_two_shared_edge_triangles(spark):
+    # a-b shared by triangles (a,b,c) and (a,b,d)
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")]
+    got = _run(spark, edges)
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
