@@ -50,6 +50,27 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
         assert abs(r - 1.0 / 3) < 1e-12, (v, r)
 
 
+def test_pagerank_random_graphs_vs_numpy(spark):
+    import random
+
+    for seed in range(3):
+        rng = random.Random(100 + seed)
+        nodes = [f"v{i}" for i in range(8)]
+        edges = [
+            (a, b)
+            for a in nodes
+            for b in nodes
+            if a != b and rng.random() < 0.3
+        ]
+        if not edges:
+            continue
+        want = _numpy_pagerank(edges, 0.85, 8)
+        got = _spark_pagerank(spark, edges, damping=0.85, iters=8)
+        assert set(got) == set(want), f"seed={seed}"
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9, (seed, v)
+
+
 def test_pagerank_checkpoint_interval_invariant(spark):
     # lineage-truncation cadence must not change values
     edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")]

@@ -41,6 +41,30 @@ def test_hub_star_has_no_triangles(spark):
     assert _run(spark, edges) == {}
 
 
+def test_random_graphs_vs_bruteforce(spark):
+    """Seeded Erdős–Rényi graphs vs itertools brute force — the
+    operator's orientation/dedup logic against ground truth."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        nodes = [f"v{i}" for i in range(9)]
+        edges = [
+            (a, b) for a, b in combinations(nodes, 2) if rng.random() < 0.45
+        ]
+        # present each edge in a random direction, some duplicated
+        noisy = [
+            (b, a) if rng.random() < 0.5 else (a, b) for a, b in edges
+        ] + [e for e in edges if rng.random() < 0.3]
+        eset = {frozenset(e) for e in edges}
+        want: dict[str, int] = {}
+        for tri in combinations(nodes, 3):
+            if all(frozenset(p) in eset for p in combinations(tri, 2)):
+                for n in tri:
+                    want[n] = want.get(n, 0) + 1
+        assert _run(spark, noisy) == want, f"seed={seed}"
+
+
 def test_two_shared_edge_triangles(spark):
     # a-b shared by triangles (a,b,c) and (a,b,d)
     edges = [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")]
