@@ -47,6 +47,11 @@ def main() -> None:
                 for r in pipe.ppi_species_buckets(out["links"]).collect()
             },
             "links": {(r.subj, r.pred, r.obj) for r in out["links"].collect()},
+            "links_prov": {
+                (r.subj, r.pred, r.obj, r.n_support, r.n_convs,
+                 r.first_seen, r.last_seen)
+                for r in out["links_prov"].collect()
+            },
             "quads": {(r.subj, r.pred, r.obj, r.qual) for r in out["quads"].collect()},
             "action_quads": {
                 (r.subj, r.pred, r.obj, r.action, r.refs)

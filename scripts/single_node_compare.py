@@ -75,6 +75,12 @@ def main() -> None:
             (r.subj, r.pred, r.obj, r.qual) for r in out["quads"].collect()
         }
         assert got_quads == exp["quads"], "quads diverged — timing void"
+        got_prov = {
+            (r.subj, r.pred, r.obj, r.n_support, r.n_convs,
+             r.first_seen, r.last_seen)
+            for r in out["links_prov"].collect()
+        }
+        assert got_prov == exp["links_prov"], "links_prov diverged — timing void"
     t_spark = best
 
     report = {

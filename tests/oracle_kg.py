@@ -219,8 +219,9 @@ def expected_outputs(rows, lexicon, mapping, ontology):
     per_turn = {}
     for c, t, e, ty in mentions:
         per_turn.setdefault((c, t), set()).add((e, ty))
-    links = set()
-    for ents in per_turn.values():
+    turn_ts = {(r["conv_id"], r["turn_idx"]): r["ts"] for r in rows}
+    link_occ = {}  # (s, pred, o) -> list of (conv, ts) evidence
+    for (c, t), ents in per_turn.items():
         ents = sorted(ents)
         for i in range(len(ents)):
             for j in range(i + 1, len(ents)):
@@ -231,13 +232,25 @@ def expected_outputs(rows, lexicon, mapping, ontology):
                 if pred is None:
                     continue
                 if pred in UNDIRECTED:
-                    links.add((min(e1, e2), pred, max(e1, e2)))
+                    trip = (min(e1, e2), pred, max(e1, e2))
                 else:
                     first = DIRECTED_FIRST[frozenset([t1, t2])]
                     s, o = (e1, e2) if t1 == first else (e2, e1)
                     if pred == "MEMBER_OF_PATHWAY" and o in top_level:
                         pred = "MEMBER_OF_TOP_LEVEL_PATHWAY"
-                    links.add((s, pred, o))
+                    trip = (s, pred, o)
+                link_occ.setdefault(trip, []).append((c, turn_ts[(c, t)]))
+    links = set(link_occ)
+    links_prov = {
+        trip
+        + (
+            len(occ),
+            len({c for c, _ in occ}),
+            min(ts for _, ts in occ),
+            max(ts for _, ts in occ),
+        )
+        for trip, occ in link_occ.items()
+    }
 
     # DDI side-effect quads (full 15-pattern cascade) with per-(pair, se)
     # direction-conflict exclusion
@@ -350,6 +363,7 @@ def expected_outputs(rows, lexicon, mapping, ontology):
     return {
         "metadata": metadata,
         "links": links,
+        "links_prov": links_prov,
         "quads": quads,
         "action_quads": action_quads,
         "expr_quads": expr_quads,

@@ -38,6 +38,8 @@ def test_golden_triples_exact(fixture_inputs, outputs):
     exp = _expected(fixture_inputs)
     for family, cols in [
         ("links", ("subj", "pred", "obj")),
+        ("links_prov", ("subj", "pred", "obj", "n_support", "n_convs",
+                        "first_seen", "last_seen")),
         ("metadata", ("subj", "pred", "obj")),
         ("properties", ("subj", "pred", "obj")),
         ("quads", ("subj", "pred", "obj", "qual")),
@@ -181,8 +183,8 @@ def test_empty_input_produces_empty_outputs(spark, tmp_path):
     out = pipe.run(tx, run_key="empty")
     assert {k: v.count() for k, v in out.items()} == {
         "ingest": 0, "mentions": 0, "linked": 0, "turn_sets": 0,
-        "extracted": 0, "links": 0, "quads": 0, "action_quads": 0,
-        "expr_quads": 0, "phos_quads": 0, "metadata": 0,
+        "extracted": 0, "links": 0, "links_prov": 0, "quads": 0,
+        "action_quads": 0, "expr_quads": 0, "phos_quads": 0, "metadata": 0,
     }
     # resume over the empty checkpoints also works
     pipe2 = KGPipeline(
