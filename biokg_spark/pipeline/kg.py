@@ -696,11 +696,6 @@ class KGPipeline:
         # executor slots idle between stages; on a real cluster these are
         # exactly the jobs you overlap.
         tasks: dict[str, tuple] = {
-            "links": (
-                fingerprint("links", fp2b, "v3"),
-                lambda: self._links(turn_sets, top_level),
-                ["pred"],
-            ),
             "links_prov": (
                 fingerprint("links_prov", fp2b, fp0, "v1"),
                 lambda: self._links_provenance(ingested, turn_sets, top_level),
@@ -730,13 +725,31 @@ class KGPipeline:
             "extracted": extracted,
         }
         try:
-            with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+            with ThreadPoolExecutor(max_workers=len(tasks) + 1) as pool:
                 futures = {
                     name: pool.submit(
                         self.ckpt.run, name, fp, build, partition_by=pb
                     )
                     for name, (fp, build, pb) in tasks.items()
                 }
+                # links is a PROJECTION of the links_prov checkpoint —
+                # the provenance aggregate's (subj, pred, obj) key set IS
+                # the distinct links table, so running the pair expansion
+                # twice (as separate links and links_prov builds) doubles
+                # the late-phase CPU for nothing: measured e2e 10.6 s →
+                # 22.7 s at 299k turns when both expansions ran. The
+                # builder blocks on the links_prov future (the pool has a
+                # spare worker for it), then writes a column-pruned read
+                # of that parquet.
+                futures["links"] = pool.submit(
+                    self.ckpt.run,
+                    "links",
+                    fingerprint("links", fp2b, "v4-from-prov"),
+                    lambda: futures["links_prov"]
+                    .result()
+                    .select("subj", "pred", "obj"),
+                    partition_by=["pred"],
+                )
                 for name, fut in futures.items():
                     out[name] = fut.result()
         finally:
@@ -852,20 +865,24 @@ class KGPipeline:
         aggregate's key space is the emitted edge vocabulary, so its
         shuffle is negligible (measured: 10M mentions → provenance in
         10 s on local[32], SCALE.md)."""
-        ts_dim = ingested.select("conv_id", "turn_idx", "ts")
-        pg = turn_sets.join(ts_dim, ["conv_id", "turn_idx"]).select(
-            "ms",
-            F.col("conv_id").alias("_conv"),
-            F.col("ts").alias("_ts"),
-        )
+        # expand pairs FIRST, carrying only the two key strings — joining
+        # ts onto the narrow per-occurrence rows shuffles ~|occurrences|
+        # small rows instead of the heavy per-turn ms arrays (measured:
+        # the ms-array-side join shape cost ~2 s more per run at 299k
+        # turns)
         edges = links_from_entity_sets(
-            pg, top_level=top_level, carry=("_conv", "_ts")
+            turn_sets, top_level=top_level, carry=("conv_id", "turn_idx")
         )
-        return edges.groupBy("subj", "pred", "obj").agg(
-            F.count(F.lit(1)).alias("n_support"),
-            F.countDistinct("_conv").alias("n_convs"),
-            F.min("_ts").alias("first_seen"),
-            F.max("_ts").alias("last_seen"),
+        ts_dim = ingested.select("conv_id", "turn_idx", "ts")
+        return (
+            edges.join(ts_dim, ["conv_id", "turn_idx"])
+            .groupBy("subj", "pred", "obj")
+            .agg(
+                F.count(F.lit(1)).alias("n_support"),
+                F.countDistinct("conv_id").alias("n_convs"),
+                F.min("ts").alias("first_seen"),
+                F.max("ts").alias("last_seen"),
+            )
         )
 
     # -- stage 3c: the SHARED one-pass fact extraction ----------------------
