@@ -400,6 +400,25 @@ def entity_vocab(ents: DataFrame, id_col: str = "eid") -> DataFrame:
     )
 
 
+def provenance_occurrences(
+    turn_sets: DataFrame,
+    ts_dim: DataFrame,
+    top_level: DataFrame | None = None,
+) -> DataFrame:
+    """Per-occurrence typed edges with provenance columns: one row per
+    (turn, emitted edge) carrying (subj, pred, obj, conv_id, ts). The
+    shared pre-aggregation of the batch links_prov family and the
+    streaming incremental state — pairs expand FIRST (array-side,
+    carrying only the two key strings), then the narrow rows join the
+    (conv_id, turn_idx, ts) dim."""
+    edges = links_from_entity_sets(
+        turn_sets, top_level=top_level, carry=("conv_id", "turn_idx")
+    )
+    return edges.join(ts_dim, ["conv_id", "turn_idx"]).select(
+        "subj", "pred", "obj", "conv_id", "ts"
+    )
+
+
 def ddi_pair_observations(turn_sets: DataFrame, extracted: DataFrame) -> DataFrame:
     """Per-turn DDI observations: (d1, d2, effect, ref) with canonical
     d1 < d2 from the already-sorted per-turn drug set. The turn-granular
@@ -870,19 +889,16 @@ class KGPipeline:
         # small rows instead of the heavy per-turn ms arrays (measured:
         # the ms-array-side join shape cost ~2 s more per run at 299k
         # turns)
-        edges = links_from_entity_sets(
-            turn_sets, top_level=top_level, carry=("conv_id", "turn_idx")
+        occ = provenance_occurrences(
+            turn_sets,
+            ingested.select("conv_id", "turn_idx", "ts"),
+            top_level=top_level,
         )
-        ts_dim = ingested.select("conv_id", "turn_idx", "ts")
-        return (
-            edges.join(ts_dim, ["conv_id", "turn_idx"])
-            .groupBy("subj", "pred", "obj")
-            .agg(
-                F.count(F.lit(1)).alias("n_support"),
-                F.countDistinct("conv_id").alias("n_convs"),
-                F.min("ts").alias("first_seen"),
-                F.max("ts").alias("last_seen"),
-            )
+        return occ.groupBy("subj", "pred", "obj").agg(
+            F.count(F.lit(1)).alias("n_support"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
         )
 
     # -- stage 3c: the SHARED one-pass fact extraction ----------------------

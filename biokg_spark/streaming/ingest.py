@@ -23,6 +23,7 @@ incremented input, resumable via the checkpoint manifests as usual.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from biokg_spark.operators.mentions import scan_mentions
@@ -142,6 +143,52 @@ def incremental_quads(
         "left_anti",
     )
     return kept.unionByName(recomputed)
+
+
+def incremental_provenance_state(
+    state_old: DataFrame, occurrences_new: DataFrame
+) -> DataFrame:
+    """Merge new per-occurrence edges into the provenance STATE table.
+
+    links_prov is an aggregate with a count-DISTINCT (n_convs), which is
+    not mergeable from per-batch final aggregates — so the incremental
+    unit is one level finer: state is keyed (subj, pred, obj, conv_id)
+    with (n_support, first_seen, last_seen), ALL of which merge under
+    appends (sum / min / max). The published family then re-aggregates
+    state by triple, where n_convs is a plain row count. Work: one
+    batch-local aggregate plus one combine over |state| (edge-vocabulary
+    × conversations — bounded by distinct evidence keys, far below the
+    corpus row count; the turn history itself is never rescanned).
+
+    ``occurrences_new``: pipeline.kg.provenance_occurrences over the new
+    batch's turn_sets only.
+    """
+    batch = occurrences_new.groupBy("subj", "pred", "obj", "conv_id").agg(
+        F.count(F.lit(1)).alias("n_support"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+    return (
+        state_old.unionByName(batch)
+        .groupBy("subj", "pred", "obj", "conv_id")
+        .agg(
+            F.sum("n_support").alias("n_support"),
+            F.min("first_seen").alias("first_seen"),
+            F.max("last_seen").alias("last_seen"),
+        )
+    )
+
+
+def provenance_from_state(state: DataFrame) -> DataFrame:
+    """Publish the links_prov family from the incremental state table —
+    identical schema/semantics to the batch family (test-pinned:
+    increment ≡ full recompute)."""
+    return state.groupBy("subj", "pred", "obj").agg(
+        F.sum("n_support").alias("n_support"),
+        F.count(F.lit(1)).alias("n_convs"),
+        F.min("first_seen").alias("first_seen"),
+        F.max("last_seen").alias("last_seen"),
+    )
 
 
 def incremental_distinct_family(

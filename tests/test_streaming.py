@@ -214,6 +214,74 @@ def test_incremental_monotone_families_match_full(spark, tmp_path):
         want = {tuple(r[c] for c in cols) for r in full[family].collect()}
         assert got == want and got, family
 
+
+def test_incremental_provenance_matches_full(spark, tmp_path):
+    """links_prov increments through the finer-grained (triple, conv)
+    state table: n_convs is a count-DISTINCT, so per-batch FINAL
+    aggregates don't merge — the state granularity does. Split by TURN
+    parity (not conversation) so the same conversation spans both
+    batches: that exercises both the cross-batch support/extent merge
+    within a conv AND the n_convs dedup across batches."""
+    from pyspark.sql import functions as F
+
+    from biokg_spark.datagen import entity_lexicon, id_mapping, ontology
+    from biokg_spark.pipeline import KGPipeline
+    from biokg_spark.pipeline.kg import provenance_occurrences
+    from biokg_spark.pipeline.taxonomy import top_level_pathways
+    from biokg_spark.streaming.ingest import (
+        incremental_provenance_state,
+        provenance_from_state,
+    )
+
+    tx = transcripts(spark, n_conversations=24)
+    tx1 = tx.where(F.col("turn_idx") % 2 == 0)
+    tx2 = tx.where(F.col("turn_idx") % 2 == 1)
+    lex, mp, onto = entity_lexicon(spark), id_mapping(spark), ontology(spark)
+    tl = top_level_pathways(onto)
+
+    out1 = KGPipeline(spark, str(tmp_path / "p1"), lex, mp, onto, buckets=4).run(
+        tx1, run_key="p1"
+    )
+    out2 = KGPipeline(spark, str(tmp_path / "p2"), lex, mp, onto, buckets=4).run(
+        tx2, run_key="p2"
+    )
+    full = KGPipeline(spark, str(tmp_path / "pf"), lex, mp, onto, buckets=4).run(
+        tx, run_key="pf"
+    )
+
+    def occ(out):
+        return provenance_occurrences(
+            out["turn_sets"],
+            out["ingest"].select("conv_id", "turn_idx", "ts"),
+            top_level=tl,
+        )
+
+    empty = spark.createDataFrame(
+        [],
+        "subj string, pred string, obj string, conv_id string, "
+        "n_support long, first_seen timestamp, last_seen timestamp",
+    )
+    state = incremental_provenance_state(empty, occ(out1))
+    state = incremental_provenance_state(state, occ(out2))
+    cols = ("subj", "pred", "obj", "n_support", "n_convs",
+            "first_seen", "last_seen")
+    got = {tuple(r[c] for c in cols) for r in provenance_from_state(state).collect()}
+    want = {tuple(r[c] for c in cols) for r in full["links_prov"].collect()}
+    assert got == want and got
+    # non-vacuous: some triple must draw support from BOTH batches
+    # within the same conversation (the merge the state exists for)
+    spanning = (
+        occ(out1)
+        .select("subj", "pred", "obj", "conv_id")
+        .join(
+            occ(out2).select("subj", "pred", "obj", "conv_id").dropDuplicates(),
+            ["subj", "pred", "obj", "conv_id"],
+            "left_semi",
+        )
+        .count()
+    )
+    assert spanning > 0
+
     # eighth family: per-species PPI export is a deterministic routing map
     # over links, so (incremental links) -> routing == full -> routing.
     from biokg_spark.pipeline.taxonomy import top_level_pathways
