@@ -89,3 +89,42 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .union(tri.select("w2"))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node over the undirected simple
+    graph: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), 0 when deg < 2 — the
+    per-entity closure signal on top of :func:`triangle_counts` (how
+    clique-like each entity's neighborhood is; a standard KG-quality
+    audit column). Output: (node, deg, n_triangles, lcc) for every node
+    with at least one edge. Adds only one degree aggregate and one
+    |V|-sized join to the triangle plan."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select("b"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(und, src="a", dst="b")
+    d = F.col("deg").cast("double")
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            2.0 * F.coalesce(F.col("n_triangles"), F.lit(0)) / (d * (d - 1.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )

@@ -854,6 +854,55 @@ def kg_triangle_counts(spark, sf_dir):
 
 
 @q(
+    "kg_clustering_coefficients",
+    f"""
+    WITH {_KG_LINKS_CTE},
+    und AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+            FROM links WHERE subj <> obj),
+    deg AS (SELECT node, count(*) AS deg FROM
+            (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+            GROUP BY node),
+    o AS (SELECT CASE WHEN da.deg < db.deg
+                        OR (da.deg = db.deg AND und.a < und.b)
+                      THEN und.a ELSE und.b END AS u,
+                 CASE WHEN da.deg < db.deg
+                        OR (da.deg = db.deg AND und.a < und.b)
+                      THEN und.b ELSE und.a END AS v
+          FROM und
+          JOIN deg da ON und.a = da.node
+          JOIN deg db ON und.b = db.node),
+    wedges AS (SELECT e1.u AS w0, e1.v AS w1, e2.v AS w2
+               FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+    tri AS (SELECT w0, w1, w2 FROM wedges
+            WHERE EXISTS (SELECT 1 FROM o
+                          WHERE least(o.u, o.v) = wedges.w1
+                            AND greatest(o.u, o.v) = wedges.w2)),
+    corners AS (SELECT w0 AS node FROM tri
+                UNION ALL SELECT w1 FROM tri
+                UNION ALL SELECT w2 FROM tri),
+    tcount AS (SELECT node, count(*) AS n_triangles FROM corners
+               GROUP BY node)
+    SELECT deg.node, deg.deg,
+           coalesce(t.n_triangles, 0) AS n_triangles,
+           round(CASE WHEN deg.deg >= 2
+                      THEN 2.0 * coalesce(t.n_triangles, 0)
+                           / (deg.deg * (deg.deg - 1.0))
+                      ELSE 0.0 END, 4) AS lcc
+    FROM deg LEFT JOIN tcount t ON deg.node = t.node
+    """,
+)
+def kg_clustering_coefficients(spark, sf_dir):
+    """Local clustering coefficient per entity over the KG links
+    (operators/triangles.py::clustering_coefficients) — the per-node
+    neighborhood-closure audit column."""
+    from biokg_spark.operators.triangles import clustering_coefficients
+
+    links = _kg_links(spark, sf_dir)
+    out = clustering_coefficients(links, src="subj", dst="obj")
+    return out.withColumn("lcc", F.round("lcc", 4))
+
+
+@q(
     "kg_node_similarity",
     f"""
     WITH {_KG_LINKS_CTE},

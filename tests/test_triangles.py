@@ -65,6 +65,25 @@ def test_random_graphs_vs_bruteforce(spark):
         assert _run(spark, noisy) == want, f"seed={seed}"
 
 
+def test_clustering_coefficients(spark):
+    from biokg_spark.operators.triangles import clustering_coefficients
+
+    # triangle a-b-c plus pendant d off a: deg(a)=3, T(a)=1 -> 1/3;
+    # b,c: deg 2, T 1 -> 1.0; d: deg 1 -> 0
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.node: (r.deg, r.n_triangles, round(r.lcc, 6))
+        for r in clustering_coefficients(df).collect()
+    }
+    assert got == {
+        "a": (3, 1, round(1 / 3, 6)),
+        "b": (2, 1, 1.0),
+        "c": (2, 1, 1.0),
+        "d": (1, 0, 0.0),
+    }
+
+
 def test_two_shared_edge_triangles(spark):
     # a-b shared by triangles (a,b,c) and (a,b,d)
     edges = [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")]
