@@ -61,6 +61,8 @@ HEADLINE = [
     "kg_pagerank",
     "kg_pmi_links",
     "kg_entity_vocab",
+    "kg_triangle_counts",
+    "kg_node_similarity",
     "kg_property_fanout",
     "ddi_cascade_effects",
     "dedup_exact",
