@@ -49,7 +49,12 @@ def node_jaccard(
     neighbor of degree k contributes k(k−1)/2 pairs, so
     ``max_neighbor_degree`` drops hub neighbors wholesale before the
     join (one degree aggregate + semi-join), the same guard discipline
-    as dedup.py's ``max_doc_freq``. Intersection counts collapse
+    as dedup.py's ``max_doc_freq``. Degrees in the DENOMINATOR are the
+    full (unguarded) neighborhood sizes, so with the guard active the
+    score is a conservative UNDERestimate (shared hub neighbors aren't
+    counted but still inflate the union) — the right bias for an alias
+    CANDIDATE filter. ``min_shared`` prunes pairs below an intersection
+    floor before the degree joins. Intersection counts collapse
     map-side (partial agg) and the degree joins run against the
     |V|-sized count table (AQE broadcasts it when dim-sized).
     """
@@ -106,7 +111,11 @@ def metapath_infer(
     ``links``: (subj, pred, obj) triple table (deduped).
     ``exclude_direct``: drop inferred pairs already asserted under ANY
     predicate between s and o (left_anti on the endpoint pair) — the
-    candidate set should be novel edges only.
+    candidate set should be novel edges only. The check compares in
+    STORED orientation: composition of directed predicates yields pairs
+    in the vocabulary's subject-first order, which is how direct edges
+    are stored; if the inferred pair's predicate family is undirected,
+    canonicalize (least, greatest) before relying on the exclusion.
     ``flag_novel``: keep all inferred pairs and add ``is_novel`` (int
     0/1) instead of dropping asserted ones (overrides exclude_direct) —
     the ranking-consumer form, where direct edges are training
