@@ -17,6 +17,10 @@ friendly primitives; neither ever degenerates to a cross join.
   a residual BETWEEN filter. Bin width trades replication (wide
   intervals → many bins) against candidate pruning; a cross/BNLJ never
   appears in the plan.
+- ``sessionize``: split each key's ordered event stream into sessions
+  at idle gaps > a threshold — the episode segmentation an agent-
+  transcript pipeline needs before per-episode extraction. Lag + a
+  cumulative sum of gap flags over ONE window shuffle on the key.
 """
 
 from __future__ import annotations
@@ -126,4 +130,46 @@ def range_join_binned(
     )
     return joined.drop(spread["_bin"]).drop(binned_points["_bin"]).drop(
         *[spread[k] for k in keys]
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign a per-key session index: a new session starts whenever the
+    time since the previous event of the same key exceeds ``gap_seconds``.
+
+    ``order_cols``: extra deterministic tiebreak columns appended after
+    the timestamp in the within-key ordering (pass a unique id when
+    timestamps can collide — required for a reproducible session_idx).
+
+    Output: the input columns plus ``session_idx`` (0-based per key).
+    Plan shape: ONE shuffle on ``key`` serves both the lag and the
+    running sum (same window spec, Catalyst evaluates them in one Window
+    operator) — the standard sessionization used before any per-episode
+    aggregation. At 100 TB the state per key is a single row (the
+    previous timestamp), so skewed keys cost sort time, not memory.
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(key).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # NTZ timestamps (parquet default) refuse a direct long cast in
+    # Spark 4 — hop through timestamp_ltz (session TZ, UTC here) first;
+    # plain timestamps/longs pass through the double cast unchanged
+    def _secs(c):
+        return c.cast("timestamp_ltz").cast("long")
+
+    gap = _secs(F.col(ts_col)) - _secs(prev_ts)
+    is_new = F.when(gap > gap_seconds, 1).otherwise(0)
+    running = Window.partitionBy(key).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return events.withColumn(
+        "session_idx", F.sum(is_new).over(running).cast("int")
     )

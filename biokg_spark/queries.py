@@ -2299,3 +2299,270 @@ def xml_extract_flatten(spark, sf_dir):
         fields={"nation_key": "key", "nation_name": "name", "iso": "iso"},
         keys=("region_key",),
     )
+
+
+# ===== G. graph/versioning/transcript audits (round 4 additions) ===========
+
+# events-derived transcripts in the full input_hint shape (conv_id,
+# turn_idx, role, tool, ts) — 150 conversations, turn order = (ts,
+# event_id), deterministic in any engine (no duplicate (user, ts) pairs
+# in the driver data, and event_id breaks ties anyway). text is not
+# carried: the analytics below are structure-side.
+_EV_TX_SQL = (
+    "SELECT 'conv' || CAST(user_id AS VARCHAR) AS conv_id, "
+    "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 "
+    "AS INT) AS turn_idx, "
+    "CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+    "event_type AS tool, ts, event_id FROM events"
+)
+
+
+def event_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("event_type").alias("tool"),
+        "ts",
+        "event_id",
+    )
+
+
+def _kcore_sql():
+    from biokg_spark.operators.kcore import kcore_oracle_ctes
+
+    return kcore_oracle_ctes(_KG_LINKS_CTE, k=3, peels=8)
+
+
+@q("kg_kcore", _kcore_sql())
+def kg_kcore(spark, sf_dir):
+    """3-core of the KG links (operators/kcore.py): iterative peeling to
+    the unique fixpoint — the dense-backbone audit (which entities sit
+    in mutually-corroborating clusters). Oracled by unrolling the peels
+    as chained CTEs, the same discipline as kg_pagerank."""
+    from biokg_spark.operators.kcore import kcore
+
+    links = _kg_links(spark, sf_dir)
+    return kcore(links, k=3, src="subj", dst="obj")
+
+
+@q(
+    "kg_graph_profile",
+    f"""
+    WITH {_KG_LINKS_CTE},
+    und AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+            FROM links WHERE subj <> obj),
+    deg AS (SELECT node, count(*) AS deg FROM
+            (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+            GROUP BY node)
+    SELECT count(*) AS n_nodes,
+           CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+           min(deg) AS min_deg, max(deg) AS max_deg,
+           round(avg(deg), 4) AS avg_deg,
+           round(quantile_cont(deg, 0.5), 4) AS p50_deg,
+           round(quantile_cont(deg, 0.9), 4) AS p90_deg,
+           round(quantile_cont(deg, 0.99), 4) AS p99_deg
+    FROM deg
+    """,
+)
+def kg_graph_profile(spark, sf_dir):
+    """One-row degree-shape profile of the emitted KG
+    (operators/graphstats.py) — the audit that drives the engine's skew
+    decisions (is p99_deg >> p50_deg ⇒ salt the joins). Exact
+    percentiles for the oracle; the operator's
+    ``exact_percentiles=False`` flag is the constant-memory scale path
+    (same discipline as corpus_stats / corpus_stats_approx)."""
+    from biokg_spark.operators.graphstats import graph_profile
+
+    links = _kg_links(spark, sf_dir)
+    prof = graph_profile(links, src="subj", dst="obj")
+    return prof.select(
+        "n_nodes", "n_edges", "min_deg", "max_deg", "avg_deg",
+        F.round("p50_deg", 4).alias("p50_deg"),
+        F.round("p90_deg", 4).alias("p90_deg"),
+        F.round("p99_deg", 4).alias("p99_deg"),
+    )
+
+
+def _links_cte_filtered(tag: str, cond: str) -> str:
+    """The pairs→typed→oriented→links chain with a predicate on the
+    mention rows (same derivation as _KG_LINKS_CTE, suffixed CTE names)."""
+    return f"""pairs{tag} AS (
+      SELECT a.entity_id AS e1, a.entity_type AS t1,
+             b.entity_id AS e2, b.entity_type AS t2
+      FROM m a JOIN m b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.entity_id < b.entity_id
+      WHERE {cond}),
+    typed{tag} AS (
+      SELECT e1, t1, e2, t2, {_KG_PRED_CASE} AS pred FROM pairs{tag}),
+    oriented{tag} AS (
+      SELECT pred,
+             CASE WHEN pred IN {_KG_UNDIRECTED} THEN least(e1, e2)
+                  WHEN t1 = {_KG_FIRST_TYPE} THEN e1 ELSE e2 END AS subj,
+             CASE WHEN pred IN {_KG_UNDIRECTED} THEN greatest(e1, e2)
+                  WHEN t1 = {_KG_FIRST_TYPE} THEN e2 ELSE e1 END AS obj
+      FROM typed{tag} WHERE pred IS NOT NULL),
+    links{tag} AS (SELECT DISTINCT subj, pred, obj FROM oriented{tag})"""
+
+
+@q(
+    "kg_snapshot_diff",
+    f"""
+    WITH {_MENTIONS_SQL},
+    {_links_cte_filtered("_old", "CAST(substr(a.conv_id, 5) AS INT) < 20")},
+    {_links_cte_filtered("_new", "CAST(substr(a.conv_id, 5) AS INT) >= 20")}
+    SELECT coalesce(o.subj, n.subj) AS subj,
+           coalesce(o.pred, n.pred) AS pred,
+           coalesce(o.obj, n.obj) AS obj,
+           CASE WHEN o.subj IS NULL THEN 'added'
+                WHEN n.subj IS NULL THEN 'removed'
+                ELSE 'retained' END AS status
+    FROM links_old o FULL OUTER JOIN links_new n
+      ON o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj
+    """,
+)
+def kg_snapshot_diff(spark, sf_dir):
+    """Triple-set delta between two KG builds
+    (operators/versioning.py::snapshot_diff): the first 20 conversations
+    stand in for the previous corpus snapshot, the rest for the current
+    one — added / removed / retained per (subj, pred, obj), in ONE
+    full-outer hash join that reuses each side's dedup partitioning."""
+    from biokg_spark.operators.versioning import snapshot_diff
+
+    conv_no = F.substring("conv_id", 5, 16).cast("int")
+    ents = kg_mentions(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.col("entity_id").alias("eid"),
+        "entity_type", conv_no.alias("conv_no"),
+    )
+    old = cooccurrence_links(
+        ents.where(F.col("conv_no") < 20), keys=["conv_id", "turn_idx"]
+    )
+    new = cooccurrence_links(
+        ents.where(F.col("conv_no") >= 20), keys=["conv_id", "turn_idx"]
+    )
+    return snapshot_diff(old, new, keys=["subj", "pred", "obj"])
+
+
+@q(
+    "transcript_integrity",
+    """
+    WITH tx AS (
+      SELECT 'conv' || CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(event_id % 90 AS INT) AS turn_idx,
+             CASE WHEN event_id % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END AS role
+      FROM events)
+    SELECT conv_id, count(*) AS n_turns,
+           count(DISTINCT turn_idx) AS n_distinct_turns,
+           count(*) - count(DISTINCT turn_idx) AS n_dup_turns,
+           max(turn_idx) + 1 - count(DISTINCT turn_idx) AS n_missing_turns,
+           count(DISTINCT role) AS n_roles
+    FROM tx GROUP BY conv_id
+    """,
+)
+def transcript_integrity(spark, sf_dir):
+    """Per-conversation structural-integrity audit
+    (operators/transcripts.py): duplicate and missing turn indexes, role
+    vocabulary — the first-class form of the validation the reference
+    does silently while parsing. The fixture derives turn_idx from the
+    raw event id (mod 90), simulating an unreliable client-side turn
+    counter so the dup/gap columns are exercised with nonzero values."""
+    from biokg_spark.operators.transcripts import transcript_integrity as ti
+
+    ev = load_table(spark, sf_dir, "events")
+    tx = ev.select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.col("event_id") % 90).cast("int").alias("turn_idx"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+    )
+    return ti(tx)
+
+
+@q(
+    "transcript_tool_transitions",
+    f"""
+    WITH tx AS ({_EV_TX_SQL}),
+    p AS (SELECT conv_id,
+                 lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS prev_tool,
+                 tool
+          FROM tx)
+    SELECT prev_tool, tool, count(*) AS n_transitions,
+           count(DISTINCT conv_id) AS n_convs
+    FROM p WHERE prev_tool IS NOT NULL
+    GROUP BY prev_tool, tool
+    """,
+)
+def transcript_tool_transitions(spark, sf_dir):
+    """First-order Markov profile of tool usage
+    (operators/transcripts.py::tool_transitions): how often each tool
+    follows each other tool across consecutive turns — the behavioral
+    summary an agent-transcript pipeline routes on. One window shuffle
+    + a dim-sized (|tools|²) aggregate."""
+    from biokg_spark.operators.transcripts import tool_transitions
+
+    return tool_transitions(event_transcripts(spark, sf_dir))
+
+
+@q(
+    "transcript_sessionize",
+    """
+    WITH tx AS (
+      SELECT 'conv' || CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
+             event_type AS tool
+      FROM events),
+    g AS (
+      SELECT conv_id, ts_s, tool,
+             CASE WHEN ts_s - lag(ts_s) OVER
+                    (PARTITION BY conv_id ORDER BY ts_s, event_id) > 43200
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM tx),
+    s AS (
+      SELECT conv_id, ts_s, tool,
+             CAST(sum(is_new) OVER
+                    (PARTITION BY conv_id ORDER BY ts_s, event_id
+                     ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+      FROM g)
+    SELECT conv_id, session_idx, count(*) AS n_events,
+           count(DISTINCT tool) AS n_tools,
+           min(ts_s) AS start_s, max(ts_s) AS end_s,
+           max(ts_s) - min(ts_s) AS duration_s
+    FROM s GROUP BY conv_id, session_idx
+    """,
+)
+def transcript_sessionize(spark, sf_dir):
+    """Idle-gap sessionization (operators/temporal.py::sessionize): each
+    conversation's event stream splits into episodes at >12 h gaps, then
+    one per-episode summary row — the segmentation step before
+    per-episode extraction. session_idx is deterministic ((ts, event_id)
+    total order per the input contract)."""
+    from biokg_spark.operators.temporal import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    tx = ev.select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+        "ts", "event_id", F.col("event_type").alias("tool"),
+    )
+    s = sessionize(
+        tx, key="conv_id", ts_col="ts", gap_seconds=43200,
+        order_cols=["event_id"],
+    )
+    # NTZ → LTZ hop: session TZ is UTC, matching DuckDB's epoch() on the
+    # same naive parquet timestamps
+    ts_s = F.col("ts").cast("timestamp_ltz").cast("long")
+    return s.groupBy("conv_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("tool").alias("n_tools"),
+        F.min(ts_s).alias("start_s"),
+        F.max(ts_s).alias("end_s"),
+        (F.max(ts_s) - F.min(ts_s)).alias("duration_s"),
+    )

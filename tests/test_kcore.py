@@ -1,0 +1,75 @@
+"""k-core peeling semantics (operators/kcore.py)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from biokg_spark.operators.kcore import kcore
+
+
+def _run(spark, edges, k):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.core_deg for r in kcore(df, k=k).collect()}
+
+
+def _peel_reference(edges, k):
+    """Row-at-a-time peeling ground truth."""
+    es = {frozenset(e) for e in edges if e[0] != e[1]}
+    while True:
+        deg: dict[str, int] = {}
+        for e in es:
+            for n in e:
+                deg[n] = deg.get(n, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {e for e in es if all(n in keep for n in e)}
+        if nxt == es:
+            break
+        es = nxt
+    deg = {}
+    for e in es:
+        for n in e:
+            deg[n] = deg.get(n, 0) + 1
+    return deg
+
+
+def test_triangle_with_tail(spark):
+    # triangle a-b-c is the 2-core; the tail c-d-e peels away
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    assert _run(spark, edges, 2) == {"a": 2, "b": 2, "c": 2}
+
+
+def test_cascading_peel(spark):
+    # removing the leaf drops its neighbor below k next round: the whole
+    # path peels to nothing at k=2
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert _run(spark, edges, 2) == {}
+
+
+def test_k4_is_3core(spark):
+    edges = [(u, v) for u, v in combinations("abcd", 2)]
+    assert _run(spark, edges, 3) == {n: 3 for n in "abcd"}
+    assert _run(spark, edges, 4) == {}
+
+
+def test_duplicate_and_reversed_edges_ignored(spark):
+    edges = [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"),
+             ("b", "c"), ("c", "a")]
+    assert _run(spark, edges, 2) == {"a": 2, "b": 2, "c": 2}
+
+
+def test_random_graphs_vs_reference(spark):
+    import random
+
+    for seed in range(4):
+        rng = random.Random(100 + seed)
+        nodes = [f"v{i}" for i in range(10)]
+        edges = [
+            (a, b) for a, b in combinations(nodes, 2) if rng.random() < 0.35
+        ]
+        noisy = [
+            (b, a) if rng.random() < 0.5 else (a, b) for a, b in edges
+        ] + [e for e in edges if rng.random() < 0.3]
+        for k in (2, 3):
+            assert _run(spark, noisy, k) == _peel_reference(edges, k), (
+                f"seed={seed} k={k}"
+            )

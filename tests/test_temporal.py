@@ -114,3 +114,29 @@ def test_range_join_binned_matches_plain_sql(spark):
     fast = range_join_binned(ev, iv, "value", bin_width=7.0)
     slow = ev.join(iv, ev.value.between(iv.lo, iv.hi))
     assert fast.count() == slow.count()
+
+
+def test_sessionize_gap_boundary(spark):
+    from biokg_spark.operators.temporal import sessionize
+
+    rows = [
+        ("u1", _t("2024-01-01 00:00:00"), 1),
+        ("u1", _t("2024-01-01 00:30:00"), 2),  # gap = 1800 = threshold: same
+        ("u1", _t("2024-01-01 01:00:01"), 3),  # gap = 1801 > threshold: new
+        ("u2", _t("2024-01-05 00:00:00"), 4),  # other key: own session 0
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, event_id int")
+    out = sessionize(df, key="user", gap_seconds=1800, order_cols=["event_id"])
+    got = {r.event_id: r.session_idx for r in out.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_sessionize_tiebreak_deterministic(spark):
+    from biokg_spark.operators.temporal import sessionize
+
+    # equal timestamps: event_id orders them; all in one session
+    t = _t("2024-01-01 00:00:00")
+    rows = [("u1", t, i) for i in (3, 1, 2)]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, event_id int")
+    out = sessionize(df, key="user", gap_seconds=60, order_cols=["event_id"])
+    assert {r.session_idx for r in out.collect()} == {0}
