@@ -2566,3 +2566,30 @@ def transcript_sessionize(spark, sf_dir):
         F.max(ts_s).alias("end_s"),
         (F.max(ts_s) - F.min(ts_s)).alias("duration_s"),
     )
+
+
+@q(
+    "kg_proximity_links",
+    f"""
+    WITH {_MENTIONS_SQL}
+    SELECT a.entity_id AS e1, b.entity_id AS e2,
+           count(*) AS n_cooc,
+           count(DISTINCT a.conv_id) AS n_convs
+    FROM m a JOIN m b
+      ON a.conv_id = b.conv_id AND a.entity_id < b.entity_id
+     AND b.turn_idx BETWEEN a.turn_idx - 2 AND a.turn_idx + 2
+    GROUP BY a.entity_id, b.entity_id
+    """,
+)
+def kg_proximity_links(spark, sf_dir):
+    """Cross-turn co-occurrence pairs within a ±2-turn window
+    (operators/proximity.py::proximity_pairs) — the context-window
+    generalization of the same-turn links derivation, built on the
+    binned range join so a hub conversation never becomes a cross
+    join."""
+    from biokg_spark.operators.proximity import proximity_pairs
+
+    ents = kg_mentions(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.col("entity_id").alias("eid")
+    )
+    return proximity_pairs(ents, window=2)
