@@ -104,3 +104,127 @@ def pagerank_oracle_ctes(
         + ",\n".join(sql)
         + f"\nSELECT id AS entity_id, round(rank, 4) AS rank FROM r{iters}"
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """HITS hubs/authorities over the DIRECTED edge set (subj→obj keeps
+    the orientation the link vocabulary assigns, unlike the symmetrized
+    pagerank run where hub ≡ authority). Fixed iteration count with L2
+    normalization each half-step — deterministic, so the registry
+    oracles it by unrolling the iterations as chained CTEs (see
+    :func:`hits_oracle_ctes`).
+
+    Returns (id, hub, auth) for every node, exact float64 — round at
+    the consumer. Scale shape: per iteration TWO shuffle joins
+    (scores × edges) + partial aggregates; the norm is a single-row
+    aggregate broadcast back via crossJoin (never a driver collect);
+    scores are localCheckpointed every ``checkpoint_every`` iterations
+    (lineage-truncation discipline, see module docstring).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = e.localCheckpoint()
+
+    def _normalize(scores: DataFrame, col: str) -> DataFrame:
+        norm = scores.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n")
+        )
+        return scores.crossJoin(norm).select(
+            "id", (F.col(col) / F.col("_n")).alias(col)
+        )
+
+    h = nodes.withColumn("hub", F.lit(1.0))
+    a = None
+    for i in range(iters):
+        a_sum = (
+            e.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+            .withColumnRenamed("dst", "id")
+        )
+        a = _normalize(
+            nodes.join(a_sum, "id", "left").select(
+                "id", F.coalesce("auth", F.lit(0.0)).alias("auth")
+            ),
+            "auth",
+        )
+        h_sum = (
+            e.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+            .withColumnRenamed("src", "id")
+        )
+        h = _normalize(
+            nodes.join(h_sum, "id", "left").select(
+                "id", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            h = h.localCheckpoint()
+            a = a.localCheckpoint()
+    return nodes.join(h, "id", "left").join(a, "id", "left").select(
+        "id",
+        F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        F.coalesce("auth", F.lit(0.0)).alias("auth"),
+    )
+
+
+def hits_oracle_ctes(links_cte: str, iters: int = 8) -> str:
+    """ANSI-SQL twin of :func:`hits` over a ``links`` CTE of
+    (subj, pred, obj): iterations unroll as chained MATERIALIZED CTEs
+    (each score set is referenced more than once — default inlining
+    would re-expand the chain exponentially, the DuckDB twin of the
+    Catalyst re-inlining hazard)."""
+    sql = [links_cte]
+    sql.append("e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM links)")
+    sql.append(
+        "nodes AS MATERIALIZED (SELECT src AS id FROM e "
+        "UNION SELECT dst FROM e)"
+    )
+    sql.append("h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM nodes)")
+    for i in range(1, iters + 1):
+        sql.append(
+            f"a{i}r AS MATERIALIZED (SELECT nodes.id, "
+            f"coalesce(s.v, 0) AS auth FROM nodes LEFT JOIN "
+            f"(SELECT e.dst AS id, sum(h{i - 1}.hub) AS v FROM e "
+            f"JOIN h{i - 1} ON e.src = h{i - 1}.id GROUP BY e.dst) s "
+            f"ON nodes.id = s.id)"
+        )
+        sql.append(
+            f"a{i} AS MATERIALIZED (SELECT id, auth / "
+            f"(SELECT sqrt(sum(auth * auth)) FROM a{i}r) AS auth FROM a{i}r)"
+        )
+        sql.append(
+            f"h{i}r AS MATERIALIZED (SELECT nodes.id, "
+            f"coalesce(s.v, 0) AS hub FROM nodes LEFT JOIN "
+            f"(SELECT e.src AS id, sum(a{i}.auth) AS v FROM e "
+            f"JOIN a{i} ON e.dst = a{i}.id GROUP BY e.src) s "
+            f"ON nodes.id = s.id)"
+        )
+        sql.append(
+            f"h{i} AS MATERIALIZED (SELECT id, hub / "
+            f"(SELECT sqrt(sum(hub * hub)) FROM h{i}r) AS hub FROM h{i}r)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(sql)
+        + f"""
+        SELECT nodes.id AS entity_id,
+               round(coalesce(h{iters}.hub, 0), 4) AS hub,
+               round(coalesce(a{iters}.auth, 0), 4) AS auth
+        FROM nodes
+        LEFT JOIN h{iters} ON nodes.id = h{iters}.id
+        LEFT JOIN a{iters} ON nodes.id = a{iters}.id"""
+    )

@@ -2593,3 +2593,26 @@ def kg_proximity_links(spark, sf_dir):
         "conv_id", "turn_idx", F.col("entity_id").alias("eid")
     )
     return proximity_pairs(ents, window=2)
+
+
+def _hits_sql():
+    from biokg_spark.operators.pagerank import hits_oracle_ctes
+
+    return hits_oracle_ctes(_KG_LINKS_CTE, iters=8)
+
+
+@q("kg_hits", _hits_sql())
+def kg_hits(spark, sf_dir):
+    """HITS hubs/authorities over the DIRECTED links
+    (operators/pagerank.py::hits): which entities source assertions vs
+    receive them — the orientation-aware complement of kg_pagerank.
+    Oracled by unrolling the fixed iterations as MATERIALIZED CTEs."""
+    from biokg_spark.operators.pagerank import hits
+
+    links = _kg_links(spark, sf_dir)
+    out = hits(links, iters=8, src="subj", dst="obj")
+    return out.select(
+        F.col("id").alias("entity_id"),
+        F.round("hub", 4).alias("hub"),
+        F.round("auth", 4).alias("auth"),
+    )

@@ -77,3 +77,61 @@ def test_pagerank_checkpoint_interval_invariant(spark):
     r1 = _spark_pagerank(spark, edges, iters=6, checkpoint_every=2)
     r2 = _spark_pagerank(spark, edges, iters=6, checkpoint_every=100)
     assert r1 == r2
+
+
+def _hits_reference(edges, iters):
+    """Row-at-a-time HITS ground truth (same recurrence/normalization)."""
+    import math
+
+    es = sorted(set(edges))
+    nodes = sorted({n for e in es for n in e})
+    h = {n: 1.0 for n in nodes}
+    a = {}
+    for _ in range(iters):
+        a = {n: 0.0 for n in nodes}
+        for s, d in es:
+            a[d] += h[s]
+        norm = math.sqrt(sum(v * v for v in a.values()))
+        a = {n: v / norm for n, v in a.items()}
+        h = {n: 0.0 for n in nodes}
+        for s, d in es:
+            h[s] += a[d]
+        norm = math.sqrt(sum(v * v for v in h.values()))
+        h = {n: v / norm for n, v in h.items()}
+    return h, a
+
+
+def test_hits_star_hub_vs_authority(spark):
+    from biokg_spark.operators.pagerank import hits
+
+    # h points at 3 leaves: h is the pure hub, leaves pure authorities
+    edges = [("h", "x"), ("h", "y"), ("h", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.id: (round(r.hub, 6), round(r.auth, 6)) for r in hits(df).collect()}
+    assert got["h"][0] == 1.0 and got["h"][1] == 0.0
+    for leaf in "xyz":
+        assert got[leaf][0] == 0.0
+        assert abs(got[leaf][1] - 1 / 3**0.5) < 1e-6
+
+
+def test_hits_matches_reference_on_random_digraphs(spark):
+    import random
+
+    from biokg_spark.operators.pagerank import hits
+
+    for seed in (7, 8):
+        rng = random.Random(seed)
+        nodes = [f"v{i}" for i in range(8)]
+        edges = list(
+            {
+                (rng.choice(nodes), rng.choice(nodes))
+                for _ in range(20)
+            }
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.id: (r.hub, r.auth) for r in hits(df, iters=6).collect()}
+        h, a = _hits_reference(edges, iters=6)
+        for n in h:
+            assert abs(got[n][0] - h[n]) < 1e-9, (seed, n)
+            assert abs(got[n][1] - a[n]) < 1e-9, (seed, n)
