@@ -59,6 +59,13 @@ HEADLINE = [
     "kg_edge_provenance",
     "kg_metapath_inference",
     "kg_pagerank",
+    "kg_hits",
+    "kg_kcore",
+    "kg_graph_profile",
+    "kg_snapshot_diff",
+    "kg_proximity_links",
+    "transcript_sessionize",
+    "transcript_tool_transitions",
     "kg_pmi_links",
     "kg_entity_vocab",
     "kg_triangle_counts",
