@@ -2616,3 +2616,40 @@ def kg_hits(spark, sf_dir):
         F.round("hub", 4).alias("hub"),
         F.round("auth", 4).alias("auth"),
     )
+
+
+@q(
+    "kg_verbalize",
+    f"""
+    WITH {_KG_LINKS_CTE},
+    tpl(pred, template) AS (VALUES
+      ('DRUG_DISEASE_ASSOCIATION', '{{subj}} is indicated for {{obj}}'),
+      ('DDI', '{{subj}} interacts with {{obj}}'),
+      ('PPI', '{{subj}} binds {{obj}}'),
+      ('PROTEIN_PATHWAY_ASSOCIATION', '{{subj}} participates in {{obj}}'))
+    SELECT links.subj, links.pred, links.obj,
+           replace(replace(
+             coalesce(tpl.template, '{{subj}} is related to {{obj}}'),
+             '{{subj}}', links.subj), '{{obj}}', links.obj) AS text
+    FROM links LEFT JOIN tpl ON links.pred = tpl.pred
+    """,
+)
+def kg_verbalize(spark, sf_dir):
+    """KG → training-text export (operators/verbalize.py): one sentence
+    per triple from a broadcast per-predicate template dim, rendered
+    with JVM-side string replaces inside codegen (map-only at 10^12
+    triples). Unknown predicates take the fallback template instead of
+    silently dropping."""
+    from biokg_spark.operators.verbalize import verbalize_triples
+
+    links = _kg_links(spark, sf_dir)
+    tpl = spark.createDataFrame(
+        [
+            ("DRUG_DISEASE_ASSOCIATION", "{subj} is indicated for {obj}"),
+            ("DDI", "{subj} interacts with {obj}"),
+            ("PPI", "{subj} binds {obj}"),
+            ("PROTEIN_PATHWAY_ASSOCIATION", "{subj} participates in {obj}"),
+        ],
+        "pred string, template string",
+    )
+    return verbalize_triples(links, tpl)
