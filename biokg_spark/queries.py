@@ -2653,3 +2653,40 @@ def kg_verbalize(spark, sf_dir):
         "pred string, template string",
     )
     return verbalize_triples(links, tpl)
+
+
+@q(
+    "corpus_pack_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split(lower(trim(text)), ' ')) END AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 8 AS INT) AS shard
+      FROM documents),
+    o AS (
+      SELECT doc_id, n_tokens, shard,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+      FROM t)
+    SELECT doc_id, n_tokens, shard, start_offset,
+           CAST(floor(start_offset / 512) AS INT) AS chunk_id,
+           CAST(floor(greatest(start_offset, start_offset + n_tokens - 1)
+                      / 512) AS INT) AS end_chunk_id
+    FROM o
+    """,
+)
+def corpus_pack_chunks(spark, sf_dir):
+    """GPT-style sequence packing (operators/packing.py): md5-sharded
+    concat-and-chunk layout — every doc gets its shard, stream offset,
+    and first/last 512-token block. ONE window shuffle on the uniform
+    shard key; re-runs byte-match (no RNG)."""
+    from biokg_spark.operators.packing import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_documents(docs, n_shards=8, chunk_len=512, tokens_col="n_tokens")
