@@ -1,0 +1,126 @@
+"""Deterministic random-walk corpus export (DeepWalk/node2vec-p=q=1).
+
+KG-embedding trainers consume random-walk node sequences as their
+"sentences". The reference stops at TSV triple dumps
+(build_benchmarks.py); this operator generates the walk corpus itself,
+distributed and REPRODUCIBLE: the next hop from node ``u`` at step
+``t`` of walk ``(start, w)`` is the out-neighbor whose dense rank
+equals ``md5(start|w|t|u) % out_degree(u)`` — no RNG state, identical
+output on every run and every engine that has md5 (the DuckDB oracle
+unrolls the same arithmetic per step).
+
+Shape at 100 TB edges: the neighbor table is ranked ONCE (one window
+over src), then each of the ``length`` steps is two equi-joins —
+frontier×degree on the node, then (node, rank)×ranked-edges — i.e.
+``2·length`` shuffles total, no fan-out beyond one row per live walk,
+no driver state. Dead ends (nodes with no out-edges) end their walk
+early; with a symmetrized edge set every non-isolated node has
+out-degree >= 1 so walks run to full length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_walks: int = 2,
+    length: int = 3,
+) -> DataFrame:
+    """Rows ``(start, walk_ix, step, node)`` for deterministic walks.
+
+    ``edges`` must be distinct directed pairs. Every distinct source
+    node starts ``num_walks`` walks; step 0 is the start node itself
+    and steps 1..length follow the md5-derived neighbor choice.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    ranked = e.withColumn(
+        "_r",
+        F.row_number().over(Window.partitionBy("_s").orderBy("_d")) - F.lit(1),
+    )
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+
+    frontier = (
+        e.select(F.col("_s").alias("start"))
+        .distinct()
+        .withColumn(
+            "walk_ix", F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1)))
+        )
+        .withColumn("node", F.col("start"))
+    )
+    out = frontier.withColumn("step", F.lit(0)).select(
+        "start", "walk_ix", "step", "node"
+    )
+
+    for t in range(1, length + 1):
+        key = F.concat_ws(
+            "|",
+            F.col("start"),
+            F.col("walk_ix").cast("string"),
+            F.lit(str(t)),
+            F.col("node"),
+        )
+        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        frontier = (
+            frontier.join(deg, frontier["node"] == deg["_s"])
+            .withColumn("_pick", (h % F.col("_deg")).cast("int"))
+            .join(
+                ranked,
+                (F.col("node") == ranked["_s"]) & (F.col("_pick") == ranked["_r"]),
+            )
+            .select("start", "walk_ix", F.col("_d").alias("node"))
+        )
+        out = out.unionByName(
+            frontier.withColumn("step", F.lit(t)).select(
+                "start", "walk_ix", "step", "node"
+            )
+        )
+    return out
+
+
+def walk_oracle_ctes(
+    links_cte: str, num_walks: int = 2, length: int = 3
+) -> str:
+    """DuckDB twin: same walks via per-step unrolled CTEs.
+
+    ``links_cte`` must end with a ``links(subj, pred, obj)`` relation;
+    the edge set is the symmetrized distinct pair set, matching the
+    Spark query's derivation.
+    """
+    steps = []
+    prev = "w0"
+    unions = ["SELECT start, walk_ix, step, node FROM w0"]
+    for t in range(1, length + 1):
+        cur = f"w{t}"
+        steps.append(
+            f"""{cur} AS (
+      SELECT f.start, f.walk_ix, {t} AS step, r._d AS node
+      FROM {prev} f
+      JOIN deg d ON f.node = d._s
+      JOIN ranked r ON r._s = f.node
+       AND r._r = CAST(('0x' || substr(md5(f.start || '|' ||
+                    CAST(f.walk_ix AS VARCHAR) || '|{t}|' || f.node),
+                    1, 8))::BIGINT % d._deg AS INT))"""
+        )
+        unions.append(f"SELECT start, walk_ix, step, node FROM {cur}")
+        prev = cur
+    return f"""
+    WITH {links_cte},
+    e AS (SELECT DISTINCT subj AS _s, obj AS _d FROM links
+          UNION SELECT obj, subj FROM links),
+    ranked AS (SELECT _s, _d,
+                      CAST(row_number() OVER (PARTITION BY _s ORDER BY _d) - 1
+                           AS INT) AS _r
+               FROM e),
+    deg AS (SELECT _s, count(*) AS _deg FROM e GROUP BY _s),
+    w0 AS (SELECT _s AS start, CAST(t.walk_ix AS INT) AS walk_ix,
+                  0 AS step, _s AS node
+           FROM (SELECT DISTINCT _s FROM e)
+           CROSS JOIN (SELECT unnest(range({num_walks})) AS walk_ix) t),
+    {','.join(steps)}
+    {' UNION ALL '.join(unions)}
+    """

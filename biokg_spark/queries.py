@@ -2690,3 +2690,78 @@ def corpus_pack_chunks(spark, sf_dir):
         "doc_id", token_count("text").alias("n_tokens")
     )
     return pack_documents(docs, n_shards=8, chunk_len=512, tokens_col="n_tokens")
+
+
+_DECONTAM_SQL = """
+    WITH split AS (
+      SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000' AS is_bench
+      FROM documents),
+    btok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+             FROM split WHERE is_bench),
+    bsh AS (
+      SELECT DISTINCT doc_id AS bench_id,
+             CASE WHEN len(ts) >= 3
+                  THEN array_to_string(list_slice(ts, i, i + 2), ' ')
+                  ELSE array_to_string(ts, ' ') END AS sh
+      FROM btok, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS t(i)),
+    ctok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+             FROM split WHERE NOT is_bench),
+    csh AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(ts) >= 3
+                  THEN array_to_string(list_slice(ts, i, i + 2), ' ')
+                  ELSE array_to_string(ts, ' ') END AS sh
+      FROM ctok, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS t(i)),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY doc_id),
+    hits AS (
+      SELECT c.doc_id, count(DISTINCT c.sh) AS n_hit,
+             count(DISTINCT b.bench_id) AS n_bench_docs
+      FROM csh c JOIN bsh b ON c.sh = b.sh
+      GROUP BY c.doc_id)
+    SELECT h.doc_id, s.n_shingles, h.n_hit, h.n_bench_docs,
+           round(CAST(h.n_hit AS DOUBLE) / s.n_shingles, 4) AS frac,
+           round(CAST(h.n_hit AS DOUBLE) / s.n_shingles, 4) >= 0.5
+             AS contaminated
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+"""
+
+
+@q("corpus_decontaminate", _DECONTAM_SQL)
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): flag corpus
+    docs sharing word-3-gram shingles with a held-out eval split (the
+    md5-prefix 12.5% of documents stands in for the benchmark). Bench
+    shingles broadcast; the only shuffle is the per-doc match
+    aggregate — the pretraining-mandatory sweep the reference leaves
+    to consumers."""
+    from biokg_spark.operators.decontam import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    bench = docs.where(hx < "2000")
+    corpus = docs.where(~(hx < "2000"))
+    return decontaminate(corpus, bench, "text", "doc_id", min_frac=0.5)
+
+
+def _walks_sql():
+    from biokg_spark.operators.walks import walk_oracle_ctes
+
+    return walk_oracle_ctes(_KG_LINKS_CTE, num_walks=2, length=3)
+
+
+@q("kg_random_walks", _walks_sql())
+def kg_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus over the symmetrized KG links
+    (operators/walks.py): every node starts 2 walks of length 3; the
+    next hop is the out-neighbor ranked md5(start|walk|step|node) %
+    degree, so the walk corpus is reproducible and the DuckDB twin
+    unrolls the identical arithmetic per step. 2 joins per step, no
+    RNG state, no driver loop over nodes."""
+    from biokg_spark.operators.walks import random_walks
+
+    links = _kg_links(spark, sf_dir)
+    e = links.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).union(links.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+    return random_walks(e, num_walks=2, length=3)

@@ -1,0 +1,76 @@
+"""Semantics tests for decontamination and random-walk corpus export."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biokg_spark.operators.decontam import decontaminate
+from biokg_spark.operators.walks import random_walks
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox jumps")], "doc_id string, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares "the quick brown" and "quick brown fox" -> 2/3 hit
+            ("d1", "the quick brown fox sleeps"),
+            # no 3-gram in common
+            ("d2", "a completely different sentence here"),
+            # full containment -> frac 1.0
+            ("d3", "the quick brown fox jumps"),
+        ],
+        "doc_id string, text string",
+    )
+    rep = {
+        r["doc_id"]: r
+        for r in decontaminate(docs, bench, min_frac=0.5).collect()
+    }
+    assert set(rep) == {"d1", "d3"}  # d2 has zero hits -> no row
+    assert rep["d1"]["n_shingles"] == 3 and rep["d1"]["n_hit"] == 2
+    assert rep["d1"]["contaminated"] is True  # 0.6667 >= 0.5
+    assert rep["d3"]["frac"] == 1.0 and rep["d3"]["contaminated"] is True
+    assert rep["d1"]["n_bench_docs"] == 1
+
+
+def test_decontaminate_threshold(spark):
+    bench = spark.createDataFrame(
+        [("b1", "alpha beta gamma")], "doc_id string, text string"
+    )
+    # 1 hit of 4 shingles -> frac 0.25 < 0.9 -> reported but not flagged
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma delta epsilon zeta")],
+        "doc_id string, text string",
+    )
+    row = decontaminate(docs, bench, min_frac=0.9).collect()[0]
+    assert row["n_hit"] == 1 and row["contaminated"] is False
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "b")],
+        "src string, dst string",
+    )
+    w1 = sorted(map(tuple, random_walks(edges, num_walks=2, length=3).collect()))
+    w2 = sorted(map(tuple, random_walks(edges, num_walks=2, length=3).collect()))
+    assert w1 == w2  # reproducible: no RNG state
+    # every source node starts num_walks walks at step 0
+    starts = [(s, w) for (s, w, step, n) in w1 if step == 0]
+    assert sorted(starts) == [
+        ("a", 0), ("a", 1), ("b", 0), ("b", 1), ("c", 0), ("c", 1),
+    ]
+    # every step-t hop is a real edge from the step-(t-1) node
+    eset = {("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "b")}
+    pos = {(s, w, step): n for (s, w, step, n) in w1}
+    for (s, w, step), n in pos.items():
+        if step > 0:
+            assert (pos[(s, w, step - 1)], n) in eset
+
+
+def test_random_walks_dead_end_stops(spark):
+    # b has no out-edges: walks from a reach b and stop early
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    rows = random_walks(edges, num_walks=1, length=3).collect()
+    got = sorted((r["start"], r["step"], r["node"]) for r in rows)
+    assert got == [("a", 0, "a"), ("a", 1, "b")]  # steps 2,3 don't exist
