@@ -73,6 +73,9 @@ HEADLINE = [
     "kg_property_fanout",
     "ddi_cascade_effects",
     "dedup_exact",
+    "corpus_decontaminate",
+    "kg_random_walks",
+    "kg_communities_lpa",
     "dedup_chunk_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

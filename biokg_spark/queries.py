@@ -2765,3 +2765,28 @@ def kg_random_walks(spark, sf_dir):
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     ).union(links.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
     return random_walks(e, num_walks=2, length=3)
+
+
+def _lpa_sql():
+    from biokg_spark.operators.communities import lpa_oracle_ctes
+
+    return lpa_oracle_ctes(_KG_LINKS_CTE, iters=4)
+
+
+@q("kg_communities_lpa", _lpa_sql())
+def kg_communities_lpa(spark, sf_dir):
+    """Synchronous label-propagation communities over the symmetrized
+    KG links (operators/communities.py): 4 deterministic rounds,
+    most-frequent neighbor label with a (count desc, label asc)
+    tie-break — reproducible across engines, so the DuckDB twin unrolls
+    the identical rounds. Completes the graph suite's density-based
+    partition next to reachability (connected components)."""
+    from biokg_spark.operators.communities import label_propagation
+
+    links = _kg_links(spark, sf_dir)
+    e = links.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).union(links.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+    return label_propagation(e, iters=4).select(
+        F.col("id").alias("entity_id"), "community"
+    )

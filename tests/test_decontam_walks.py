@@ -74,3 +74,34 @@ def test_random_walks_dead_end_stops(spark):
     rows = random_walks(edges, num_walks=1, length=3).collect()
     got = sorted((r["start"], r["step"], r["node"]) for r in rows)
     assert got == [("a", 0, "a"), ("a", 1, "b")]  # steps 2,3 don't exist
+
+
+def test_label_propagation_two_cliques(spark):
+    from biokg_spark.operators.communities import label_propagation
+
+    # two triangles {a,b,c} and {x,y,z} joined by one bridge c-x
+    und = [("a", "b"), ("a", "c"), ("b", "c"),
+           ("x", "y"), ("x", "z"), ("y", "z"), ("c", "x")]
+    sym = und + [(d, s) for (s, d) in und]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    res = {r["id"]: r["community"] for r in
+           label_propagation(edges, iters=4).collect()}
+    # the two cliques stay distinct communities; the bridge does not
+    # merge them (the LABEL of the second clique may leak across the
+    # bridge — hand-trace: x adopts 'c' in round 1 — but the partition
+    # is what matters)
+    assert res["a"] == res["b"] == res["c"]
+    assert res["x"] == res["y"] == res["z"]
+    assert res["a"] != res["x"]
+
+
+def test_label_propagation_deterministic(spark):
+    from biokg_spark.operators.communities import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src string, dst string",
+    )
+    r1 = sorted(map(tuple, label_propagation(edges, iters=3).collect()))
+    r2 = sorted(map(tuple, label_propagation(edges, iters=3).collect()))
+    assert r1 == r2
