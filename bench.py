@@ -74,6 +74,8 @@ HEADLINE = [
     "ddi_cascade_effects",
     "dedup_exact",
     "corpus_decontaminate",
+    "kg_skipgram_pairs",
+    "kg_entity_tfidf",
     "kg_random_walks",
     "kg_communities_lpa",
     "dedup_chunk_exact",

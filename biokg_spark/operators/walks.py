@@ -124,3 +124,41 @@ def walk_oracle_ctes(
     {','.join(steps)}
     {' UNION ALL '.join(unions)}
     """
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, distance, n) skip-gram training pairs from a
+    walk corpus — the word2vec-style consumption of :func:`random_walks`
+    (walks are the "sentences", nodes the "words").
+
+    Self-join on the walk identity with ``1 <= Δstep <= window``; both
+    directions emitted (skip-gram context is symmetric), then one
+    global (center, context, distance) count. At scale the join key
+    (start, walk_ix) is high-cardinality and uniform (one group per
+    walk, group size = walk length), so the self-join is a well-shaped
+    shuffle — never quadratic in the graph.
+    """
+    a = walks.select(
+        F.col("start"), F.col("walk_ix"),
+        F.col("step").alias("_sa"), F.col("node").alias("center"),
+    )
+    b = walks.select(
+        F.col("start"), F.col("walk_ix"),
+        F.col("step").alias("_sb"), F.col("node").alias("context"),
+    )
+    d = F.col("_sb") - F.col("_sa")
+    fwd = (
+        a.join(b, ["start", "walk_ix"])
+        .where((d >= 1) & (d <= window))
+        .select("center", "context", d.alias("distance"))
+    )
+    both = fwd.unionByName(
+        fwd.select(
+            F.col("context").alias("center"),
+            F.col("center").alias("context"),
+            "distance",
+        )
+    )
+    return both.groupBy("center", "context", "distance").agg(
+        F.count(F.lit(1)).alias("n")
+    )

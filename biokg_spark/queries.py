@@ -2790,3 +2790,86 @@ def kg_communities_lpa(spark, sf_dir):
     return label_propagation(e, iters=4).select(
         F.col("id").alias("entity_id"), "community"
     )
+
+
+def _skipgram_sql():
+    from biokg_spark.operators.walks import walk_oracle_ctes
+
+    inner = walk_oracle_ctes(_KG_LINKS_CTE, num_walks=2, length=3)
+    return f"""
+    WITH walks AS (SELECT * FROM ({inner}) t),
+    fwd AS (
+      SELECT a.node AS center, b.node AS context, b.step - a.step AS distance
+      FROM walks a JOIN walks b
+        ON a.start = b.start AND a.walk_ix = b.walk_ix
+       AND b.step - a.step BETWEEN 1 AND 2),
+    sym AS (
+      SELECT center, context, distance FROM fwd
+      UNION ALL
+      SELECT context, center, distance FROM fwd)
+    SELECT center, context, distance, count(*) AS n
+    FROM sym GROUP BY center, context, distance
+    """
+
+
+@q("kg_skipgram_pairs", _skipgram_sql())
+def kg_skipgram_pairs(spark, sf_dir):
+    """word2vec-style (center, context) training pairs from the
+    deterministic walk corpus (operators/walks.py::skipgram_pairs) —
+    walks are the sentences, entities the words, window=2. The
+    self-join keys on the walk identity (uniform small groups), so
+    pair generation is a well-shaped shuffle at any graph size."""
+    from biokg_spark.operators.walks import random_walks, skipgram_pairs
+
+    links = _kg_links(spark, sf_dir)
+    e = links.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).union(links.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+    return skipgram_pairs(random_walks(e, num_walks=2, length=3), window=2)
+
+
+@q(
+    "kg_entity_tfidf",
+    f"""
+    WITH {_MENTIONS_SQL},
+    tf AS (SELECT conv_id, entity_id, count(*) AS tf
+           FROM m GROUP BY conv_id, entity_id),
+    df AS (SELECT entity_id, count(DISTINCT conv_id) AS df
+           FROM m GROUP BY entity_id),
+    nc AS (SELECT count(DISTINCT conv_id) AS n FROM tx)
+    SELECT tf.conv_id, tf.entity_id, tf.tf, df.df,
+           round(tf.tf * ln(CAST(nc.n AS DOUBLE) / df.df), 4) AS tfidf
+    FROM tf JOIN df ON tf.entity_id = df.entity_id CROSS JOIN nc
+    """,
+)
+def kg_entity_tfidf(spark, sf_dir):
+    """Per-conversation entity salience: TF (turn-level mentions in the
+    conversation) × ln(N/DF) inverse conversation frequency — the IR
+    weighting that separates a conversation's focal entities from
+    boilerplate ones. Two partial+final aggregates plus a broadcast of
+    the dim-sized DF table; N is an in-plan 1-row cross join, not a
+    driver collect."""
+    m = (
+        kg_mentions(spark, sf_dir)
+        .select("conv_id", "turn_idx", "entity_id")
+        .distinct()  # turn-level: multiple lexicon surfaces = one mention
+    )
+    tx = doc_transcripts(spark, sf_dir)
+    tf = m.groupBy("conv_id", "entity_id").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = m.groupBy("entity_id").agg(
+        F.count_distinct("conv_id").alias("df")
+    )
+    nc = tx.agg(F.count_distinct("conv_id").alias("n"))
+    return (
+        tf.join(F.broadcast(df_), "entity_id")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "conv_id",
+            "entity_id",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )

@@ -105,3 +105,22 @@ def test_label_propagation_deterministic(spark):
     r1 = sorted(map(tuple, label_propagation(edges, iters=3).collect()))
     r2 = sorted(map(tuple, label_propagation(edges, iters=3).collect()))
     assert r1 == r2
+
+
+def test_skipgram_pairs_window(spark):
+    from biokg_spark.operators.walks import skipgram_pairs
+
+    # one walk a->b->c->d, window 2
+    walks = spark.createDataFrame(
+        [("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c"), ("a", 0, 3, "d")],
+        "start string, walk_ix int, step int, node string",
+    )
+    got = {(r["center"], r["context"], r["distance"]): r["n"]
+           for r in skipgram_pairs(walks, window=2).collect()}
+    fwd = {("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+           ("a", "c", 2), ("b", "d", 2)}
+    expect = fwd | {(c, a, d) for (a, c, d) in fwd}
+    assert set(got) == expect
+    assert all(n == 1 for n in got.values())
+    # distance 3 (a,d) must NOT appear with window=2
+    assert ("a", "d", 3) not in got
