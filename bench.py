@@ -76,6 +76,7 @@ HEADLINE = [
     "corpus_decontaminate",
     "kg_skipgram_pairs",
     "kg_entity_tfidf",
+    "corpus_chunk_windows",
     "kg_random_walks",
     "kg_communities_lpa",
     "dedup_chunk_exact",

@@ -74,3 +74,41 @@ def pack_documents(
         )
     )
     return out
+
+
+def chunk_windows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token windows per document — the RAG/retrieval-prep
+    counterpart of :func:`pack_documents` (which packs ACROSS documents;
+    this slices WITHIN them, preserving document boundaries).
+
+    One row per (doc, window): ``(id_col, chunk_ix, start_tok,
+    n_tokens, chunk_text)``. Windows start at token 1, 1+stride,
+    1+2·stride, …; the last window may be short. Blank documents yield
+    no rows.
+
+    Pure Column work (split → sequence → slice → explode): map-only at
+    any corpus size, no shuffle at all — the explode fan-out is
+    ceil(tokens/stride) rows per doc, bounded and uniform.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    win = docs.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_ix", "start_tok"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("start_tok"), width)
+    return win.select(
+        id_col,
+        "chunk_ix",
+        "start_tok",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

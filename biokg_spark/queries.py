@@ -2873,3 +2873,36 @@ def kg_entity_tfidf(spark, sf_dir):
             ).alias("tfidf"),
         )
     )
+
+
+@q(
+    "corpus_chunk_windows",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+      FROM documents WHERE trim(text) <> ''),
+    w AS (
+      SELECT doc_id, ts, CAST(s AS INT) AS start_tok
+      FROM d, unnest(generate_series(1, greatest(len(ts), 1), 24)) AS t(s))
+    SELECT doc_id,
+           CAST((start_tok - 1) / 24 AS INT) AS chunk_ix,
+           start_tok,
+           CAST(len(list_slice(ts, start_tok, start_tok + 31)) AS INT)
+             AS n_tokens,
+           array_to_string(list_slice(ts, start_tok, start_tok + 31), ' ')
+             AS chunk_text
+    FROM w
+    """,
+)
+def corpus_chunk_windows(spark, sf_dir):
+    """Overlapping 32-token windows, stride 24, per document
+    (operators/packing.py::chunk_windows) — the RAG/retrieval-prep
+    slicing that preserves document boundaries (pack_documents packs
+    ACROSS them). Map-only: split → sequence → slice → explode, zero
+    shuffles at any corpus size."""
+    from biokg_spark.operators.packing import chunk_windows
+
+    return chunk_windows(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        width=32, stride=24,
+    )

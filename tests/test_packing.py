@@ -41,3 +41,29 @@ def test_sharding_is_deterministic_and_total(spark):
             continue
         total = 7 * len(docs)
         assert max(v[1] for _, v in docs) + 7 == total
+
+
+def test_chunk_windows_overlap_and_tail(spark):
+    from biokg_spark.operators.packing import chunk_windows
+
+    docs = spark.createDataFrame(
+        [("d1", " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+         ("d2", "only three tokens"),
+         ("d3", "   ")],                                # blank: no rows
+        "doc_id string, text string",
+    )
+    rows = chunk_windows(docs, width=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert "d3" not in by_doc
+    d1 = sorted(by_doc["d1"], key=lambda r: r["chunk_ix"])
+    # starts 1,4,7,10 -> windows of 4,4,4 and a 1-token tail
+    assert [r["start_tok"] for r in d1] == [1, 4, 7, 10]
+    assert [r["n_tokens"] for r in d1] == [4, 4, 4, 1]
+    assert d1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert d1[1]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert d1[3]["chunk_text"] == "w9"
+    # doc shorter than width: one short chunk
+    d2 = by_doc["d2"]
+    assert len(d2) == 1 and d2[0]["n_tokens"] == 3
