@@ -79,6 +79,8 @@ HEADLINE = [
     "corpus_chunk_windows",
     "kg_random_walks",
     "kg_communities_lpa",
+    "kg_neighbor_sample",
+    "kg_ego_network",
     "dedup_chunk_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

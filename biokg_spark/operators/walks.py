@@ -162,3 +162,76 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     return both.groupBy("center", "context", "distance").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def sample_neighbors(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    seed: str = "0",
+) -> DataFrame:
+    """GraphSAGE-style fan-out capping: at most ``k`` neighbors per
+    node, chosen DETERMINISTICALLY — neighbors ranked by
+    ``md5(seed|src|dst)`` and the top ``k`` kept. GNN minibatch
+    pipelines need this exact cap (a 10^6-degree hub would otherwise
+    dominate every batch); the md5 rank makes epochs reproducible and
+    lets ``seed`` vary the sample between epochs without RNG state.
+
+    One window shuffle on src (AQE splits skewed hubs); output is the
+    capped edge list (src, dst).
+    """
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col(src), F.col(dst)))
+    w = Window.partitionBy(src).orderBy(h.asc(), F.col(dst).asc())
+    return (
+        edges.select(src, dst)
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(src, dst)
+    )
+
+
+def ego_network(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Edges of the ``hops``-hop ego network around a seed node set —
+    the subgraph export behind GNN sampling, KG debugging, and
+    entity-centric review. ``seeds`` must have a ``node`` column.
+
+    Frontier expansion: ``hops`` semi-joins grow the reachable node
+    set (each is one shuffle keyed on the node id; the seed side stays
+    small until the neighborhood genuinely grows), then one final
+    semi-join keeps edges with BOTH endpoints inside the ball (the
+    induced subgraph, matching the standard ego-net definition).
+    Returns distinct (src, dst, min_hop_src) rows where min_hop_src is
+    the hop distance of the edge's source from the seed set.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    ball = seeds.select(F.col("node").alias("id"), F.lit(0).alias("hop"))
+    for t in range(1, hops + 1):
+        nxt = (
+            e.join(ball.withColumnRenamed("id", "_s").drop("hop"), "_s")
+            .select(F.col("_d").alias("id"))
+            .distinct()
+            .withColumn("hop", F.lit(t))
+        )
+        ball = (
+            ball.unionByName(nxt)
+            .groupBy("id")
+            .agg(F.min("hop").alias("hop"))
+        )
+    return (
+        e.join(
+            ball.select(F.col("id").alias("_s"), F.col("hop").alias("min_hop_src")),
+            "_s",
+        )
+        .join(ball.select(F.col("id").alias("_d")), "_d")
+        .select(
+            F.col("_s").alias(src), F.col("_d").alias(dst), "min_hop_src"
+        )
+    )

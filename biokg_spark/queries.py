@@ -2906,3 +2906,73 @@ def corpus_chunk_windows(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), "text", "doc_id",
         width=32, stride=24,
     )
+
+
+@q(
+    "kg_neighbor_sample",
+    f"""
+    WITH {_KG_LINKS_CTE},
+    e AS (SELECT DISTINCT subj AS _s, obj AS _d FROM links
+          UNION SELECT obj, subj FROM links),
+    r AS (
+      SELECT _s, _d,
+             row_number() OVER (
+               PARTITION BY _s
+               ORDER BY md5('0' || '|' || _s || '|' || _d) ASC, _d ASC) AS rn
+      FROM e)
+    SELECT _s AS src, _d AS dst FROM r WHERE rn <= 3
+    """,
+)
+def kg_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style deterministic fan-out capping over the
+    symmetrized KG links (operators/walks.py::sample_neighbors):
+    at most 3 md5-ranked neighbors per node — the hub-taming sample
+    every GNN minibatch pipeline applies, reproducible across epochs
+    and engines (no RNG state)."""
+    from biokg_spark.operators.walks import sample_neighbors
+
+    links = _kg_links(spark, sf_dir)
+    e = links.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).union(links.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+    return sample_neighbors(e, k=3, seed="0")
+
+
+@q(
+    "kg_ego_network",
+    f"""
+    WITH {_KG_LINKS_CTE},
+    e AS (SELECT DISTINCT subj AS _s, obj AS _d FROM links
+          UNION SELECT obj, subj FROM links),
+    b0 AS (SELECT DISTINCT _s AS id, 0 AS hop FROM e
+           WHERE substr(md5(_s), 1, 1) < '8'),
+    n1 AS (SELECT DISTINCT e._d AS id, 1 AS hop
+           FROM e JOIN b0 ON e._s = b0.id),
+    b1 AS (SELECT id, min(hop) AS hop FROM
+           (SELECT * FROM b0 UNION ALL SELECT * FROM n1) GROUP BY id),
+    n2 AS (SELECT DISTINCT e._d AS id, 2 AS hop
+           FROM e JOIN b1 ON e._s = b1.id),
+    b2 AS (SELECT id, min(hop) AS hop FROM
+           (SELECT * FROM b1 UNION ALL SELECT * FROM n2) GROUP BY id)
+    SELECT e._s AS src, e._d AS dst, bs.hop AS min_hop_src
+    FROM e JOIN b2 bs ON e._s = bs.id JOIN b2 bd ON e._d = bd.id
+    """,
+)
+def kg_ego_network(spark, sf_dir):
+    """2-hop induced ego network around an md5-chosen half-slice
+    of the KG entities (operators/walks.py::ego_network) — the
+    subgraph export behind GNN sampling and entity-centric review.
+    Each hop is one semi-join keyed on the node id; the final induced
+    filter keeps edges with both endpoints in the ball."""
+    from biokg_spark.operators.walks import ego_network
+
+    links = _kg_links(spark, sf_dir)
+    e = links.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).union(links.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .where(F.substring(F.md5(F.col("node")), 1, 1) < "8")
+    )
+    return ego_network(e, seeds, hops=2)

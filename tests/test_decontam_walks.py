@@ -124,3 +124,40 @@ def test_skipgram_pairs_window(spark):
     assert all(n == 1 for n in got.values())
     # distance 3 (a,d) must NOT appear with window=2
     assert ("a", "d", 3) not in got
+
+
+def test_sample_neighbors_caps_and_seed(spark):
+    from biokg_spark.operators.walks import sample_neighbors
+
+    edges = spark.createDataFrame(
+        [("hub", f"n{i}") for i in range(10)] + [("solo", "x")],
+        "src string, dst string",
+    )
+    s0 = sample_neighbors(edges, k=3, seed="0").collect()
+    per_src = {}
+    for r in s0:
+        per_src.setdefault(r["src"], set()).add(r["dst"])
+    assert len(per_src["hub"]) == 3      # capped
+    assert per_src["solo"] == {"x"}      # below cap: kept whole
+    # deterministic per seed; a different seed picks a different sample
+    s0b = sample_neighbors(edges, k=3, seed="0").collect()
+    assert sorted(map(tuple, s0)) == sorted(map(tuple, s0b))
+    s1 = {(r["src"], r["dst"]) for r in
+          sample_neighbors(edges, k=3, seed="1").collect() if r["src"] == "hub"}
+    assert s1 != {("hub", d) for d in per_src["hub"]}
+
+
+def test_ego_network_hops_and_induced(spark):
+    from biokg_spark.operators.walks import ego_network
+
+    # path a->b->c->d->e (symmetrized); seed {a}; 2 hops => ball {a,b,c}
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    sym = und + [(d, s) for (s, d) in und]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    rows = ego_network(edges, seeds, hops=2).collect()
+    got = {(r["src"], r["dst"]): r["min_hop_src"] for r in rows}
+    # induced edges: both endpoints within {a,b,c}; c-d excluded (d outside)
+    assert set(got) == {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")}
+    assert got[("a", "b")] == 0 and got[("b", "a")] == 1
+    assert got[("b", "c")] == 1 and got[("c", "b")] == 2
