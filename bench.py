@@ -65,6 +65,7 @@ HEADLINE = [
     "kg_snapshot_diff",
     "kg_proximity_links",
     "transcript_sessionize",
+    "transcript_sft_pairs",
     "transcript_tool_transitions",
     "kg_pmi_links",
     "kg_entity_vocab",

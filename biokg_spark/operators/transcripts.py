@@ -94,3 +94,45 @@ def tool_transitions(
         F.count(F.lit(1)).alias("n_transitions"),
         F.count_distinct("conv_id").alias("n_convs"),
     )
+
+
+def sft_pairs(
+    df: DataFrame,
+    k: int = 3,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """(context, response) supervised-fine-tuning pairs from transcripts:
+    for every assistant turn, the response is that turn's text and the
+    context is the up-to-``k`` preceding turns rendered ``role: text``
+    and newline-joined in turn order — the standard chat-template
+    export a transcript corpus feeds to an SFT trainer.
+
+    Turns with NO preceding context (an assistant turn opening a
+    conversation) are dropped — a pair without a prompt is untrainable.
+
+    ONE window shuffle on conv_id (the pipeline's existing turn-order
+    partitioning); the frame is ROWS BETWEEN k PRECEDING AND 1
+    PRECEDING, so context length is bounded by construction — no
+    per-conversation collect, no skew beyond conversation length.
+    """
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(turn_col)
+        .rowsBetween(-k, -1)
+    )
+    line = F.concat_ws(": ", F.col(role_col), F.col(text_col))
+    ctx = F.array_join(F.collect_list(line).over(w), "\n")
+    return (
+        df.withColumn("context", ctx)
+        .where((F.col(role_col) == assistant_role) & (F.col("context") != ""))
+        .select(
+            conv_col,
+            turn_col,
+            "context",
+            F.col(text_col).alias("response"),
+        )
+    )

@@ -2976,3 +2976,37 @@ def kg_ego_network(spark, sf_dir):
         .where(F.substring(F.md5(F.col("node")), 1, 1) < "8")
     )
     return ego_network(e, seeds, hops=2)
+
+
+@q(
+    "transcript_sft_pairs",
+    f"""
+    WITH tx AS ({_TX_SQL}),
+    r AS (SELECT conv_id, turn_idx,
+                 CASE WHEN turn_idx % 2 = 1 THEN 'assistant' ELSE 'user' END
+                   AS role,
+                 text
+          FROM tx),
+    c AS (SELECT conv_id, turn_idx, role, text,
+                 string_agg(role || ': ' || text, chr(10)) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context
+          FROM r)
+    SELECT conv_id, turn_idx, context, text AS response
+    FROM c WHERE role = 'assistant' AND context IS NOT NULL AND context <> ''
+    """,
+)
+def transcript_sft_pairs(spark, sf_dir):
+    """Chat-template SFT export (operators/transcripts.py::sft_pairs):
+    every assistant turn becomes a (context, response) training pair,
+    context = up to 3 preceding turns rendered 'role: text'. The
+    derived transcript table has no role column, so the alternating
+    turn_idx%2 chat convention stands in. ONE window shuffle on
+    conv_id — the pipeline's existing turn-order partitioning."""
+    from biokg_spark.operators.transcripts import sft_pairs
+
+    tx = doc_transcripts(spark, sf_dir).withColumn(
+        "role",
+        F.when(F.col("turn_idx") % 2 == 1, "assistant").otherwise("user"),
+    )
+    return sft_pairs(tx, k=3)

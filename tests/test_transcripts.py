@@ -61,3 +61,28 @@ def test_tool_transitions_order_not_input_order(spark):
     df = spark.createDataFrame(rows, TX_SCHEMA)
     got = {(r.prev_tool, r.tool) for r in tool_transitions(df).collect()}
     assert got == {("a", "b"), ("b", "c")}
+
+
+def test_sft_pairs_context_window(spark):
+    from biokg_spark.operators.transcripts import sft_pairs
+
+    rows = [
+        ("c1", 0, "user", "hi"),
+        ("c1", 1, "assistant", "hello"),
+        ("c1", 2, "user", "how"),
+        ("c1", 3, "assistant", "fine"),
+        ("c1", 4, "user", "ok"),
+        ("c1", 5, "assistant", "bye"),
+        # assistant turn with no prior context: dropped
+        ("c2", 0, "assistant", "orphan"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {r["turn_idx"]: r for r in sft_pairs(df, k=3).collect()}
+    assert set(got) == {1, 3, 5}  # c2's orphan dropped
+    assert got[1]["context"] == "user: hi" and got[1]["response"] == "hello"
+    assert got[3]["context"] == "user: hi\nassistant: hello\nuser: how"
+    # k=3 window: turn 5 sees turns 2,3,4 only (turn 0/1 aged out)
+    assert got[5]["context"] == "user: how\nassistant: fine\nuser: ok"
+    assert got[5]["response"] == "bye"
