@@ -72,6 +72,7 @@ HEADLINE = [
     "kg_triangle_counts",
     "kg_node_similarity",
     "kg_property_fanout",
+    "kg_schema_audit",
     "ddi_cascade_effects",
     "dedup_exact",
     "corpus_decontaminate",

@@ -85,3 +85,79 @@ def union_refs(
         .agg(F.array_sort(F.array_distinct(F.flatten(F.collect_list("_refs")))).alias(out_col))
         .where(F.size(out_col) > 0)
     )
+
+
+def schema_audit(
+    triples: DataFrame,
+    types: DataFrame,
+    contract: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Per-predicate schema/integrity report for an emitted triple table —
+    the publish gate a 10^12-triple pipeline runs before release (the
+    graph-side sibling of transcript_integrity's input audit; the
+    reference trusts its own emit loop and has no such check).
+
+    ``types``: (entity_id, entity_type) — deduped here to one type per
+    id (min), so a dirty type map fans nothing out. ``contract``:
+    (pred, subj_type, obj_type, undirected) — the closed vocabulary in
+    ORIENTED form. Both are dims → broadcast; the scan over the triple
+    table is one pass plus a tiny per-pred aggregate.
+
+    Output per pred: n, n_unknown_subj, n_unknown_obj (type lookup
+    missed), n_bad_pair (type pair not licensed for the pred),
+    n_bad_orient (undirected triple not in canonical subj<=obj form),
+    n_valid (all checks pass).
+    """
+    t = (
+        types.groupBy(F.col("entity_id"))
+        .agg(F.min("entity_type").alias("entity_type"))
+    )
+    j = (
+        triples.select(subj, pred, obj)
+        .join(
+            F.broadcast(
+                t.select(
+                    F.col("entity_id").alias(subj),
+                    F.col("entity_type").alias("_ts"),
+                )
+            ),
+            subj,
+            "left",
+        )
+        .join(
+            F.broadcast(
+                t.select(
+                    F.col("entity_id").alias(obj),
+                    F.col("entity_type").alias("_to"),
+                )
+            ),
+            obj,
+            "left",
+        )
+        .join(
+            F.broadcast(
+                contract.select(
+                    F.col("pred").alias(pred),
+                    F.col("subj_type").alias("_ts"),
+                    F.col("obj_type").alias("_to"),
+                    F.col("undirected").alias("_und"),
+                )
+            ),
+            [pred, "_ts", "_to"],
+            "left",
+        )
+    )
+    pair_ok = F.col("_und").isNotNull()
+    orient_ok = pair_ok & (~F.col("_und") | (F.col(subj) <= F.col(obj)))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return j.groupBy(pred).agg(
+        F.count(F.lit(1)).alias("n"),
+        flag(F.col("_ts").isNull()).alias("n_unknown_subj"),
+        flag(F.col("_to").isNull()).alias("n_unknown_obj"),
+        flag(~pair_ok).alias("n_bad_pair"),
+        flag(pair_ok & ~orient_ok).alias("n_bad_orient"),
+        flag(orient_ok).alias("n_valid"),
+    )

@@ -3010,3 +3010,69 @@ def transcript_sft_pairs(spark, sf_dir):
         F.when(F.col("turn_idx") % 2 == 1, "assistant").otherwise("user"),
     )
     return sft_pairs(tx, k=3)
+
+
+_KG_CONTRACT_VALUES = """
+      ('PPI','PROTEIN','PROTEIN',true),
+      ('DDI','DRUG','DRUG',true),
+      ('DPI','DRUG','PROTEIN',false),
+      ('DRUG_DISEASE_ASSOCIATION','DRUG','DISEASE',false),
+      ('PROTEIN_DISEASE_ASSOCIATION','PROTEIN','DISEASE',false),
+      ('PROTEIN_PATHWAY_ASSOCIATION','PROTEIN','PATHWAY',false),
+      ('DRUG_PATHWAY_ASSOCIATION','DRUG','PATHWAY',false),
+      ('DISEASE_PATHWAY_ASSOCIATION','DISEASE','PATHWAY',false)"""
+
+
+@q(
+    "kg_schema_audit",
+    f"""
+    WITH {_KG_LINKS_CTE},
+    contract(pred, t_s, t_o, und) AS (VALUES {_KG_CONTRACT_VALUES}),
+    ty AS (SELECT entity_id, min(entity_type) AS entity_type
+           FROM m GROUP BY entity_id),
+    j AS (
+      SELECT l.pred, l.subj, l.obj,
+             ts.entity_type AS t_s, tob.entity_type AS t_o, c.und
+      FROM links l
+      LEFT JOIN ty ts ON l.subj = ts.entity_id
+      LEFT JOIN ty tob ON l.obj = tob.entity_id
+      LEFT JOIN contract c ON l.pred = c.pred
+        AND ts.entity_type = c.t_s AND tob.entity_type = c.t_o)
+    SELECT pred, count(*) AS n,
+           sum(CASE WHEN t_s IS NULL THEN 1 ELSE 0 END) AS n_unknown_subj,
+           sum(CASE WHEN t_o IS NULL THEN 1 ELSE 0 END) AS n_unknown_obj,
+           sum(CASE WHEN und IS NULL THEN 1 ELSE 0 END) AS n_bad_pair,
+           sum(CASE WHEN und IS NOT NULL AND und AND subj > obj
+                    THEN 1 ELSE 0 END) AS n_bad_orient,
+           sum(CASE WHEN und IS NOT NULL AND (NOT und OR subj <= obj)
+                    THEN 1 ELSE 0 END) AS n_valid
+    FROM j GROUP BY pred
+    """,
+)
+def kg_schema_audit(spark, sf_dir):
+    """Publish-gate schema audit over the emitted links
+    (operators/edges.py::schema_audit): every triple checked against
+    the closed oriented (pred, subj_type, obj_type) contract —
+    unknown endpoints, unlicensed type pairs, and non-canonical
+    undirected orientation counted per predicate. All-valid here by
+    construction; the operator exists to catch corruption, and its
+    unit test injects violations to prove it does."""
+    from biokg_spark.operators.edges import schema_audit
+
+    links = _kg_links(spark, sf_dir)
+    m = kg_mentions(spark, sf_dir)
+    types = m.select(F.col("entity_id"), "entity_type").distinct()
+    contract = spark.createDataFrame(
+        [
+            ("PPI", "PROTEIN", "PROTEIN", True),
+            ("DDI", "DRUG", "DRUG", True),
+            ("DPI", "DRUG", "PROTEIN", False),
+            ("DRUG_DISEASE_ASSOCIATION", "DRUG", "DISEASE", False),
+            ("PROTEIN_DISEASE_ASSOCIATION", "PROTEIN", "DISEASE", False),
+            ("PROTEIN_PATHWAY_ASSOCIATION", "PROTEIN", "PATHWAY", False),
+            ("DRUG_PATHWAY_ASSOCIATION", "DRUG", "PATHWAY", False),
+            ("DISEASE_PATHWAY_ASSOCIATION", "DISEASE", "PATHWAY", False),
+        ],
+        "pred string, subj_type string, obj_type string, undirected boolean",
+    )
+    return schema_audit(links, types, contract)

@@ -168,3 +168,51 @@ def test_entity_vocab_frequency_rank(spark):
            for r in entity_vocab(occ).collect()}
     # x and y tie at 2 -> id order breaks the tie; z last
     assert got == {"x": (2, 0), "y": (2, 1), "z": (1, 2)}
+
+
+def test_schema_audit_catches_violations(spark):
+    from biokg_spark.operators.edges import schema_audit
+    from pyspark.sql import functions as F  # noqa: F811
+
+    contract = spark.createDataFrame(
+        [("PPI", "PROTEIN", "PROTEIN", True), ("DPI", "DRUG", "PROTEIN", False)],
+        "pred string, subj_type string, obj_type string, undirected boolean",
+    )
+    types = spark.createDataFrame(
+        [("p1", "PROTEIN"), ("p2", "PROTEIN"), ("d1", "DRUG")],
+        "entity_id string, entity_type string",
+    )
+    triples = spark.createDataFrame(
+        [
+            ("p1", "PPI", "p2"),   # valid (canonical: p1 <= p2)
+            ("p2", "PPI", "p1"),   # bad orientation (undirected, subj > obj)
+            ("d1", "DPI", "p1"),   # valid directed
+            ("p1", "DPI", "d1"),   # bad pair: (PROTEIN, DRUG) not licensed
+            ("d1", "DPI", "zz"),   # unknown obj (also bad pair: null type)
+        ],
+        "subj string, pred string, obj string",
+    )
+    rep = {r["pred"]: r for r in schema_audit(triples, types, contract).collect()}
+    ppi, dpi = rep["PPI"], rep["DPI"]
+    assert ppi["n"] == 2 and ppi["n_valid"] == 1 and ppi["n_bad_orient"] == 1
+    assert dpi["n"] == 3 and dpi["n_valid"] == 1
+    assert dpi["n_bad_pair"] == 2 and dpi["n_unknown_obj"] == 1
+
+
+def test_schema_audit_dedups_dirty_type_map(spark):
+    from biokg_spark.operators.edges import schema_audit
+
+    contract = spark.createDataFrame(
+        [("DPI", "DRUG", "PROTEIN", False)],
+        "pred string, subj_type string, obj_type string, undirected boolean",
+    )
+    # d1 carries a conflicting duplicate type row: audit must not fan out
+    types = spark.createDataFrame(
+        [("d1", "DRUG"), ("d1", "PROTEIN"), ("p1", "PROTEIN")],
+        "entity_id string, entity_type string",
+    )
+    triples = spark.createDataFrame(
+        [("d1", "DPI", "p1")], "subj string, pred string, obj string"
+    )
+    rows = schema_audit(triples, types, contract).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 1  # one row in, one counted
