@@ -85,6 +85,7 @@ HEADLINE = [
     "kg_ego_network",
     "dedup_chunk_exact",
     "dedup_minhash_lsh",
+    "transcript_near_dup",
     "dedup_simhash",
     "dedup_cluster_components",
     "dedup_embedding_cosine",

@@ -3076,3 +3076,70 @@ def kg_schema_audit(spark, sf_dir):
         "pred string, subj_type string, obj_type string, undirected boolean",
     )
     return schema_audit(links, types, contract)
+
+
+@q(
+    "transcript_near_dup",
+    f"""
+    WITH tx AS ({_TX_SQL}),
+    base AS (
+      SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+      FROM tx GROUP BY conv_id),
+    v2 AS (
+      SELECT conv_id || '_v2' AS conv_id,
+             string_agg(text, ' ' ORDER BY turn_idx) AS text
+      FROM tx WHERE turn_idx >= 1 GROUP BY conv_id),
+    convs AS (SELECT * FROM base UNION ALL SELECT * FROM v2),
+    tok AS (SELECT conv_id, string_split(lower(trim(text)), ' ') AS ts
+            FROM convs),
+    sh AS (
+      SELECT DISTINCT conv_id,
+             CASE WHEN len(ts) >= 3
+                  THEN array_to_string(list_slice(ts, i, i + 2), ' ')
+                  ELSE array_to_string(ts, ' ') END AS sh
+      FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 1)))
+        AS t(i)),
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    sig AS (
+      SELECT conv_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+      FROM sh, seeds GROUP BY conv_id, seed),
+    bands AS (
+      SELECT conv_id, seed // 2 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY conv_id, seed // 2),
+    ok AS (
+      SELECT band_idx, band_key FROM bands
+      GROUP BY band_idx, band_key HAVING count(*) <= 20),
+    kept AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_key))
+    SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
+    FROM kept a JOIN kept b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.conv_id < b.conv_id
+    """,
+)
+def transcript_near_dup(spark, sf_dir):
+    """Conversation-level near-dup candidates: whole conversations
+    rendered as one ordered document, unioned with deterministic
+    tail-truncated copies (the bot-duplicated-session failure mode of
+    transcript corpora, synthesized so the detection is demonstrated,
+    not vacuous), then the SAME MinHash/LSH banding as the document
+    path (operators/dedup.py) with the hot-bucket guard active. The concat is one groupBy on conv_id —
+    the pipeline's native partitioning — and everything downstream
+    reuses the measured dedup machinery unchanged."""
+    from biokg_spark.operators.dedup import minhash_lsh_candidates
+
+    tx = doc_transcripts(spark, sf_dir)
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    text = F.array_join(F.transform(ordered, lambda s: s["text"]), " ")
+    base = tx.groupBy("conv_id").agg(text.alias("text"))
+    v2 = (
+        tx.where(F.col("turn_idx") >= 1)
+        .groupBy("conv_id")
+        .agg(text.alias("text"))
+        .select(F.concat("conv_id", F.lit("_v2")).alias("conv_id"), "text")
+    )
+    convs = base.unionByName(v2)
+    return minhash_lsh_candidates(
+        convs, "text", "conv_id",
+        num_hashes=8, bands=4, width=3, max_bucket_size=20,
+    )
