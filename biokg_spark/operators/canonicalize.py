@@ -38,11 +38,15 @@ def _signatures(
     df: DataFrame, surface_col: str, num_hashes: int, width: int
 ) -> DataFrame:
     """(surface, shingles, sig): one row per distinct surface."""
+    from biokg_spark.operators.dedup import _seed_hash
+
     base = df.select(F.col(surface_col).alias("surface")).dropDuplicates()
     with_sh = base.withColumn("shingles", char_shingles("surface", width))
     sh = with_sh.select("surface", "shingles", F.explode("shingles").alias("sh"))
+    # long-valued hash family (dedup._seed_hash): min over LONG buffers
+    # plans as HashAggregate; the old hex-string min was a SortAggregate
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("sh")))).alias(f"_h{s}")
+        F.min(_seed_hash(s, F.col("sh"))).alias(f"_h{s}")
         for s in range(num_hashes)
     ]
     sigs = sh.groupBy("surface", "shingles").agg(*aggs)

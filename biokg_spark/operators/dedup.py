@@ -8,8 +8,10 @@ each a pure DataFrame composition (no UDFs).
 
 Hashing is md5-based on purpose: md5 is bit-identical in Spark and DuckDB,
 so every operator here has an exact SQL oracle. MinHash signatures are the
-per-seed minimum of ``md5(seed || '|' || shingle)`` compared as hex
-strings — a uniform order-preserving hash family, engine-portable.
+per-seed minimum of the first 60 bits of ``md5(seed || '|' || shingle)``
+as a LONG — a uniform order-preserving hash family, engine-portable
+(DuckDB: ``('0x' || substr(md5(x),1,15))::BIGINT``), and long-buffered so
+the signature aggregate plans as HashAggregate (see ``_seed_hash``).
 
 Scale notes: the shingle explode is the big intermediate (docs × shingles);
 it shuffles once into the per-doc signature aggregate (map-side partial
@@ -30,16 +32,30 @@ def shingles(col: Column | str, width: int = 3) -> Column:
 
     Tokens = whitespace split of lower(trim(text)); if a document has
     fewer than ``width`` tokens, the whole token string is one shingle.
+
+    The token split is bound to a lambda VARIABLE via the single-element
+    ``transform(array(split(...)), toks -> ...)`` wrapper (the idiom
+    functions/text.py:224-236 already uses): referencing the raw split
+    expression inside the per-position ``transform`` lambda re-inlines
+    it, so Spark re-splits the WHOLE text once per shingle position —
+    O(n²) in document length. Invisible on ~500-byte docs; on 40 KB
+    concatenated conversations it was 276 s vs 2.7 s for the identical
+    output at sf0.1 (the real bottleneck behind round 4's 258.7 s
+    transcript_near_dup headline).
     """
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.lower(F.trim(c)), "\\s+")
-    n = F.size(toks)
-    full = F.transform(
-        F.sequence(F.lit(1), n - width + 1),
-        lambda i: F.array_join(F.slice(toks, i, width), " "),
-    )
-    short = F.array(F.array_join(toks, " "))
-    return F.array_distinct(F.when(n >= width, full).otherwise(short))
+    toks_expr = F.split(F.lower(F.trim(c)), "\\s+")
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        full = F.transform(
+            F.sequence(F.lit(1), n - width + 1),
+            lambda i: F.array_join(F.slice(toks, i, width), " "),
+        )
+        short = F.array(F.array_join(toks, " "))
+        return F.array_distinct(F.when(n >= width, full).otherwise(short))
+
+    return F.element_at(F.transform(F.array(toks_expr), build), 1)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -62,35 +78,67 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _seed_hash(seed: int, sh: Column, family: str = "md5") -> Column:
-    """One member of the MinHash hash family.
+    """One member of the MinHash hash family. BOTH families return LONG.
 
-    ``'md5'`` (default): hex-string md5 — bit-identical in DuckDB, the
-    oracle-checked form. ``'xxhash64'``: Spark's native seeded xxhash64 —
-    ~25% cheaper to compute and an 8-byte long instead of a 32-char
-    string, so the signature shuffle is ~4x narrower; the scale-path
-    form for 10^12-row corpora (no DuckDB analog; equivalence of the
-    dedup SEMANTICS is pinned in tests/test_dedup.py). Both are uniform
-    order-comparable families, so min-aggregation semantics match."""
+    ``'md5'`` (default): the first 15 hex chars of md5 converted to a
+    60-bit long — bit-identical in DuckDB as
+    ``('0x' || substr(md5(x),1,15))::BIGINT``, so it stays the
+    oracle-checked form. Numeric ordering of a fixed-width hex prefix
+    equals its lexicographic ordering, so min-aggregation semantics are
+    unchanged from the old hex-string form. ``'xxhash64'``: Spark's
+    native seeded xxhash64 — cheaper to compute, no DuckDB analog;
+    dedup-SEMANTICS equivalence pinned in tests/test_dedup.py.
+
+    Returning LONG (not a 32-char string) matters for the PLAN, not
+    just the shuffle width: min/max over a STRING buffer is not
+    supported by HashAggregate, so Catalyst fell back to
+    Sort+SortAggregate — the full exploded-shingle table was sorted
+    before partial AND final aggregation (measured: transcript_near_dup
+    258.7 s at sf0.1, 25x its siblings). LONG buffers are
+    UnsafeRow-mutable, so the k per-seed minimums plan as a single
+    map-side-partial HashAggregate."""
     if family == "xxhash64":
         return F.xxhash64(F.lit(seed), sh)
-    return F.md5(F.concat(F.lit(str(seed)), F.lit("|"), sh))
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed)), F.lit("|"), sh)), 1, 15),
+        16,
+        10,
+    ).cast("long")
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, width: int = 3,
-    hash_family: str = "md5",
+    hash_family: str = "md5", shingle_partitions: int | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: (id, sig array of length k).
 
     One explode + one groupBy; the k per-seed minimums are computed as k
-    aggregate expressions in a single hash aggregate (map-side partial).
-    ``hash_family`` picks the oracle form ('md5', hex strings) or the
-    scale form ('xxhash64', longs — narrower shuffle, cheaper hash); see
-    ``_seed_hash``.
+    aggregate expressions in a single hash aggregate (map-side partial —
+    long buffers in both families, so this really is HashAggregate, not
+    a sort fallback). ``hash_family`` picks the oracle form ('md5',
+    60-bit md5 prefix as long) or the pure-scale form ('xxhash64',
+    cheaper hash, no DuckDB analog); see ``_seed_hash``.
+
+    ``shingle_partitions``: round-robin repartition of the exploded
+    (id, shingle) rows BEFORE the signature aggregate. The k per-shingle
+    hashes are evaluated in the partial-aggregate stage, which without
+    this runs at the parallelism of the INPUT rows — fine for a document
+    corpus (rows >> cores), pathological for few-but-huge documents
+    (e.g. whole conversations concatenated to one row each: 80 rows that
+    AQE coalesces onto a handful of cores while each row explodes to
+    ~10^4-10^5 shingles; part of the 258.7 s -> 13.9 s transcript_near_dup
+    fix at sf0.1, jointly with the shingles() lambda-binding fix above).
+    The added exchange moves RAW shingles — cheap next to
+    the k hash evaluations it parallelizes — and the partial min still
+    reduces each partition to (#docs x k) longs before the final
+    shuffle. Set it when doc count is within ~100x of the core count;
+    leave None when input parallelism already exceeds the cluster.
     """
     sh = df.select(
         F.col(id_col), F.explode(shingles(text_col, width)).alias("sh")
     )
+    if shingle_partitions is not None:
+        sh = sh.repartition(shingle_partitions)
     aggs = [
         F.min(_seed_hash(s, F.col("sh"), hash_family)).alias(f"_h{s}")
         for s in range(num_hashes)
@@ -110,9 +158,13 @@ def minhash_lsh_candidates(
     width: int = 3,
     max_bucket_size: int | None = None,
     hash_family: str = "md5",
+    shingle_partitions: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their signature → candidate
     pairs (id_a < id_b, distinct).
+
+    ``shingle_partitions`` is forwarded to ``minhash_signatures`` (fan
+    the per-shingle hash work out when the corpus is few-but-huge rows).
 
     ``max_bucket_size``: hot-bucket guard. A band bucket holding n docs
     expands to n²/2 candidate rows BEFORE the distinct — on a
@@ -124,7 +176,9 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, width, hash_family)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, width, hash_family, shingle_partitions
+    )
     band_cols = []
     for b in range(bands):
         parts = [
@@ -235,12 +289,20 @@ def winnow_fingerprints(
     Column expressions (no UDF); hashes are md5-prefixed so the DuckDB
     oracle is exact. Output: one row per (id, fingerprint), distinct.
     """
-    c = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
-    n = F.length(c)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-        lambda i: F.substring(F.md5(c.substr(i, F.lit(k))), 1, 8),
-    )
+    c_expr = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+
+    # the normalized text binds to a lambda variable (transform-over-array
+    # wrapper, see shingles()): referencing the regexp_replace expression
+    # inside the per-position lambda would re-normalize the WHOLE text
+    # once per gram position — O(n²) in document length
+    def build(c: Column) -> Column:
+        n = F.length(c)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+            lambda i: F.substring(F.md5(c.substr(i, F.lit(k))), 1, 8),
+        )
+
+    grams = F.element_at(F.transform(F.array(c_expr), build), 1)
     # materialize the gram array as a column so the window pass doesn't
     # inline (and recompute) the md5 stream per window position
     with_g = df.select(F.col(id_col), grams.alias("_g"))
@@ -321,16 +383,23 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
             F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
         ).alias("tok"),
     )
-    h = F.md5(F.col("tok"))
+    # bind md5(tok) to a lambda variable so it is hashed ONCE per token,
+    # not once per bit position (transform-over-array wrapper, see
+    # shingles())
+    def bit_votes(h: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda i: F.when(
+                F.substring(h, i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+
     votes = toks.select(
         F.col(id_col),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(bits)),
-                lambda i: F.when(
-                    F.substring(h, i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
+            F.element_at(
+                F.transform(F.array(F.md5(F.col("tok"))), bit_votes), 1
             )
         ).alias("bit_pos", "vote"),
     )
@@ -376,14 +445,20 @@ def chunk_dup_stats(
     """
     assert chunk_tokens >= 1
     k = chunk_tokens
-    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    toks_expr = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+
     # non-overlapping chunk j covers tokens [j*k+1, j*k+k] (1-based);
     # floor((n-1)/k) is the last chunk index, so a short tail chunk is
-    # kept rather than dropped (dropping it would hide tail duplication)
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / k).cast("int")),
-        lambda j: F.md5(F.array_join(F.slice(toks, j * k + 1, k), " ")),
-    )
+    # kept rather than dropped (dropping it would hide tail duplication).
+    # The split binds to a lambda variable (transform-over-array wrapper,
+    # see shingles()) so it is NOT re-evaluated per chunk position.
+    def build(toks: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / k).cast("int")),
+            lambda j: F.md5(F.array_join(F.slice(toks, j * k + 1, k), " ")),
+        )
+
+    chunks = F.element_at(F.transform(F.array(toks_expr), build), 1)
     exploded = df.select(F.col(id_col), F.explode(chunks).alias("chunk_hash"))
     counts = exploded.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("occ"))
     return (

@@ -16,7 +16,7 @@ discipline wanted at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -111,9 +111,15 @@ def schema_audit(
     n_bad_orient (undirected triple not in canonical subj<=obj form),
     n_valid (all checks pass).
     """
+    # min-type per id via a row_number window, not min(string): a STRING
+    # aggregate buffer is not HashAggregate-able, so min() planned as
+    # Sort+SortAggregate; the window is one sort of the (dim-sized)
+    # type map and keeps the audit's plan SortAggregate-free
+    w_t = Window.partitionBy("entity_id").orderBy("entity_type")
     t = (
-        types.groupBy(F.col("entity_id"))
-        .agg(F.min("entity_type").alias("entity_type"))
+        types.withColumn("_rk", F.row_number().over(w_t))
+        .where(F.col("_rk") == 1)
+        .select("entity_id", "entity_type")
     )
     j = (
         triples.select(subj, pred, obj)

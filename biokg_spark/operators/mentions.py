@@ -25,7 +25,7 @@ from collections.abc import Iterator
 from typing import NamedTuple
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -300,8 +300,8 @@ def scan_mentions_join(
 
     1. lexicon side: normalize each surface to its word-token sequence
        (lowercased, split on non-word runs) and resolve the priority
-       tie-break per normalized surface with one partial-aggregated
-       ``min(struct(priority, entity_id, entity_type))``;
+       tie-break per normalized surface with a row_number window over
+       (priority, entity_id, entity_type) — dim-side sort only;
     2. text side: emit positioned word n-grams for n = 1..M (M = max
        surface token count — either passed, or ONE scalar aggregate on
        the lexicon; never a row collect). Cost is tokens x M rows,
@@ -309,8 +309,11 @@ def scan_mentions_join(
     3. equi-join on the n-gram string — Catalyst picks broadcast-hash
        when the lexicon fits under the threshold and shuffle-hash/SMJ
        beyond it, which is exactly the scale behavior wanted;
-    4. longest-at-start: per (keys, pos) keep the max token count — a
-       partial-aggregable groupBy, not a window shuffle.
+    4. longest-at-start: per (keys, pos) keep the max token count via a
+       row_number window over the MATCHED set (sparse vs the n-gram
+       explode) — one shuffle + one sort, vs the former
+       max(struct(...)) aggregate whose struct buffer forced
+       Sort+SortAggregate (two sorts).
 
     Semantics vs the automaton: word-SEQUENCE granularity. Tokenizing
     both sides means any non-word separator run matches any other
@@ -325,6 +328,14 @@ def scan_mentions_join(
     norm = F.filter(
         F.split(F.lower(F.col("surface")), _SPLIT_PATTERN), lambda x: x != ""
     )
+    # priority tie-break per normalized surface: row_number window, NOT
+    # min(struct(...)) — min/max over a struct-of-string buffer is not
+    # HashAggregate-able and planned as Sort+SortAggregate (two sorts of
+    # the input); the window is one shuffle + one sort, and it runs on
+    # the LEXICON side (dim-sized), never the corpus
+    w_lex = Window.partitionBy("g", "n").orderBy(
+        "priority", "entity_id", "entity_type"
+    )
     lex_norm = (
         lexicon.select(
             norm.alias("_toks"), "entity_id", "entity_type", "priority"
@@ -333,11 +344,13 @@ def scan_mentions_join(
         .select(
             F.concat_ws(" ", "_toks").alias("g"),
             F.size("_toks").alias("n"),
-            F.struct("priority", "entity_id", "entity_type").alias("cand"),
+            "priority",
+            "entity_id",
+            "entity_type",
         )
-        .groupBy("g", "n")
-        .agg(F.min("cand").alias("cand"))
-        .select("g", "n", "cand.entity_id", "cand.entity_type")
+        .withColumn("_rk", F.row_number().over(w_lex))
+        .where(F.col("_rk") == 1)
+        .select("g", "n", "entity_id", "entity_type")
     )
     lex_count = None
     if max_surface_tokens is None:
@@ -397,14 +410,24 @@ def scan_mentions_join(
         hits = ng.join(F.broadcast(lex_j), "g")
     else:
         hits = ng.hint("shuffle_hash").join(lex_j, "g")
+    # longest-at-start: per (keys, pos) keep the longest matched gram.
+    # n alone determines the winner — the gram text at a given (row,
+    # pos, n) is unique and g is unique in lex_j after the tie-break —
+    # so the ordering needs no string columns; they ride along. A
+    # row_number window (ONE shuffle + ONE sort of the matched set,
+    # which is sparse relative to the n-gram explode) replaces the old
+    # max(struct(n, g, ...)): struct buffers are not HashAggregate-able
+    # and that aggregate planned as Sort+SortAggregate — the matched set
+    # sorted twice (map-side partial and final).
+    w_best = Window.partitionBy(*keys_l, "pos").orderBy(F.desc("n"))
     best = (
-        hits.groupBy(*keys_l, "pos")
-        .agg(F.max(F.struct("n", "g", "entity_id", "entity_type")).alias("m"))
+        hits.withColumn("_rk", F.row_number().over(w_best))
+        .where(F.col("_rk") == 1)
         .select(
             *keys_l,
-            F.col("m.g").alias("surface"),
-            F.col("m.entity_id").alias("entity_id"),
-            F.col("m.entity_type").alias("entity_type"),
+            F.col("g").alias("surface"),
+            "entity_id",
+            "entity_type",
             F.lit(None).cast("int").alias("span_start"),
         )
     )

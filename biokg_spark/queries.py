@@ -1312,11 +1312,13 @@ _SHINGLES_SQL = """
     WITH {_SHINGLES_SQL},
     seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
     sig AS (
-      SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+      SELECT doc_id, seed,
+             min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || sh),
+                                      1, 15)) AS BIGINT)) AS mh
       FROM sh, seeds GROUP BY doc_id, seed),
     bands AS (
       SELECT doc_id, seed // 2 AS band_idx,
-             md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+             md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
       FROM sig GROUP BY doc_id, seed // 2),
     ok AS (
       SELECT band_idx, band_key FROM bands
@@ -1344,11 +1346,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     WITH RECURSIVE {_SHINGLES_SQL},
     seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
     sig AS (
-      SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+      SELECT doc_id, seed,
+             min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || sh),
+                                      1, 15)) AS BIGINT)) AS mh
       FROM sh, seeds GROUP BY doc_id, seed),
     bands AS (
       SELECT doc_id, seed // 2 AS band_idx,
-             md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+             md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
       FROM sig GROUP BY doc_id, seed // 2),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1384,9 +1388,11 @@ def dedup_cluster_components(spark, sf_dir):
     WITH {_SHINGLES_SQL},
     seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
     sig AS (
-      SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+      SELECT doc_id, seed,
+             min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || sh),
+                                      1, 15)) AS BIGINT)) AS mh
       FROM sh, seeds GROUP BY doc_id, seed)
-    SELECT doc_id, string_agg(mh, '|' ORDER BY seed) AS sig
+    SELECT doc_id, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
     FROM sig GROUP BY doc_id
     """,
 )
@@ -1394,7 +1400,10 @@ def dedup_minhash_signature(spark, sf_dir):
     sigs = minhash_signatures(
         load_table(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=8
     )
-    return sigs.select("doc_id", F.array_join("sig", "|").alias("sig"))
+    sig_str = F.array_join(
+        F.transform("sig", lambda h: h.cast("string")), "|"
+    )
+    return sigs.select("doc_id", sig_str.alias("sig"))
 
 
 @q(
@@ -3101,11 +3110,13 @@ def kg_schema_audit(spark, sf_dir):
         AS t(i)),
     seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
     sig AS (
-      SELECT conv_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+      SELECT conv_id, seed,
+             min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || sh),
+                                      1, 15)) AS BIGINT)) AS mh
       FROM sh, seeds GROUP BY conv_id, seed),
     bands AS (
       SELECT conv_id, seed // 2 AS band_idx,
-             md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+             md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
       FROM sig GROUP BY conv_id, seed // 2),
     ok AS (
       SELECT band_idx, band_key FROM bands
@@ -3139,7 +3150,15 @@ def transcript_near_dup(spark, sf_dir):
         .select(F.concat("conv_id", F.lit("_v2")).alias("conv_id"), "text")
     )
     convs = base.unionByName(v2)
+    # shingle_partitions=64: the conv table is FEW-but-HUGE rows (2 x 40
+    # convs here; each one explodes to ~10^4-10^5 shingles), so without
+    # an explicit fan-out the 8-hash signature work runs at row
+    # parallelism on a handful of AQE-coalesced partitions. Jointly with
+    # the shingles() lambda-binding fix and the long-valued hash family
+    # (operators/dedup.py), round 4's 258.7 s at sf0.1 is now 13.9 s.
+    # Result is partition-layout-invariant.
     return minhash_lsh_candidates(
         convs, "text", "conv_id",
         num_hashes=8, bands=4, width=3, max_bucket_size=20,
+        shingle_partitions=64,
     )
