@@ -85,7 +85,12 @@ def kcore_oracle_ctes(links_cte: str, k: int, peels: int = 8) -> str:
     each one degree aggregate + one double-IN filter — term-for-term the
     Spark round. ``peels`` must be ≥ the rounds the input needs to reach
     the fixpoint (extra rounds are no-ops once converged, so
-    over-provisioning is safe; the registry test pins convergence).
+    over-provisioning is safe). Convergence is CHECKED IN-QUERY, not
+    assumed: the final select cross-joins a guard CTE that is non-empty
+    only when ``e{peels}`` and ``e{peels-1}`` have equal edge counts, so
+    an under-provisioned unroll returns ZERO rows and fails the
+    rows-match comparison against the Spark fixpoint loudly instead of
+    silently diverging on inputs needing more than ``peels`` rounds.
 
     Every e{i}/d{i} is ``AS MATERIALIZED``: each peel references its
     predecessor five times, so DuckDB's default CTE inlining would
@@ -109,11 +114,16 @@ def kcore_oracle_ctes(links_cte: str, k: int, peels: int = 8) -> str:
             f"WHERE a IN (SELECT node FROM k{i}) "
             f"AND b IN (SELECT node FROM k{i}))"
         )
+    sql.append(
+        f"converged AS (SELECT 1 AS ok WHERE "
+        f"(SELECT count(*) FROM e{peels}) = (SELECT count(*) FROM e{peels - 1}))"
+    )
     return (
         "WITH "
         + ",\n".join(sql)
         + f"""
         SELECT node, count(*) AS core_deg FROM
-        (SELECT a AS node FROM e{peels} UNION ALL SELECT b FROM e{peels})
+        (SELECT a AS node FROM e{peels} UNION ALL SELECT b FROM e{peels}),
+        converged
         GROUP BY node"""
     )

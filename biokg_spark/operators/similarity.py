@@ -427,10 +427,15 @@ def hnsw_topk(
                     rows.append((qid, ids[i]))
         return pd.DataFrame(rows, columns=["q_id", "c_id"])
 
+    # derive the pair schema from the actual id column types: hardcoding
+    # "long" broke (or silently corrupted via Arrow cast) string entity
+    # ids, unlike the other similarity tiers which are id-type generic
+    q_id_t = queries.schema[id_col].dataType.simpleString()
+    c_id_t = corpus.schema[id_col].dataType.simpleString()
     cands = (
         c.groupBy("cell")
         .cogroup(probes.groupBy("cell"))
-        .applyInPandas(kernel, schema="q_id long, c_id long")
+        .applyInPandas(kernel, schema=f"q_id {q_id_t}, c_id {c_id_t}")
         .dropDuplicates()
     )
     scored = (

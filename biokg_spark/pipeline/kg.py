@@ -47,6 +47,7 @@ Stages (each a checkpointed parquet table, resumable):
 
 from __future__ import annotations
 
+import os
 import sys
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -580,6 +581,14 @@ class KGPipeline:
         low-priority queue a real cluster job would use. The pool
         property is thread-local in pinned-thread mode, so it is set
         inside the executor thread, never inherited by the main chain."""
+        # setLocalProperty is thread-local ONLY under PySpark pinned-thread
+        # mode (PYSPARK_PIN_THREAD, default on since 3.2). If an env
+        # disables it, the property is JVM-global and this would silently
+        # demote the CRITICAL chain to the weight-1 pool — run the stage
+        # in the default pool instead (correct, marginally less overlap).
+        pinned = os.environ.get("PYSPARK_PIN_THREAD", "true").lower() != "false"
+        if not pinned:
+            return self.ckpt.run(name, fp, build, partition_by=partition_by)
         sc = self.spark.sparkContext
         sc.setLocalProperty("spark.scheduler.pool", BACKGROUND_POOL)
         try:

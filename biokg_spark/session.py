@@ -44,10 +44,24 @@ _FAIR_POOLS_XML = """<?xml version="1.0"?>
 
 def _fair_pools_file() -> str:
     """Materialize the pool definitions where the JVM can read them (the
-    conf must be a filesystem path; a --py-files zip member is not)."""
-    path = os.path.join(tempfile.gettempdir(), "biokg_fairscheduler.xml")
-    with open(path, "w") as f:
-        f.write(_FAIR_POOLS_XML)
+    conf must be a filesystem path; a --py-files zip member is not).
+
+    Per-user filename (uid suffix): a fixed shared-tempdir name made the
+    SECOND user on a multi-user host fail with PermissionError opening a
+    file owned by the first. An existing identical file is tolerated
+    (idempotent re-create by the same user); an unwritable-but-identical
+    one is used as-is."""
+    uid = os.getuid() if hasattr(os, "getuid") else "nt"
+    path = os.path.join(
+        tempfile.gettempdir(), f"biokg_fairscheduler_{uid}.xml"
+    )
+    try:
+        with open(path, "w") as f:
+            f.write(_FAIR_POOLS_XML)
+    except PermissionError:
+        with open(path) as f:
+            if f.read() != _FAIR_POOLS_XML:
+                raise
     return path
 
 # Defaults chosen for the local[32] sandbox; on a 1000-executor cluster the

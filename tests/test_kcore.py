@@ -73,3 +73,33 @@ def test_random_graphs_vs_reference(spark):
             assert _run(spark, noisy, k) == _peel_reference(edges, k), (
                 f"seed={seed} k={k}"
             )
+
+
+def test_oracle_convergence_guard(spark):
+    """kcore_oracle_ctes embeds an in-query convergence check: an
+    under-provisioned unroll (peels below what the input needs) returns
+    ZERO rows instead of a silently-diverged core, so any oracle/Spark
+    comparison fails on row count, never on quietly wrong values."""
+    import duckdb
+
+    from biokg_spark.operators.kcore import kcore_oracle_ctes
+
+    # a chain a0-a1-...-a9: 2-core is empty, but each peel round only
+    # removes the two endpoints, so it needs ~5 rounds to drain; with
+    # peels=2 the unroll is NOT converged yet
+    edges = [(f"a{i}", "E", f"a{i+1}") for i in range(9)]
+    links_cte = "links(subj, pred, obj) AS (VALUES " + ", ".join(
+        f"('{s}', '{p}', '{o}')" for s, p, o in edges
+    ) + ")"
+    con = duckdb.connect()
+    short = con.execute(kcore_oracle_ctes(links_cte, k=2, peels=2)).fetchall()
+    assert short == []  # guard fired: not converged, loud empty result
+    full = con.execute(kcore_oracle_ctes(links_cte, k=2, peels=8)).fetchall()
+    assert full == []  # converged: the 2-core of a chain is genuinely empty
+    # and on a graph with a real core the converged oracle emits it
+    tri = [("x", "E", "y"), ("y", "E", "z"), ("z", "E", "x")] + edges
+    links_cte2 = "links(subj, pred, obj) AS (VALUES " + ", ".join(
+        f"('{s}', '{p}', '{o}')" for s, p, o in tri
+    ) + ")"
+    got = dict(con.execute(kcore_oracle_ctes(links_cte2, k=2, peels=8)).fetchall())
+    assert got == {"x": 2, "y": 2, "z": 2}

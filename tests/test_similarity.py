@@ -172,3 +172,22 @@ def test_hnsw_index_search_exhaustive_when_unbounded():
     qu = qv / np.linalg.norm(qv)
     want = np.argsort(-(unit @ qu), kind="stable").tolist()
     assert got[:10] == want[:10]
+
+
+def test_hnsw_string_ids(spark):
+    """The pair-kernel schema is derived from the input id column type
+    (a hardcoded 'long' broke string entity ids); full-probe unbounded
+    beam over string-keyed vectors must equal brute force."""
+    from biokg_spark.operators.similarity import cosine_topk, hnsw_topk
+
+    emb = spark.createDataFrame(
+        [(f"ent{i}", v) for i, v in VECS],
+        "vec_id string, embedding array<float>",
+    )
+    q = emb.where("vec_id = 'ent0'")
+    exact = {
+        (r.q_id, r.c_id, r.rank) for r in cosine_topk(emb, q, k=3).collect()
+    }
+    got = {(r.q_id, r.c_id, r.rank) for r in hnsw_topk(emb, q, k=3).collect()}
+    assert got == exact and len(got) == 3
+    assert all(isinstance(a, str) and isinstance(b, str) for a, b, _ in got)
