@@ -3,11 +3,13 @@
 PNG/JPEG/GIF/BMP dimensions and WAV audio metadata are decoded for REAL
 via stdlib header parsing (IHDR chunk / SOF marker / logical screen
 descriptor / BITMAPINFOHEADER / RIFF chunk walk). Pixel-level resize is
-REAL for 24-bpp BMP (struct) and 8-bit non-interlaced PNG (zlib inflate
+REAL for 24-bpp BMP (struct), 8-bit non-interlaced PNG (zlib inflate
 + the five RFC 2083 scanline filters, nearest-neighbor resample, filter-0
-deflate re-encode); other formats and frame sampling fall back to
-deterministic stand-ins clearly marked as such (PIL/torchaudio are not
-in this container). The
+deflate re-encode), and non-interlaced single-frame GIF (full LZW
+decode, index-raster resample, literal-code LZW re-encode); GIF frame
+demux is real too. JPEG pixel decode (DCT entropy coding) and non-GIF
+video frame sampling fall back to deterministic stand-ins clearly
+marked as such (PIL/torchaudio are not in this container). The
 Spark-side contract (schema, Arrow batch shape, ``mapInPandas``
 partition-parallel execution) is real and tested either way; swapping a
 stub body for a PIL/torchaudio call changes nothing about the plan.
@@ -459,17 +461,213 @@ def _png_resize(payload: bytes, max_dim: int) -> tuple[bytes, int, int] | None:
     return _png_encode(out, nw, nh, channels), nw, nh
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> bytearray | None:
+    """REAL GIF-flavor LZW decode, stdlib only: variable-width codes read
+    LSB-first, clear/end codes, KwKwK case, 12-bit table cap with
+    deferred clear (no adds at 4096). Returns the palette-index stream,
+    or None on a malformed code."""
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while bitpos + code_size <= nbits:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                return None
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out += entry
+        prev = entry
+    return out
+
+
+def _lzw_encode_literal(indices: bytes, min_code_size: int) -> bytes:
+    """Valid GIF LZW stream of pure literal codes (the classic
+    "uncompressed GIF" construction): a clear code is re-emitted every
+    ``2^mcs - 2`` literals — the decoder's table grows by one per
+    literal after the first and bumps the code width when it reaches
+    ``2^(mcs+1)``, so that span is the longest run for which every code
+    (including the following clear) still fits in ``mcs+1`` bits. No
+    table entry is ever referenced. ~0.8% code overhead at mcs=8 — fine
+    for a resize sink; any conformant decoder (including
+    ``_lzw_decode``) reads it."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    cur = 0
+    cur_bits = 0
+
+    def emit(code: int) -> None:
+        nonlocal cur, cur_bits
+        cur |= code << cur_bits
+        cur_bits += code_size
+        while cur_bits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            cur_bits -= 8
+
+    span = max(1, clear - 2)  # literals safe per clear before a size bump
+    for i, b in enumerate(indices):
+        if i % span == 0:
+            emit(clear)
+        emit(b)
+    emit(end)
+    if cur_bits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _gif_decode(payload: bytes) -> tuple[bytearray, int, int, bytes] | None:
+    """REAL single-frame GIF pixel decode, stdlib only: logical screen
+    descriptor + palette walk (``_gif_split_frames``'s block grammar),
+    then a full LZW decode of the image data. Returns (palette indices
+    row-major, width, height, palette bytes) for non-interlaced
+    single-image GIFs whose frame covers the logical screen; None for
+    animated / interlaced / palette-less flavors (those keep the
+    labeled stand-in or the frame demuxer)."""
+    if len(payload) < 14 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        flags = payload[10]
+        gct_n = 2 ** ((flags & 7) + 1) if flags & 0x80 else 0
+        palette = bytes(payload[13:13 + 3 * gct_n])
+        i = 13 + 3 * gct_n
+        result = None
+        while i < len(payload):
+            b0 = payload[i]
+            if b0 == 0x3B:
+                break
+            if b0 == 0x21:  # extension: skip sub-block chain
+                i += 2
+                while payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1
+            elif b0 == 0x2C:
+                if result is not None:
+                    return None  # animated: not a still-resize target
+                import struct
+
+                left, top, iw, ih = struct.unpack("<HHHH", payload[i + 1:i + 9])
+                dflags = payload[i + 9]
+                i += 10
+                if dflags & 0x40:  # interlaced
+                    return None
+                if dflags & 0x80:  # local palette wins
+                    lct_n = 2 ** ((dflags & 7) + 1)
+                    palette = bytes(payload[i:i + 3 * lct_n])
+                    i += 3 * lct_n
+                if not palette or iw == 0 or ih == 0:
+                    return None
+                mcs = payload[i]
+                i += 1
+                data = bytearray()
+                while payload[i] != 0:
+                    n = payload[i]
+                    data += payload[i + 1:i + 1 + n]
+                    i += 1 + n
+                i += 1
+                idx = _lzw_decode(bytes(data), mcs)
+                if idx is None or len(idx) < iw * ih:
+                    return None
+                if max(idx[: iw * ih]) * 3 >= len(palette):
+                    return None
+                result = (idx[: iw * ih], iw, ih, palette)
+            else:
+                return None
+        return result
+    except IndexError:
+        return None
+
+
+def _gif_encode(indices: bytes, w: int, h: int, palette: bytes) -> bytes:
+    """Minimal valid single-frame GIF89a writer: logical screen = image,
+    global palette (padded to a power of two), literal-code LZW stream
+    in ≤255-byte sub-blocks."""
+    import struct
+
+    n = len(palette) // 3
+    bits = max(1, (max(n, 2) - 1).bit_length())
+    pal = palette + bytes(3 * ((1 << bits) - n))
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
+    out += pal
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    stream = _lzw_encode_literal(indices, mcs)
+    for off in range(0, len(stream), 255):
+        block = stream[off:off + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_resize(payload: bytes, max_dim: int) -> tuple[bytes, int, int] | None:
+    """REAL nearest-neighbor GIF resize: LZW decode to palette indices,
+    resample the INDEX raster (so the source palette is preserved
+    exactly — nearest-neighbor can produce no new colors), re-encode.
+    Same contract as ``_png_resize``/``_bmp_resize``; returns None for
+    the flavors ``_gif_decode`` skips."""
+    dec = _gif_decode(payload)
+    if dec is None:
+        return None
+    idx, w, h, palette = dec
+    scale = min(1.0, max_dim / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    out = bytearray(nw * nh)
+    for oy in range(nh):
+        sy = min(h - 1, oy * h // nh)
+        src = sy * w
+        dst = oy * nw
+        for ox in range(nw):
+            out[dst + ox] = idx[src + min(w - 1, ox * w // nw)]
+    return _gif_encode(bytes(out), nw, nh, palette), nw, nh
+
+
 def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
     """Resize images to fit ``max_dim``, preserving aspect ratio.
 
     REAL nearest-neighbor decode→resample→re-encode for uncompressed
-    24-bpp BMPs (stdlib struct) AND for 8-bit non-interlaced PNGs of any
+    24-bpp BMPs (stdlib struct), for 8-bit non-interlaced PNGs of any
     color type (stdlib zlib: inflate IDAT, undo all five scanline
-    filters, resample, re-deflate — no image library); other formats
-    keep the labeled deterministic stand-in (clamp the header-decoded
-    dimensions, truncate the payload proportionally) — a real deployment
-    swaps that fallback for PIL resize + re-encode. Narrow
-    transformation: no shuffle, payload column pruned for any
+    filters, resample, re-deflate), AND for non-interlaced single-frame
+    GIFs (full LZW decode to palette indices, index-raster resample —
+    palette preserved exactly — literal-code LZW re-encode; no image
+    library anywhere). Remaining formats (JPEG: DCT entropy decode is
+    out of stdlib scope) keep the labeled deterministic stand-in (clamp
+    the header-decoded dimensions, truncate the payload proportionally)
+    — a real deployment swaps that fallback for PIL resize + re-encode.
+    Narrow transformation: no shuffle, payload column pruned for any
     downstream metadata-only consumer.
     """
 
@@ -478,7 +676,11 @@ def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
             out_rows = []
             for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 raw = bytes(p)
-                real = _bmp_resize(raw, max_dim) or _png_resize(raw, max_dim)
+                real = (
+                    _bmp_resize(raw, max_dim)
+                    or _png_resize(raw, max_dim)
+                    or _gif_resize(raw, max_dim)
+                )
                 if real is not None:
                     out_rows.append((mid, kind, *real))
                     continue

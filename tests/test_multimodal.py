@@ -480,3 +480,110 @@ def test_sample_frames_gif_real_demux(spark):
     assert all(bytes(r.frame)[:6] == b"GIF89a" for r in gif_rows)
     # stub path unchanged for non-GIF payloads
     assert [r.frame_idx for r in sorted(by_id[2], key=lambda r: r.frame_idx)] == [0, 2]
+
+
+# ---------------------------------------------------------------------------
+# real GIF pixel decode / resize (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_decode_known_vectors():
+    """Hand-packed GIF-LZW streams (3-bit codes, LSB-first): a literal
+    run and the KwKwK dictionary case must decode to the exact pixels."""
+    from biokg_spark.operators.multimodal import _lzw_decode
+
+    # codes 4(clear) 1 1 4(clear) 1 1 5(end) at mcs=2 pack to 4C 98 14
+    assert _lzw_decode(bytes([0x4C, 0x98, 0x14]), 2) == bytearray([1, 1, 1, 1])
+    # codes 4(clear) 0 6 5(end): code 6 == len(table) -> KwKwK ("0"+"0")
+    assert _lzw_decode(bytes([0x84, 0x0B]), 2) == bytearray([0, 0, 0])
+    # malformed: code beyond the table must return None, not raise
+    assert _lzw_decode(bytes([0xFC, 0x0F]), 2) in (None, bytearray())
+
+
+def test_lzw_literal_roundtrip():
+    """decode(encode_literal(x)) == x across palette sizes and lengths
+    spanning many clear-code spans."""
+    from biokg_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode_literal,
+    )
+
+    for mcs, n_symbols in ((2, 4), (4, 16), (8, 256)):
+        idx = bytes((i * 7 + 3) % n_symbols for i in range(1000))
+        assert _lzw_decode(_lzw_encode_literal(idx, mcs), mcs) == idx
+
+
+def test_gif_encode_decode_roundtrip():
+    from biokg_spark.operators.multimodal import (
+        _gif_decode,
+        _gif_dimensions,
+        _gif_encode,
+        _gif_split_frames,
+    )
+
+    w, h = 6, 5
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # 3 colors -> pads to 4
+    idx = bytes((x + y) % 3 for y in range(h) for x in range(w))
+    gif = _gif_encode(idx, w, h, palette)
+    assert gif[:6] == b"GIF89a" and gif[-1:] == b"\x3b"
+    assert _gif_dimensions(gif) == (w, h)
+    frames = _gif_split_frames(gif)
+    assert frames is not None and len(frames) == 1
+    dec = _gif_decode(gif)
+    assert dec is not None
+    got_idx, gw, gh, got_pal = dec
+    assert (gw, gh) == (w, h) and bytes(got_idx) == idx
+    assert got_pal[: len(palette)] == palette  # padding only appended
+
+
+def test_gif_resize_real():
+    """Genuine GIF bytes in, genuine smaller GIF bytes out: the resized
+    raster is the exact nearest-neighbor index resample and the palette
+    survives untouched."""
+    from biokg_spark.operators.multimodal import (
+        _gif_decode,
+        _gif_encode,
+        _gif_resize,
+    )
+
+    w, h = 8, 4
+    palette = bytes([0, 0, 0, 255, 255, 255, 9, 9, 9, 7, 7, 7])
+    idx = bytes(0 if x < 4 else 1 for _y in range(h) for x in range(w))
+    gif = _gif_encode(idx, w, h, palette)
+    out = _gif_resize(gif, 4)
+    assert out is not None
+    payload, nw, nh = out
+    assert (nw, nh) == (4, 2)
+    dec = _gif_decode(payload)
+    assert dec is not None
+    got_idx, gw, gh, got_pal = dec
+    assert (gw, gh) == (4, 2)
+    # nearest-neighbor: left half color 0, right half color 1, both rows
+    assert bytes(got_idx) == bytes([0, 0, 1, 1, 0, 0, 1, 1])
+    assert got_pal == palette
+    # animated GIFs are not still-resize targets: falls back cleanly
+    from tests.test_multimodal import _animated_gif
+
+    anim, _ = _animated_gif(3)
+    assert _gif_resize(anim, 4) is None
+
+
+def test_resize_media_uses_real_gif_path(spark):
+    from biokg_spark.operators.multimodal import (
+        _gif_decode,
+        _gif_encode,
+        resize_media,
+    )
+
+    w, h = 40, 10
+    palette = bytes([i * 10 % 256 for i in range(12)])
+    idx = bytes((x // 10) % 4 for _y in range(h) for x in range(w))
+    gif = _gif_encode(idx, w, h, palette)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(gif), "image/gif")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    out = resize_media(media, max_dim=10).collect()[0]
+    assert (out.width, out.height) == (10, 2)
+    dec = _gif_decode(bytes(out.payload))
+    assert dec is not None and (dec[1], dec[2]) == (10, 2)
