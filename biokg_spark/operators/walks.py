@@ -277,6 +277,215 @@ def sample_neighbors(
     )
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_walks: int = 2,
+    length: int = 3,
+    p: float = 1.0,
+    q: float = 1.0,
+    cap_k: int | None = None,
+) -> DataFrame:
+    """Second-order (node2vec p/q) biased walks — the composed recipe
+    SCALE.md points consumers at, shipped as an operator.
+
+    Per-step cost is the reason this is SEPARATE from ``random_walks``:
+    the bias weight of candidate ``x`` from node ``u`` with previous
+    node ``t`` depends on whether ``x`` neighbors ``t``, so each step
+    must (a) fan the frontier out to ALL of u's neighbors (deg(u) rows
+    per walk, vs exactly 1 for the uniform walker) and (b) probe
+    (t, x) edge membership — one extra equi-join per step. ``cap_k``
+    bounds both: the walk runs over the ``sample_neighbors``-capped
+    graph, making the per-step fan-out ≤ cap_k rows/walk and the probe
+    set proportional. At 10^12 edges run it capped (GNN practice caps
+    fan-out anyway); uncapped is exact node2vec but hub-quadratic.
+
+    Determinism: step 1 is the uniform md5-rank pick of
+    ``random_walks``; steps ≥ 2 pick by cumulative-weight inversion —
+    weights 1/p (return to t), 1 (x neighbors t), 1/q (distance-2),
+    threshold ``(md5(start|w|t|step|u) % 2^20)/2^20 × total``, first
+    candidate (ordered by id) whose running sum exceeds it. No RNG
+    state; reruns are byte-identical (pinned against a row-at-a-time
+    Python twin in tests).
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    if cap_k is not None:
+        e = sample_neighbors(e, cap_k, src="_s", dst="_d").select("_s", "_d")
+    ranked = _dense_neighbor_ranks(e, None)
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+
+    frontier = (
+        e.select(F.col("_s").alias("start"))
+        .distinct()
+        .withColumn(
+            "walk_ix", F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1)))
+        )
+        .withColumn("node", F.col("start"))
+    )
+    out = frontier.withColumn("step", F.lit(0)).select(
+        "start", "walk_ix", "step", "node"
+    )
+    if length < 1:
+        return out
+
+    # step 1: uniform (no previous node yet) — identical arithmetic to
+    # random_walks so the two corpora share their first hop
+    key1 = F.concat_ws(
+        "|", F.col("start"), F.col("walk_ix").cast("string"), F.lit("1"),
+        F.col("node"),
+    )
+    h1 = F.conv(F.substring(F.md5(key1), 1, 8), 16, 10).cast("long")
+    frontier = (
+        frontier.join(deg, frontier["node"] == deg["_s"])
+        .withColumn("_pick", (h1 % F.col("_deg")).cast("int"))
+        .join(
+            ranked,
+            (F.col("node") == ranked["_s"]) & (F.col("_pick") == ranked["_r"]),
+        )
+        .select(
+            "start", "walk_ix",
+            F.col("node").alias("prev"), F.col("_d").alias("node"),
+        )
+    )
+    out = out.unionByName(
+        frontier.withColumn("step", F.lit(1)).select(
+            "start", "walk_ix", "step", "node"
+        )
+    )
+
+    nbr = e  # (_s, _d): candidate expansion side
+    probe = e.select(
+        F.col("_s").alias("_pt"), F.col("_d").alias("_px"), F.lit(1).alias("_adj")
+    )
+    for t in range(2, length + 1):
+        cands = (
+            frontier.join(nbr, frontier["node"] == nbr["_s"])
+            .select("start", "walk_ix", "prev", "node", F.col("_d").alias("cand"))
+            # (prev, cand) adjacency probe — the one extra join/step
+            .join(
+                probe,
+                (F.col("prev") == F.col("_pt")) & (F.col("cand") == F.col("_px")),
+                "left",
+            )
+            .withColumn(
+                "_w",
+                F.when(F.col("cand") == F.col("prev"), F.lit(1.0 / p))
+                .when(F.col("_adj").isNotNull(), F.lit(1.0))
+                .otherwise(F.lit(1.0 / q)),
+            )
+        )
+        grp = Window.partitionBy("start", "walk_ix")
+        cum = (
+            Window.partitionBy("start", "walk_ix")
+            .orderBy("cand")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        keyt = F.concat_ws(
+            "|", F.col("start"), F.col("walk_ix").cast("string"),
+            F.lit(str(t)), F.col("node"), F.col("prev"),
+        )
+        u01 = (
+            F.conv(F.substring(F.md5(keyt), 1, 8), 16, 10).cast("long")
+            % F.lit(1 << 20)
+        ).cast("double") / F.lit(float(1 << 20))
+        picked = (
+            cands.withColumn("_cum", F.sum("_w").over(cum))
+            .withColumn("_tot", F.sum("_w").over(grp))
+            .withColumn("_thr", u01 * F.col("_tot"))
+            .where(
+                (F.col("_cum") > F.col("_thr"))
+                & (F.col("_cum") - F.col("_w") <= F.col("_thr"))
+            )
+        )
+        frontier = picked.select(
+            "start", "walk_ix",
+            F.col("node").alias("prev"), F.col("cand").alias("node"),
+        )
+        out = out.unionByName(
+            frontier.withColumn("step", F.lit(t)).select(
+                "start", "walk_ix", "step", "node"
+            )
+        )
+    return out
+
+
+def node2vec_oracle_ctes(
+    links_cte: str,
+    num_walks: int = 2,
+    length: int = 3,
+    p: float = 2.0,
+    q: float = 4.0,
+) -> str:
+    """DuckDB twin of :func:`node2vec_walks` (uncapped form): per-step
+    unrolled CTEs doing the identical candidate expansion, adjacency
+    probe, weight CASE, cumulative-sum inversion, and md5 threshold.
+    Exact value parity requires ``1/p`` and ``1/q`` to be exactly
+    representable doubles (powers of two) so float summation order
+    cannot differ between engines — the registry query pins p=2, q=4.
+    """
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    steps = []
+    unions = [
+        "SELECT start, walk_ix, 0 AS step, node FROM w0",
+        "SELECT start, walk_ix, 1 AS step, node FROM f1",
+    ]
+    prev = "f1"
+    for t in range(2, length + 1):
+        cur = f"f{t}"
+        steps.append(
+            f"""c{t} AS (
+      SELECT f.start, f.walk_ix, f.prev, f.node, n._d AS cand,
+             CASE WHEN n._d = f.prev THEN {inv_p!r}
+                  WHEN a._adj IS NOT NULL THEN 1.0
+                  ELSE {inv_q!r} END AS w
+      FROM {prev} f
+      JOIN e n ON n._s = f.node
+      LEFT JOIN (SELECT _s AS _pt, _d AS _px, 1 AS _adj FROM e) a
+        ON a._pt = f.prev AND a._px = n._d),
+    s{t} AS (
+      SELECT *,
+             sum(w) OVER (PARTITION BY start, walk_ix ORDER BY cand
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             (CAST(('0x' || substr(md5(start || '|' ||
+                      CAST(walk_ix AS VARCHAR) || '|{t}|' || node || '|' ||
+                      prev), 1, 8))::BIGINT % 1048576 AS DOUBLE)
+              / 1048576.0)
+             * sum(w) OVER (PARTITION BY start, walk_ix) AS thr
+      FROM c{t}),
+    {cur} AS (
+      SELECT start, walk_ix, node AS prev, cand AS node
+      FROM s{t} WHERE cum > thr AND cum - w <= thr)"""
+        )
+        unions.append(f"SELECT start, walk_ix, {t} AS step, node FROM {cur}")
+        prev = cur
+    step_sql = ",\n    " + ",\n    ".join(steps) if steps else ""
+    return f"""
+    WITH {links_cte},
+    e AS (SELECT DISTINCT subj AS _s, obj AS _d FROM links
+          UNION SELECT obj, subj FROM links),
+    ranked AS (SELECT _s, _d,
+                      CAST(row_number() OVER (PARTITION BY _s ORDER BY _d) - 1
+                           AS INT) AS _r
+               FROM e),
+    deg AS (SELECT _s, count(*) AS _deg FROM e GROUP BY _s),
+    w0 AS (SELECT _s AS start, CAST(t.walk_ix AS INT) AS walk_ix,
+                  0 AS step, _s AS node
+           FROM (SELECT DISTINCT _s FROM e)
+           CROSS JOIN (SELECT unnest(range({num_walks})) AS walk_ix) t),
+    f1 AS (
+      SELECT f.start, f.walk_ix, f.node AS prev, r._d AS node
+      FROM w0 f
+      JOIN deg d ON f.node = d._s
+      JOIN ranked r ON r._s = f.node
+       AND r._r = CAST(('0x' || substr(md5(f.start || '|' ||
+                    CAST(f.walk_ix AS VARCHAR) || '|1|' || f.node),
+                    1, 8))::BIGINT % d._deg AS INT)){step_sql}
+    {' UNION ALL '.join(unions)}
+    """
+
+
 def ego_network(
     edges: DataFrame,
     seeds: DataFrame,

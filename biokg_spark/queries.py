@@ -2776,6 +2776,33 @@ def kg_random_walks(spark, sf_dir):
     return random_walks(e, num_walks=2, length=3)
 
 
+def _node2vec_sql():
+    from biokg_spark.operators.walks import node2vec_oracle_ctes
+
+    return node2vec_oracle_ctes(_KG_LINKS_CTE, num_walks=2, length=3, p=2.0, q=4.0)
+
+
+@q("kg_node2vec_walks", _node2vec_sql())
+def kg_node2vec_walks(spark, sf_dir):
+    """Second-order (node2vec p=2, q=4) biased walks over the
+    symmetrized KG links (operators/walks.py::node2vec_walks — the
+    round-4 'compose it yourself' gap closed as a real operator). Each
+    step fans out to the current node's neighbors, probes (prev, cand)
+    adjacency with one equi-join, and picks by deterministic
+    cumulative-weight inversion on an md5 threshold; p/q are powers of
+    two so every weight and sum is an exact double and the DuckDB twin
+    (node2vec_oracle_ctes, identical arithmetic unrolled per step) is
+    value-exact. Scale form: pass cap_k to bound per-step fan-out (the
+    sample_neighbors composition, SCALE.md GNN-prep)."""
+    from biokg_spark.operators.walks import node2vec_walks
+
+    links = _kg_links(spark, sf_dir)
+    e = links.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).union(links.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+    return node2vec_walks(e, num_walks=2, length=3, p=2.0, q=4.0)
+
+
 def _lpa_sql():
     from biokg_spark.operators.communities import lpa_oracle_ctes
 

@@ -222,3 +222,112 @@ def test_random_walks_salted_valid_and_deterministic(spark):
         assert steps[0] == s and len(steps) == 4  # full length, no dead end
         for t in range(1, 4):
             assert (steps[t - 1], steps[t]) in eset
+
+
+def _py_node2vec(edges, num_walks, length, p, q):
+    """Row-at-a-time node2vec twin: identical md5 arithmetic and
+    cumulative-weight inversion as operators/walks.py::node2vec_walks."""
+    import hashlib
+
+    adj: dict[str, list[str]] = {}
+    eset = set()
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+        eset.add((s, d))
+    rows = []
+    for start in sorted(adj):
+        for w in range(num_walks):
+            node, prev = start, None
+            rows.append((start, w, 0, node))
+            for t in range(1, length + 1):
+                if node not in adj:
+                    break
+                nbrs = sorted(adj[node])
+                if t == 1:
+                    h = int(
+                        hashlib.md5(f"{start}|{w}|1|{node}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    nxt = nbrs[h % len(nbrs)]
+                else:
+                    ws = [
+                        (1.0 / p) if c == prev
+                        else (1.0 if (prev, c) in eset else 1.0 / q)
+                        for c in nbrs
+                    ]
+                    tot = sum(ws)
+                    h = int(
+                        hashlib.md5(
+                            f"{start}|{w}|{t}|{node}|{prev}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    thr = ((h % (1 << 20)) / float(1 << 20)) * tot
+                    cum, nxt = 0.0, nbrs[-1]
+                    for c, wgt in zip(nbrs, ws):
+                        cum += wgt
+                        if cum > thr:
+                            nxt = c
+                            break
+                prev, node = node, nxt
+                rows.append((start, w, t, node))
+    return sorted(rows)
+
+
+def test_node2vec_matches_python_twin(spark):
+    """Spark node2vec == the row-at-a-time twin, byte for byte (p=2,
+    q=4: exactly-representable weights, so float summation order cannot
+    differ between engines)."""
+    from biokg_spark.operators.walks import node2vec_walks
+
+    import random
+
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(12)]
+    base = {
+        (a, b) for a in nodes for b in nodes if a != b and rng.random() < 0.3
+    }
+    edges = sorted(base | {(b, a) for a, b in base})  # symmetric
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(
+        tuple(r) for r in node2vec_walks(
+            df, num_walks=2, length=4, p=2.0, q=4.0
+        ).collect()
+    )
+    want = _py_node2vec(edges, num_walks=2, length=4, p=2.0, q=4.0)
+    assert got == want
+    # p/q actually bias: strongly return-seeking vs return-avoiding
+    # corpora must differ on the same graph
+    ret = sorted(
+        tuple(r) for r in node2vec_walks(
+            df, num_walks=2, length=4, p=0.125, q=1.0
+        ).collect()
+    )
+    assert ret != got
+
+
+def test_node2vec_capped_runs_on_capped_graph(spark):
+    """cap_k composes sample_neighbors in: every hop must traverse an
+    edge of the CAPPED graph (the per-step fan-out bound)."""
+    from biokg_spark.operators.walks import node2vec_walks, sample_neighbors
+
+    edges = [("hub", f"n{i:02d}") for i in range(30)] + [
+        (f"n{i:02d}", "hub") for i in range(30)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    capped = {
+        (r["_s"], r["_d"])
+        for r in sample_neighbors(df, 5, src="src", dst="dst")
+        .selectExpr("src as _s", "dst as _d")
+        .collect()
+    }
+    walks = node2vec_walks(df, num_walks=1, length=3, p=2.0, q=4.0, cap_k=5)
+    seq: dict[tuple, dict[int, str]] = {}
+    for r in walks.collect():
+        seq.setdefault((r.start, r.walk_ix), {})[r.step] = r.node
+    hops = 0
+    for (s, _w), steps in seq.items():
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in capped
+            hops += 1
+    assert hops > 0
