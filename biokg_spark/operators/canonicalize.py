@@ -26,12 +26,23 @@ from pyspark.sql import functions as F
 def char_shingles(col: Column | str, width: int = 3) -> Column:
     """Character n-grams of the lowercased string (distinct, keeps a short
     string whole)."""
-    c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
-    n = F.length(c)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - width + 1), lambda i: c.substr(i, F.lit(width))
-    )
-    return F.array_distinct(F.when(n >= width, grams).otherwise(F.array(c)))
+    c_expr = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+
+    # bind the normalized string to a lambda variable (see
+    # operators/dedup.py::shingles): capturing it in the per-position
+    # lambda re-normalizes per gram — O(n²); harmless on short surface
+    # strings but wrong by idiom, and lexicons run to 10^7 rows
+    def build(c: Column) -> Column:
+        n = F.length(c)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - width + 1),
+            lambda i: c.substr(i, F.lit(width)),
+        )
+        return F.array_distinct(
+            F.when(n >= width, grams).otherwise(F.array(c))
+        )
+
+    return F.element_at(F.transform(F.array(c_expr), build), 1)
 
 
 def _signatures(
