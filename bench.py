@@ -80,6 +80,7 @@ HEADLINE = [
     "kg_entity_tfidf",
     "corpus_chunk_windows",
     "kg_random_walks",
+    "kg_node2vec_walks",
     "kg_communities_lpa",
     "kg_neighbor_sample",
     "kg_ego_network",
