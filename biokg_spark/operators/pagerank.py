@@ -111,7 +111,7 @@ def hits(
     iters: int = 8,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """HITS hubs/authorities over the DIRECTED edge set (subj→obj keeps
     the orientation the link vocabulary assigns, unlike the symmetrized
@@ -124,8 +124,16 @@ def hits(
     the consumer. Scale shape: per iteration TWO shuffle joins
     (scores × edges) + partial aggregates; the norm is a single-row
     aggregate broadcast back via crossJoin (never a driver collect);
-    scores are localCheckpointed every ``checkpoint_every`` iterations
-    (lineage-truncation discipline, see module docstring).
+    scores are localCheckpointed every ``checkpoint_every`` iterations.
+
+    ``checkpoint_every=1`` is deliberate and MEASURED, not the usual
+    every-2 cadence of pagerank/components: each ``_normalize``
+    crossJoins the scores' own 1-row norm aggregate, so the UNCHECKED
+    score subtree appears twice per half-step and its evaluation count
+    doubles per half-step until the next checkpoint — every-1 / every-2
+    / every-4 measured 19.2 / 30.4 / 48.1 s for the identical 8-iter
+    result (sf0.1 KG, min-of-2 warm). Pagerank has no such self-join,
+    so its every-2 cadence stays optimal.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (

@@ -2440,14 +2440,19 @@ def kg_snapshot_diff(spark, sf_dir):
     (operators/versioning.py::snapshot_diff): the first 20 conversations
     stand in for the previous corpus snapshot, the rest for the current
     one — added / removed / retained per (subj, pred, obj), in ONE
-    full-outer hash join that reuses each side's dedup partitioning."""
+    full-outer hash join that reuses each side's dedup partitioning.
+    The shared mention scan is localCheckpointed: both snapshot branches
+    consume it, and without the checkpoint the Arrow scan (the query's
+    dominant cost) executes once per branch — in production the two
+    snapshots are separately checkpointed tables anyway, so
+    materialize-once is the faithful shape."""
     from biokg_spark.operators.versioning import snapshot_diff
 
     conv_no = F.substring("conv_id", 5, 16).cast("int")
     ents = kg_mentions(spark, sf_dir).select(
         "conv_id", "turn_idx", F.col("entity_id").alias("eid"),
         "entity_type", conv_no.alias("conv_no"),
-    )
+    ).localCheckpoint()
     old = cooccurrence_links(
         ents.where(F.col("conv_no") < 20), keys=["conv_id", "turn_idx"]
     )
