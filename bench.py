@@ -94,6 +94,8 @@ HEADLINE = [
     "text_repetition",
     "corpus_filter",
     "text_tokenize_bpe",
+    "text_pii_scrub",
+    "corpus_line_dedup",
     "embed_cosine_topk",
     "embed_ann_lsh",
     "embed_ann_hnsw",

@@ -234,3 +234,45 @@ def trigram_dup_count(col: Column | str) -> Column:
         return F.element_at(F.transform(F.array(tri), over_trigrams), 1)
 
     return F.element_at(F.transform(F.array(tokens(col)), over_tokens), 1)
+
+
+# PII patterns, ASCII-simplified so Spark's Java regex and DuckDB's RE2
+# agree exactly (same discipline as BPE_PATTERN). ORDER MATTERS and is
+# part of the contract: email first (its local part can contain digit
+# runs), then the digit-shaped ids from most to least specific — the
+# generic phone pattern would otherwise eat SSN/IP substrings.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+?[0-9][0-9\\- ]{7,14}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Text with emails / SSNs / IPv4s / phone-shaped digit runs replaced
+    by typed placeholder tokens — the standard pre-training scrub pass.
+    A chain of 4 ``regexp_replace`` Column expressions (whole-stage
+    codegen, no UDF); the same four patterns applied in the same order
+    are the exact DuckDB oracle (``regexp_replace(..., 'g')``)."""
+    out = _c(col)
+    for _name, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """Per-type PII match counts (BEFORE scrubbing), aliased
+    ``n_<type>`` — the audit-side twin of :func:`pii_scrub` (report how
+    much was found, don't just silently rewrite). Counts use the same
+    sequential-masking discipline as the scrub so a phone never
+    double-counts an SSN's digits: each type is counted on the text
+    with all EARLIER types already scrubbed."""
+    cols = []
+    masked = _c(col)
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(
+            F.size(F.regexp_extract_all(masked, F.lit(pat), 0)).alias(f"n_{name}")
+        )
+        masked = F.regexp_replace(masked, pat, repl)
+    return cols

@@ -470,3 +470,62 @@ def chunk_dup_stats(
         )
         .select(id_col, "n_chunks", "n_dup_chunks")
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate LINE removal (the CCNet/RefinedWeb
+    pass): a line occurring in more than ``max_doc_freq`` distinct
+    documents is boilerplate (headers, footers, cookie banners,
+    subscribe prompts) and is dropped from EVERY document; document
+    text is reassembled from the surviving lines in original order.
+
+    Returns (id_col, text, n_lines, n_kept). Documents whose every line
+    was boilerplate survive with empty text (the keep/drop decision
+    belongs to corpus_filter, not here).
+
+    Scale shape: one posexplode (docs × lines), one distinct-count
+    aggregate on the line string (map-side partial; the line is the
+    GROUP KEY, so this hash-aggregates — only agg BUFFERS are
+    type-restricted), one anti-join back, and one per-doc reassembly
+    aggregate. The hot side of the anti-join is the (tiny) boilerplate
+    line set — broadcast. No all-pairs stage, no driver materialization.
+    """
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") > max_doc_freq)
+        .select("line")
+    )
+    kept_flag = lines.join(F.broadcast(hot), "line", "left_anti").select(
+        id_col, "pos", "line"
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "line")))
+    return (
+        lines.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .join(
+            kept_flag.groupBy(id_col).agg(
+                F.array_join(
+                    F.transform(ordered, lambda s: s["line"]), sep
+                ).alias("text"),
+                F.count(F.lit(1)).alias("n_kept"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -1542,6 +1542,144 @@ def text_tokenize_bpe(spark, sf_dir):
     )
 
 
+_PII_SUFFIX_SQL = """
+      text || CASE CAST(doc_id % 5 AS INT)
+        WHEN 0 THEN ' contact john.doe+spam@mail.example.co'
+        WHEN 1 THEN ' ssn 123-45-6789 on file'
+        WHEN 2 THEN ' from host 10.0.0.1 and 192.168.1.254'
+        WHEN 3 THEN ' call +1 555-0142-7788 today'
+        ELSE '' END"""
+
+
+@q(
+    "text_pii_scrub",
+    f"""
+    WITH planted AS (
+      SELECT doc_id, {_PII_SUFFIX_SQL} AS text FROM documents),
+    m0 AS (SELECT doc_id, text,
+                  len(regexp_extract_all(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                    AS n_email,
+                  regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                      '<EMAIL>', 'g') AS t1
+           FROM planted),
+    m1 AS (SELECT *, len(regexp_extract_all(t1,
+                      '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b')) AS n_ssn,
+                  regexp_replace(t1, '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b',
+                      '<SSN>', 'g') AS t2
+           FROM m0),
+    m2 AS (SELECT *, len(regexp_extract_all(t2,
+               '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
+                    AS n_ipv4,
+                  regexp_replace(t2,
+               '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+                      '<IP>', 'g') AS t3
+           FROM m1),
+    m3 AS (SELECT *, len(regexp_extract_all(t3,
+                      '\\+?[0-9][0-9\\- ]{{7,14}}[0-9]')) AS n_phone,
+                  regexp_replace(t3, '\\+?[0-9][0-9\\- ]{{7,14}}[0-9]',
+                      '<PHONE>', 'g') AS t4
+           FROM m2)
+    SELECT doc_id, t4 AS text, n_email, n_ssn, n_ipv4, n_phone FROM m3
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing over the corpus (functions/text.py::pii_scrub):
+    emails / SSNs / IPv4s / phone-shaped digit runs replaced by typed
+    placeholders, with per-type found-counts reported alongside. The
+    synthetic corpus carries no PII, so deterministic plants (by
+    doc_id % 5, synthesized identically in the oracle) make the scrub
+    demonstrated, not vacuous. Pure regexp_replace/extract_all Column
+    chain — whole-stage codegen, no UDF, identical order in both
+    engines because PII_PATTERNS order is part of the contract."""
+    from biokg_spark.functions.text import pii_counts, pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.element_at(
+                F.array(
+                    F.lit(" contact john.doe+spam@mail.example.co"),
+                    F.lit(" ssn 123-45-6789 on file"),
+                    F.lit(" from host 10.0.0.1 and 192.168.1.254"),
+                    F.lit(" call +1 555-0142-7788 today"),
+                    F.lit(""),
+                ),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        pii_scrub("text").alias("text"),
+        *pii_counts("text"),
+    )
+
+
+@q(
+    "corpus_line_dedup",
+    """
+    WITH lined AS (
+      SELECT doc_id,
+             'please subscribe to our newsletter' || chr(10) ||
+             regexp_replace(text, '((?:\\S+ ){12})', '\\1' || chr(10), 'g') ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN chr(10) || 'copyright example corp all rights reserved'
+                  ELSE '' END AS text
+      FROM documents),
+    split AS (
+      SELECT doc_id, string_split(text, chr(10)) AS parts FROM lined),
+    lines AS (
+      SELECT doc_id, parts[i] AS line, CAST(i - 1 AS INT) AS pos
+      FROM split, unnest(generate_series(1, len(parts))) AS t(i)),
+    hot AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) > 2),
+    kept AS (
+      SELECT lines.* FROM lines ANTI JOIN hot USING (line)),
+    reassembled AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT l.doc_id,
+           coalesce(r.text, '') AS text,
+           l.n_lines,
+           coalesce(r.n_kept, 0) AS n_kept
+    FROM (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id) l
+    LEFT JOIN reassembled r USING (doc_id)
+    """,
+)
+def corpus_line_dedup(spark, sf_dir):
+    """Corpus-level boilerplate line removal (operators/dedup.py::
+    line_dedup — the CCNet/RefinedWeb pass): lines occurring in more
+    than max_doc_freq distinct documents are dropped everywhere and
+    documents reassembled in original line order. The synthetic corpus
+    has no newlines, so the query synthesizes them (a newline every 12
+    tokens, identical regex both engines) and plants two boilerplate
+    lines — a subscribe header on every document and a copyright footer
+    on half — which the pass must strip while unique content lines
+    survive."""
+    from biokg_spark.operators.dedup import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("please subscribe to our newsletter\n"),
+            F.regexp_replace("text", r"((?:\S+ ){12})", "$1\n"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\ncopyright example corp all rights reserved"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return line_dedup(lined, "text", "doc_id", sep="\n", max_doc_freq=2)
+
+
 @q(
     "train_val_split",
     """

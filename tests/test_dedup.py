@@ -277,3 +277,23 @@ def test_minhash_xxhash64_family_equivalent_semantics(spark):
     assert (1, 2) in md5_pairs and (1, 2) in xx_pairs
     assert (4, 5) in md5_pairs and (4, 5) in xx_pairs
     assert md5_pairs == xx_pairs
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    from biokg_spark.operators.dedup import line_dedup
+
+    boiler = "subscribe now"
+    rows = [
+        (1, f"{boiler}\nalpha one\nbravo two"),
+        (2, f"{boiler}\ncharlie three\ndelta four"),
+        (3, f"{boiler}\necho five"),
+        (4, boiler),  # all-boilerplate doc survives with empty text
+        (5, "unique doc\nwith two lines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_dedup(df, "text", "doc_id", max_doc_freq=2).collect()}
+    assert got[1].text == "alpha one\nbravo two" and got[1].n_lines == 3
+    assert got[2].text == "charlie three\ndelta four" and got[2].n_kept == 2
+    assert got[3].text == "echo five"
+    assert got[4].text == "" and got[4].n_kept == 0 and got[4].n_lines == 1
+    assert got[5].text == "unique doc\nwith two lines" and got[5].n_kept == 2
