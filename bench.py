@@ -96,6 +96,8 @@ HEADLINE = [
     "text_tokenize_bpe",
     "text_pii_scrub",
     "corpus_line_dedup",
+    "corpus_bm25_search",
+    "text_unigram_logprob",
     "embed_cosine_topk",
     "embed_ann_lsh",
     "embed_ann_hnsw",

@@ -1,0 +1,133 @@
+"""Lexical retrieval and LM-style scoring over the document corpus.
+
+A training-data pipeline retrieves as well as filters: BM25 is the
+standard lexical ranker (eval-set leakage triage, nearest-document
+inspection, weak-label mining), and a corpus-fit unigram log-probability
+is the cheapest LM-quality signal (the KenLM-perplexity stand-in used by
+CCNet-style corpus filters, with the n-gram order dropped to 1 so the
+whole thing stays two aggregates).
+
+Both are pure DataFrame compositions with exact DuckDB oracles: the
+only float functions are ln/division (IEEE-identical across engines)
+and scores are rounded at the edge for cross-engine comparison.
+
+Scale shape: document-frequency and corpus-total statistics are
+map-side-partial aggregates; the corpus scalars (N, avgdl, total token
+count) are 1-row aggregates broadcast back via crossJoin (the in-plan
+alternative to a driver collect — same pattern as kg_entity_tfidf,
+allowlisted in the plan auditor); the query side of BM25 is dim-sized
+and broadcast. No all-pairs stage: candidate (doc, term) pairs come
+from the inverted term join, so a document that shares no term with a
+query is never materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from biokg_spark.functions.text import tokens
+
+
+def _term_freqs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, tf) + per-doc length — one explode + one aggregate."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 5,
+) -> DataFrame:
+    """BM25 top-k documents per query: (query_id, doc_id, score, rank).
+
+    Okapi BM25 with the +1 idf smoothing (Lucene form, always
+    positive): idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); score(d,q) =
+    Σ_t idf · tf·(k1+1)/(tf + k1·(1 − b + b·len_d/avgdl)). Query terms
+    are deduplicated (standard bag-of-words query semantics).
+
+    Plan: tf table (explode + partial agg) → df per term (partial agg)
+    → corpus scalars N/avgdl (1-row crossJoin broadcast) → inverted
+    equi-join with the broadcast query terms → per-(query, doc) score
+    aggregate → top-k window. Scores rounded to 4 dp at the edge so the
+    DuckDB twin hash-matches.
+    """
+    tf = _term_freqs(docs, text_col, id_col)
+    doc_len = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    term_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scalars = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    q_terms = (
+        queries.select(
+            F.col(query_id), F.explode(tokens(query_text)).alias("term")
+        )
+        .where(F.col("term") != "")
+        .dropDuplicates([query_id, "term"])
+    )
+    joined = (
+        tf.join(F.broadcast(q_terms), "term")
+        .join(term_df, "term")
+        .join(doc_len, id_col)
+        .crossJoin(F.broadcast(scalars))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = joined.groupBy(query_id, id_col).agg(
+        F.round(F.sum(idf * tf_part), 4).alias("score")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(query_id, id_col, "score", "rank")
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus-fit
+    unigram LM — the cheap LM-quality signal (low = typical text, high
+    = out-of-distribution / garbled). Returns (id, n_tokens,
+    mean_neg_logprob) rounded to 4 dp.
+
+    p(t) = corpus_count(t) / corpus_total; every scored token was seen
+    (the model is fit on the same corpus), so no smoothing term is
+    needed. Two partial aggregates + one broadcast-scalar crossJoin —
+    the whole "train + score" loop is one linear plan.
+    """
+    tf = _term_freqs(docs, text_col, id_col)
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = corpus.agg(F.sum("ctf").alias("total"))
+    return (
+        tf.join(corpus, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * -F.log(F.col("ctf") / F.col("total")))
+                / F.sum("tf"),
+                4,
+            ).alias("mean_neg_logprob"),
+        )
+    )

@@ -1619,6 +1619,90 @@ def text_pii_scrub(spark, sf_dir):
     )
 
 
+_BM25_QUERIES = [
+    (1, "fast table scan"),
+    (2, "hash join spark"),
+    (3, "window sort column big"),
+]
+_BM25_Q_SQL = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+_TF_SQL = """
+    tf AS (
+      SELECT doc_id, t.term, count(*) AS tf
+      FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+            FROM documents),
+           unnest(ts) AS t(term)
+      WHERE t.term <> '' GROUP BY doc_id, t.term)"""
+
+
+@q(
+    "corpus_bm25_search",
+    f"""
+    WITH q(query_id, query_text) AS (VALUES {_BM25_Q_SQL}),
+    {_TF_SQL},
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scal AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    qt AS (SELECT DISTINCT query_id, t.term
+           FROM q, unnest(string_split(lower(trim(query_text)), ' ')) AS t(term)
+           WHERE t.term <> ''),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf.tf * (1.2 + 1))
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                   4) AS score
+      FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+              JOIN dl USING (doc_id) CROSS JOIN scal
+      GROUP BY qt.query_id, tf.doc_id)
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+             AS INT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def corpus_bm25_search(spark, sf_dir):
+    """BM25 top-5 documents per query (operators/retrieval.py::
+    bm25_search — Okapi/Lucene +1-idf form): the lexical-retrieval
+    counterpart of the embedding ANN tiers, used for eval-leakage
+    triage and nearest-document inspection. Three fixed corpus-vocab
+    queries; candidate (doc, term) pairs come only from the inverted
+    term join (never all-pairs); ranking happens on the ROUNDED score
+    with a doc_id tie-break so the cross-engine comparison is exact."""
+    from biokg_spark.operators.retrieval import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, query_text string"
+    )
+    return bm25_search(docs, queries, topk=5)
+
+
+@q(
+    "text_unigram_logprob",
+    f"""
+    WITH {_TF_SQL},
+    corpus AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+    tot AS (SELECT sum(ctf) AS total FROM corpus)
+    SELECT doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           round(sum(tf.tf * -ln(ctf / CAST(total AS DOUBLE))) / sum(tf.tf),
+                 4) AS mean_neg_logprob
+    FROM tf JOIN corpus USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Per-document mean negative log-probability under the corpus-fit
+    unigram LM (operators/retrieval.py::unigram_logprob) — the cheap
+    LM-quality signal (the KenLM-perplexity stand-in of CCNet-style
+    filters at n-gram order 1). Train + score is one linear plan: two
+    partial aggregates and a broadcast 1-row total."""
+    from biokg_spark.operators.retrieval import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
 @q(
     "corpus_line_dedup",
     """

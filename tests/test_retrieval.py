@@ -1,0 +1,64 @@
+"""BM25 retrieval + unigram-LM scoring semantics (operators/retrieval.py)."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_bm25_hand_computed(spark):
+    """Tiny corpus scored by hand with the Okapi/Lucene +1-idf formula."""
+    from biokg_spark.operators.retrieval import bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "cat sat mat"), (2, "cat cat dog"), (3, "dog runs")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "cat dog")], "query_id int, query_text string")
+    got = {
+        r.doc_id: (r.score, r.rank)
+        for r in bm25_search(docs, q, topk=5).collect()
+    }
+
+    def part(tf, dl, avgdl, k1=1.2, b=0.75):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))  # df=2 for both terms
+    avgdl = 8 / 3
+    want = {
+        1: round(idf * part(1, 3, avgdl), 4),
+        2: round(idf * (part(2, 3, avgdl) + part(1, 3, avgdl)), 4),
+        3: round(idf * part(1, 2, avgdl), 4),
+    }
+    assert {d: s for d, (s, _r) in got.items()} == want
+    assert [d for d, (_s, r) in sorted(got.items(), key=lambda kv: kv[1][1])] == [2, 3, 1]
+
+
+def test_bm25_no_shared_term_never_materialized(spark):
+    from biokg_spark.operators.retrieval import bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    q = spark.createDataFrame(
+        [(1, "alpha"), (2, "zzz")], "query_id int, query_text string"
+    )
+    rows = bm25_search(docs, q).collect()
+    assert {(r.query_id, r.doc_id) for r in rows} == {(1, 1)}  # q2: no hits
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    from biokg_spark.operators.retrieval import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "common common common common"), (2, "common rare")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    # corpus: common x5, rare x1, total 6
+    p_common, p_rare = 5 / 6, 1 / 6
+    assert got[1].n_tokens == 4
+    assert got[1].mean_neg_logprob == round(-math.log(p_common), 4)
+    assert got[2].mean_neg_logprob == round(
+        (-math.log(p_common) - math.log(p_rare)) / 2, 4
+    )
+    assert got[2].mean_neg_logprob > got[1].mean_neg_logprob
