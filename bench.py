@@ -96,6 +96,7 @@ HEADLINE = [
     "text_tokenize_bpe",
     "text_pii_scrub",
     "corpus_line_dedup",
+    "corpus_mixture_epochs",
     "corpus_bm25_search",
     "text_unigram_logprob",
     "embed_cosine_topk",

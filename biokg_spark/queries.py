@@ -2012,6 +2012,51 @@ def corpus_stratified_sample(spark, sf_dir):
 
 
 @q(
+    "corpus_mixture_epochs",
+    """
+    WITH c AS (SELECT source, sum(n_chars) AS c_s FROM documents GROUP BY source),
+    per AS (
+      SELECT source,
+             least(0.75 * sqrt(CAST(sum(c_s) OVER () AS DOUBLE)
+                               / CAST(c_s AS DOUBLE)), 4.0) AS e
+      FROM c),
+    d AS (
+      SELECT doc_id, documents.source AS source, e,
+             CAST(floor(e) AS INT) AS n_full, e - floor(e) AS frac
+      FROM documents JOIN per ON documents.source = per.source),
+    x AS (
+      SELECT doc_id, source, e, n_full, frac,
+             CAST(unnest(range(n_full + 1)) AS INT) AS copy
+      FROM d)
+    SELECT doc_id, source, copy,
+           CAST(floor(e * 10000) AS INT) AS epoch_bp
+    FROM x
+    WHERE copy < n_full
+       OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                               || CAST(copy AS VARCHAR)), 1, 8))::BIGINT
+          < frac * 4294967296.0
+    """,
+)
+def corpus_mixture_epochs(spark, sf_dir):
+    """Temperature-style data-mixture upsampling
+    (operators/mixture.py::upsample_mixture): every document is
+    replicated to its source's alpha=1/2 mixture epoch factor
+    e_s = min(0.75*sqrt(C/c_s), 4.0) — small sources repeat up to 4
+    epochs, the dominant slice drops to 0.75 of a pass; the fractional
+    copy survives by an md5 threshold, so the SAME physical copies
+    materialize on every run/engine. Factor math is sqrt/div/floor only
+    (IEEE correctly rounded — pow is not, hence alpha pinned at 1/2),
+    so the DuckDB oracle matches bit-for-bit. Shapes: one tiny
+    partial+final HashAggregate on source, a window-sum over ~4 factor
+    rows, one broadcast join back, one bounded sequence-explode — the
+    corpus is never shuffled."""
+    from biokg_spark.operators.mixture import upsample_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return upsample_mixture(docs, max_epochs=4.0, scale=0.75)
+
+
+@q(
     "corpus_filter",
     f"""
     WITH base AS (

@@ -1,0 +1,72 @@
+"""Data-mixture upsampling semantics (operators/mixture.py)."""
+
+from __future__ import annotations
+
+import math
+
+from biokg_spark.operators.mixture import mixture_epoch_factors, upsample_mixture
+
+
+def _docs(spark, sizes):
+    # sizes: {source: (n_docs, chars_per_doc)}
+    rows, i = [], 0
+    for src, (n, chars) in sizes.items():
+        for _ in range(n):
+            rows.append((i, src, chars))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+
+
+def test_factors_inverse_sqrt_and_cap(spark):
+    # big: 90k chars, small: 10k chars -> C=100k
+    docs = _docs(spark, {"crawl": (90, 1000), "books": (10, 1000)})
+    per = {
+        r.source: r.epoch_factor
+        for r in mixture_epoch_factors(docs, max_epochs=4.0).collect()
+    }
+    assert per["crawl"] == math.sqrt(100_000 / 90_000)
+    # sqrt(10) ~ 3.16 < 4 cap
+    assert per["books"] == math.sqrt(100_000 / 10_000)
+    capped = {
+        r.source: r.epoch_factor
+        for r in mixture_epoch_factors(docs, max_epochs=2.0).collect()
+    }
+    assert capped["books"] == 2.0
+
+
+def test_scale_pushes_dominant_below_one_epoch(spark):
+    docs = _docs(spark, {"crawl": (400, 1000), "books": (20, 1000)})
+    out = upsample_mixture(docs, max_epochs=4.0, scale=0.5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # crawl factor = 0.5*sqrt(420/400) < 1: a strict subset of one epoch
+    assert 0 < len(by_src["crawl"]) < 400
+    assert all(r.copy == 0 for r in by_src["crawl"])
+    # books factor = 0.5*sqrt(21) ~ 2.29: every doc appears >= 2 times
+    books_per_doc = {}
+    for r in by_src["books"]:
+        books_per_doc[r.doc_id] = books_per_doc.get(r.doc_id, 0) + 1
+    assert len(books_per_doc) == 20
+    assert all(c in (2, 3) for c in books_per_doc.values())
+    # realized copy mass tracks the factor (binomial on 20 docs, wide slack)
+    factor = 0.5 * math.sqrt(420 / 20)
+    assert abs(sum(books_per_doc.values()) / 20 - factor) < 0.5
+
+
+def test_rerun_and_partitioning_stable(spark):
+    docs = _docs(spark, {"a": (50, 100), "b": (5, 100)})
+    one = {(r.doc_id, r.copy) for r in upsample_mixture(docs, scale=0.9).collect()}
+    two = {
+        (r.doc_id, r.copy)
+        for r in upsample_mixture(docs.repartition(7), scale=0.9).collect()
+    }
+    assert one == two
+
+
+def test_epoch_bp_matches_factor(spark):
+    docs = _docs(spark, {"a": (90, 1000), "b": (10, 1000)})
+    rows = upsample_mixture(docs, max_epochs=4.0, scale=1.0).collect()
+    bp = {r.source: r.epoch_bp for r in rows}
+    assert bp["a"] == math.floor(math.sqrt(100 / 90) * 10000)
+    assert bp["b"] == math.floor(math.sqrt(10) * 10000)
