@@ -97,6 +97,7 @@ HEADLINE = [
     "text_pii_scrub",
     "corpus_line_dedup",
     "corpus_mixture_epochs",
+    "corpus_slice_overlap",
     "corpus_bm25_search",
     "text_unigram_logprob",
     "embed_cosine_topk",

@@ -529,3 +529,80 @@ def line_dedup(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def slice_overlap(
+    df: DataFrame,
+    slice_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    width: int = 3,
+    hash_family: str = "md5",
+    shingle_partitions: int | None = None,
+) -> DataFrame:
+    """MinHash Jaccard estimate BETWEEN corpus slices (not documents).
+
+    Answers "how much does source A's shingle set overlap source B's?"
+    — the corpus-level view behind dedup budgeting, crawl-snapshot
+    overlap, and cross-source contamination triage. Treats each slice
+    (source, snapshot, language, ...) as ONE shingle set, computes the
+    k-seed MinHash signature per slice, and reports the fraction of
+    agreeing seeds per slice pair — the classic single-row estimator
+    E[match_rate] = Jaccard(A, B), stderr ~ 1/sqrt(k).
+
+    Returns (slice_a, slice_b, n_match, n_seeds, jaccard_bp) for every
+    unordered slice pair (slice_a < slice_b); jaccard_bp is the estimate
+    in integer basis points (floor(n_match*10000/k)) so the output
+    hash-compares across engines without float formatting.
+
+    Scale shape: ONE shingle explode + ONE map-side-partial
+    HashAggregate on the slice key collapses the entire corpus to
+    (#slices x k) longs; the pairwise compare is an equi-join ON SEED of
+    that tiny table with itself (broadcast; never a cross join of the
+    corpus, never all-pairs of documents). The final aggregate is
+    (#slices^2 x k) rows — driver-safe for hundreds of slices. Same
+    ``hash_family``/``shingle_partitions`` tiering as
+    :func:`minhash_signatures` (md5 = oracle form, xxhash64 = scale
+    form; repartition the exploded shingles when slices are few but
+    huge, which is exactly this operator's shape at 100 TB).
+    """
+    sh = df.select(
+        F.col(slice_col).alias("slice"), F.explode(shingles(text_col, width)).alias("sh")
+    )
+    if shingle_partitions is not None:
+        sh = sh.repartition(shingle_partitions)
+    aggs = [
+        F.min(_seed_hash(s, F.col("sh"), hash_family)).alias(f"_h{s}")
+        for s in range(num_hashes)
+    ]
+    sigs = sh.groupBy("slice").agg(*aggs)
+    seeded = F.array(
+        *[
+            F.struct(F.lit(s).alias("seed"), F.col(f"_h{s}").alias("mh"))
+            for s in range(num_hashes)
+        ]
+    )
+    long_form = sigs.select("slice", F.explode(seeded).alias("x")).select(
+        "slice", F.col("x.seed").alias("seed"), F.col("x.mh").alias("mh")
+    )
+    a = long_form.select(
+        F.col("slice").alias("slice_a"), "seed", F.col("mh").alias("mh_a")
+    )
+    b = long_form.select(
+        F.col("slice").alias("slice_b"), "seed", F.col("mh").alias("mh_b")
+    )
+    return (
+        a.join(F.broadcast(b), "seed")
+        .where(F.col("slice_a") < F.col("slice_b"))
+        .groupBy("slice_a", "slice_b")
+        .agg(
+            F.sum(
+                F.when(F.col("mh_a") == F.col("mh_b"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_match"),
+            F.count(F.lit(1)).alias("n_seeds"),
+        )
+        .withColumn(
+            "jaccard_bp",
+            F.floor(F.col("n_match") * 10000.0 / F.col("n_seeds")).cast("int"),
+        )
+    )

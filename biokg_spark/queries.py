@@ -2057,6 +2057,44 @@ def corpus_mixture_epochs(spark, sf_dir):
 
 
 @q(
+    "corpus_slice_overlap",
+    f"""
+    WITH {_SHINGLES_SQL},
+    ssh AS (
+      SELECT d.source AS slice, sh.sh
+      FROM sh JOIN documents d USING (doc_id)),
+    seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
+    sig AS (
+      SELECT slice, seed,
+             min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || sh),
+                                      1, 15)) AS BIGINT)) AS mh
+      FROM ssh, seeds GROUP BY slice, seed)
+    SELECT a.slice AS slice_a, b.slice AS slice_b,
+           sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS n_match,
+           count(*) AS n_seeds,
+           CAST(floor(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                      * 10000.0 / count(*)) AS INT) AS jaccard_bp
+    FROM sig a JOIN sig b ON a.seed = b.seed AND a.slice < b.slice
+    GROUP BY a.slice, b.slice
+    """,
+)
+def corpus_slice_overlap(spark, sf_dir):
+    """Corpus-slice overlap matrix (operators/dedup.py::slice_overlap):
+    each source's full shingle set is sketched to a 32-seed MinHash
+    signature and every source pair reports its agreeing-seed fraction —
+    the single-row Jaccard estimator behind dedup budgeting and
+    crawl-snapshot overlap triage. Shapes: one shingle explode + ONE
+    map-side-partial HashAggregate (long buffers) collapses the corpus
+    to (#slices x 32) longs; the pairwise compare is a broadcast
+    equi-join ON SEED of that tiny table — never a document-level
+    all-pairs, never a cross join."""
+    from biokg_spark.operators.dedup import slice_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return slice_overlap(docs, "source", "text", num_hashes=32, width=3)
+
+
+@q(
     "corpus_filter",
     f"""
     WITH base AS (

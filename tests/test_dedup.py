@@ -297,3 +297,51 @@ def test_line_dedup_drops_boilerplate_keeps_order(spark):
     assert got[3].text == "echo five"
     assert got[4].text == "" and got[4].n_kept == 0 and got[4].n_lines == 1
     assert got[5].text == "unique doc\nwith two lines" and got[5].n_kept == 2
+
+
+# ---------------------------------------------------------------------------
+# slice_overlap: corpus-slice MinHash Jaccard matrix
+# ---------------------------------------------------------------------------
+
+
+def _slice_docs(spark, slices):
+    # slices: {name: [texts]}
+    rows, i = [], 0
+    for name, texts in slices.items():
+        for t in texts:
+            rows.append((i, name, t))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_slice_overlap_identical_and_disjoint(spark):
+    from biokg_spark.operators.dedup import slice_overlap
+
+    shared = ["alpha beta gamma delta epsilon zeta eta theta"]
+    other = ["one two three four five six seven eight nine ten"]
+    df = _slice_docs(spark, {"a": shared, "b": shared, "c": other})
+    got = {
+        (r.slice_a, r.slice_b): (r.n_match, r.n_seeds, r.jaccard_bp)
+        for r in slice_overlap(df, "source", "text", num_hashes=16).collect()
+    }
+    # identical shingle sets: every seed's min agrees
+    assert got[("a", "b")] == (16, 16, 10000)
+    # disjoint shingle sets: (vanishingly unlikely) hash collisions aside
+    assert got[("a", "c")][0] <= 1
+    assert got[("b", "c")][0] <= 1
+    assert len(got) == 3  # unordered pairs only
+
+
+def test_slice_overlap_partial_tracks_jaccard(spark):
+    from biokg_spark.operators.dedup import slice_overlap
+
+    words = [f"w{i}" for i in range(400)]
+    half = " ".join(words[:300])          # shingles from words 0..299
+    other_half = " ".join(words[100:400])  # shingles from words 100..399
+    df = _slice_docs(spark, {"a": [half], "b": [other_half]})
+    (row,) = slice_overlap(df, "source", "text", num_hashes=64).collect()
+    # true shingle Jaccard ~ (200-ish shared)/(400-ish union) ~ 0.33;
+    # 64 seeds => stderr ~ 0.06, assert a wide band
+    est = row.n_match / row.n_seeds
+    assert 0.15 < est < 0.55
+    assert row.jaccard_bp == int(row.n_match * 10000 / 64)
