@@ -98,6 +98,9 @@ HEADLINE = [
     "corpus_line_dedup",
     "corpus_mixture_epochs",
     "corpus_slice_overlap",
+    "corpus_delta_dedup",
+    "corpus_leakage_safe_split",
+    "corpus_budget_select",
     "corpus_bm25_search",
     "text_unigram_logprob",
     "embed_cosine_topk",
@@ -306,7 +309,7 @@ def bench_default() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as f:
         json.dump(full, f, indent=1)
-    line = json.dumps(compact)
+    line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # belt-and-braces: never overflow the 2 KiB tail
         compact["queries"] = {
             k: v for k, v in sorted(
@@ -314,7 +317,7 @@ def bench_default() -> None:
             )[:30]
         }
         compact["queries_truncated_see_full_report"] = True
-        line = json.dumps(compact)
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()
 

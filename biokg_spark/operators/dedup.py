@@ -606,3 +606,53 @@ def slice_overlap(
             F.floor(F.col("n_match") * 10000.0 / F.col("n_seeds")).cast("int"),
         )
     )
+
+
+def delta_dedup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Incremental batch dedup: a new shard against the existing corpus.
+
+    The steady-state form of exact dedup in a growing pipeline: the
+    corpus is already deduplicated (its fingerprint INDEX is a
+    maintained artifact), and each incoming shard must drop (a) docs
+    whose content already exists in the corpus and (b) duplicates
+    within the shard itself (survivor = min id). Returns one row per
+    delta doc: (id_col, fingerprint, status) with status in
+    ('dup_corpus', 'dup_delta', 'keep') — corpus membership outranks
+    within-shard duplication so re-ingesting an already-kept doc is
+    always 'dup_corpus'.
+
+    Scale shape: fingerprints are md5 of normalized content (pure
+    Column); the corpus side reduces to its DISTINCT fingerprint index
+    (at 100 TB this is the precomputed/bucketed index, not a rescan),
+    the within-shard survivor election is one map-side-partial
+    HashAggregate on the shard only, and both joins are fp equi-joins —
+    with the delta a small increment AQE broadcasts it; with both huge,
+    bucketing the index by fingerprint co-locates the probe. No state
+    on the driver, rerun-idempotent (same shard -> same statuses).
+    """
+    from biokg_spark.functions.text import doc_fingerprint
+
+    idx = (
+        corpus.select(doc_fingerprint(text_col).alias("fingerprint"))
+        .distinct()
+        .withColumn("_in_corpus", F.lit(True))
+    )
+    d = delta.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+    surv = d.groupBy("fingerprint").agg(F.min(id_col).alias("_keep_id"))
+    return (
+        d.join(idx, "fingerprint", "left")
+        .join(surv, "fingerprint")
+        .select(
+            id_col,
+            "fingerprint",
+            F.when(F.col("_in_corpus").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col(id_col) != F.col("_keep_id"), F.lit("dup_delta"))
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+        )
+    )

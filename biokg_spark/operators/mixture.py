@@ -131,3 +131,76 @@ def upsample_mixture(
             F.floor(F.col("epoch_factor") * 10000).cast("int").alias("epoch_bp"),
         )
     )
+
+
+def budget_select(
+    docs: DataFrame,
+    rank_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Greedy token-budget subset selection by rank, without a global
+    single-partition window.
+
+    "Take the best documents until the token budget is spent" needs a
+    GLOBAL running sum over (rank desc, id) order. The naive
+    ``Window.orderBy(...)`` with no partition key moves the entire
+    corpus into ONE task — correct at test scale, a guaranteed straggler
+    at 100 TB. This implements the distributed two-phase prefix sum
+    instead:
+
+      1. value-range bucket on the rank itself (``floor(rank*B)`` — no
+         sort, no shuffle beyond the aggregate),
+      2. per-bucket token totals (tiny: B rows) -> each bucket's global
+         starting offset via a window over that TINY table,
+      3. within-bucket running sum (window partitioned BY BUCKET, so
+         every task sees one bucket's rows, ~1/B of the corpus),
+      4. global prefix = bucket offset + within-bucket prefix.
+
+    Buckets align with the sort order because the bucket key is a
+    monotone function of the leading sort key; ties inside a bucket are
+    broken by id, and identical rank values always land in the same
+    bucket so the order is total and engine-reproducible. A doc is
+    selected while the prefix BEFORE it is under ``budget`` (the
+    boundary doc that straddles the budget is kept — chunking decides
+    its fate downstream, cf. operators/packing.py).
+
+    Returns (id_col, rank_col, tokens_col, running_before, selected).
+    """
+    b = F.floor(F.col(rank_col) * n_buckets).cast("long")
+    ranked = docs.select(
+        F.col(id_col),
+        F.col(rank_col),
+        F.col(tokens_col).cast("long").alias("_tok"),
+        b.alias("_bucket"),
+    )
+    totals = ranked.groupBy("_bucket").agg(F.sum("_tok").alias("_bucket_tok"))
+    # offset = tokens in all STRICTLY HIGHER buckets (rank sorts desc)
+    w_off = (
+        Window.orderBy(F.col("_bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_offset", F.coalesce(F.sum("_bucket_tok").over(w_off), F.lit(0))
+    ).select("_bucket", "_offset")
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col(rank_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "running_before",
+            F.col("_offset") + F.coalesce(F.sum("_tok").over(w_in), F.lit(0)),
+        )
+        .select(
+            id_col,
+            rank_col,
+            F.col("_tok").alias(tokens_col),
+            "running_before",
+            (F.col("running_before") < budget).alias("selected"),
+        )
+    )

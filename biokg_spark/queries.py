@@ -2095,6 +2095,175 @@ def corpus_slice_overlap(spark, sf_dir):
 
 
 @q(
+    "corpus_delta_dedup",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fingerprint
+      FROM documents),
+    corpus AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 2 = 0),
+    delta AS (SELECT doc_id, fingerprint FROM f WHERE doc_id % 2 = 1),
+    surv AS (
+      SELECT fingerprint, min(doc_id) AS keep_id FROM delta GROUP BY fingerprint)
+    SELECT d.doc_id, d.fingerprint,
+           CASE WHEN c.fingerprint IS NOT NULL THEN 'dup_corpus'
+                WHEN d.doc_id <> s.keep_id THEN 'dup_delta'
+                ELSE 'keep' END AS status
+    FROM delta d
+    LEFT JOIN corpus c ON d.fingerprint = c.fingerprint
+    JOIN surv s ON d.fingerprint = s.fingerprint
+    """,
+)
+def corpus_delta_dedup(spark, sf_dir):
+    """Incremental batch dedup (operators/dedup.py::delta_dedup): a new
+    shard (odd doc_ids) deduplicated against the existing corpus index
+    (even doc_ids) — the steady-state form of exact dedup in a growing
+    pipeline. 'dup_corpus' outranks 'dup_delta'; survivor within the
+    shard is min id. Shapes: corpus reduces to its DISTINCT fingerprint
+    index, shard survivor election is one map-side-partial
+    HashAggregate on the SHARD only, two fp equi-joins (AQE broadcasts
+    the small increment; a bucketed index co-locates the probe at
+    100 TB)."""
+    from biokg_spark.operators.dedup import delta_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return delta_dedup(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+    )
+
+
+@q(
+    "corpus_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {{shingles}},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    sig AS (
+      SELECT doc_id, seed,
+             min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || sh),
+                                      1, 15)) AS BIGINT)) AS mh
+      FROM sh, seeds GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band_idx,
+             md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, seed // 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      UNION SELECT id_b, id_a FROM cand),
+    reach(id, comp) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.id),
+    comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+    rep AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+    h AS (
+      SELECT doc_id, cluster_rep,
+             substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 4) AS hx
+      FROM rep)
+    SELECT doc_id, cluster_rep,
+           CASE WHEN hx < 'cccc' THEN 'train'
+                WHEN hx < 'e666' THEN 'val'
+                WHEN hx < 'ffff' THEN 'test' END AS split
+    FROM h
+    """.replace("{shingles}", _SHINGLES_SQL),
+)
+def corpus_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: near-duplicate documents must
+    land in the SAME split, or eval leaks training content. Composition
+    of three oracled operators — LSH candidate pairs
+    (operators/dedup.py) -> connected components
+    (operators/components.py) -> md5-threshold split on the CLUSTER
+    representative (functions/text.py::split_assign), with isolated
+    docs their own cluster. The split decision depends only on the
+    cluster label, so it is rerun-stable and new near-dups of an
+    existing doc always join its split."""
+    from biokg_spark.functions.text import split_assign
+    from biokg_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=4, width=3
+    )
+    comp = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_rep"),
+        )
+        .withColumn(
+            "split",
+            split_assign("cluster_rep", {"train": 0.8, "val": 0.1, "test": 0.1}),
+        )
+    )
+
+
+@q(
+    "corpus_budget_select",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS ts
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len(ts) END AS n_tokens,
+             round(0.4 * (CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                                          ELSE len(ts) END) BETWEEN 5 AND 5000
+                                THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * least(CAST(len(list_filter(ts, w -> w IN {_STOP_SQL}))
+                                    AS DOUBLE)
+                               / greatest(CASE WHEN trim(text) = '' THEN 0
+                                               ELSE len(ts) END, 1) * 5, 1.0)
+                 + 0.3 * (CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                               AS DOUBLE) / greatest(len(text), 1)), 4)
+               AS quality
+      FROM t),
+    o AS (
+      SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+             coalesce(sum(CAST(n_tokens AS BIGINT)) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS running_before
+      FROM m)
+    SELECT doc_id, quality, n_tokens, running_before,
+           running_before < 50000 AS selected
+    FROM o
+    """,
+)
+def corpus_budget_select(spark, sf_dir):
+    """Token-budget subset selection (operators/mixture.py::
+    budget_select): keep the highest-quality documents until a 50k-token
+    budget is spent. The oracle states the spec as ONE global running
+    sum; the Spark side computes the identical prefix with the
+    distributed two-phase form — value-range bucket on quality,
+    per-bucket offsets from a tiny window, within-bucket running sum
+    partitioned BY BUCKET — so no task ever sees more than ~1/B of the
+    corpus (a global orderBy window would drag 100 TB into one task)."""
+    from biokg_spark.operators.mixture import budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+    )
+    return budget_select(
+        base, "quality", "doc_id", "n_tokens", budget=50_000, n_buckets=100
+    )
+
+
+@q(
     "corpus_filter",
     f"""
     WITH base AS (

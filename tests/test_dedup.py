@@ -345,3 +345,34 @@ def test_slice_overlap_partial_tracks_jaccard(spark):
     est = row.n_match / row.n_seeds
     assert 0.15 < est < 0.55
     assert row.jaccard_bp == int(row.n_match * 10000 / 64)
+
+
+def test_delta_dedup_statuses(spark):
+    from biokg_spark.operators.dedup import delta_dedup
+
+    corpus = spark.createDataFrame(
+        [(0, "hello world"), (2, "other text")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [
+            (11, "Hello   WORLD"),   # normalizes to a corpus doc
+            (13, "fresh content"),
+            (15, "fresh  CONTENT"),  # within-shard dup of 13
+            (17, "unique thing"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in delta_dedup(corpus, delta, "text", "doc_id").collect()}
+    assert got == {11: "dup_corpus", 13: "keep", 15: "dup_delta", 17: "keep"}
+
+
+def test_delta_dedup_corpus_outranks_shard(spark):
+    from biokg_spark.operators.dedup import delta_dedup
+
+    corpus = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(1, "a b c"), (2, "a  b  c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in delta_dedup(corpus, delta, "text", "doc_id").collect()}
+    # both shard copies exist in the corpus: neither is 'keep' or 'dup_delta'
+    assert got == {1: "dup_corpus", 2: "dup_corpus"}

@@ -70,3 +70,43 @@ def test_epoch_bp_matches_factor(spark):
     bp = {r.source: r.epoch_bp for r in rows}
     assert bp["a"] == math.floor(math.sqrt(100 / 90) * 10000)
     assert bp["b"] == math.floor(math.sqrt(10) * 10000)
+
+
+def test_budget_select_matches_global_prefix(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from biokg_spark.operators.mixture import budget_select
+
+    rows = [(i, round(((i * 37) % 100) / 100.0, 4), 10 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, q double, n_tok long")
+    got = {
+        r.doc_id: (r.running_before, r.selected)
+        for r in budget_select(df, "q", "doc_id", "n_tok", budget=500).collect()
+    }
+    w = Window.orderBy(F.col("q").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    exp = {
+        r.doc_id: (r.rb, r.rb < 500)
+        for r in df.withColumn(
+            "rb", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == exp
+    assert len(got) == 200
+
+
+def test_budget_select_boundary_doc_kept(spark):
+    from biokg_spark.operators.mixture import budget_select
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 40), (2, 0.5, 40), (3, 0.1, 40)],
+        "doc_id long, q double, n_tok long",
+    )
+    got = {
+        r.doc_id: r.selected
+        for r in budget_select(df, "q", "doc_id", "n_tok", budget=50).collect()
+    }
+    # doc 2 straddles the budget (prefix 40 < 50): kept; doc 3 (prefix 80): not
+    assert got == {1: True, 2: True, 3: False}
