@@ -94,6 +94,7 @@ HEADLINE = [
     "text_repetition",
     "corpus_filter",
     "text_tokenize_bpe",
+    "corpus_bpe_train",
     "text_pii_scrub",
     "corpus_line_dedup",
     "corpus_mixture_epochs",

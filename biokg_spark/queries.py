@@ -2263,6 +2263,27 @@ def corpus_budget_select(spark, sf_dir):
     )
 
 
+from biokg_spark.operators.bpe import bpe_oracle_sql  # noqa: E402
+
+
+@q("corpus_bpe_train", bpe_oracle_sql(4))
+def corpus_bpe_train(spark, sf_dir):
+    """BPE merge-table training (operators/bpe.py::bpe_train): learn the
+    4 highest-count tokenizer merges from corpus pair statistics —
+    count adjacent token pairs, fuse the argmax (ties lexicographic),
+    repeat. The oracle is the GENERATED unrolled SQL twin
+    (bpe_oracle_sql, the functions/cascade.py pattern): per level, pair
+    counts + deterministic argmax + the same double-replace fusion, so
+    training reproduces byte-for-byte. Training is inherently
+    sequential in merge rank — the driver loop IS the algorithm; each
+    round moves ONE row to the driver while pair counts aggregate
+    map-side."""
+    from biokg_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(spark, docs, "text", n_merges=4)
+
+
 @q(
     "corpus_filter",
     f"""

@@ -1,0 +1,42 @@
+"""BPE merge-table training semantics (operators/bpe.py)."""
+
+from __future__ import annotations
+
+from biokg_spark.operators.bpe import bpe_train
+
+
+def _train(spark, texts, n_merges):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [
+        (r.merge_rank, r.pair, r.merged, r.n)
+        for r in bpe_train(spark, df, "text", n_merges)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+
+def test_most_frequent_pair_wins_and_recurses(spark):
+    # "a b" occurs 3x, then the fused token pairs with c twice
+    got = _train(spark, ["a b c", "a b c", "a b"], 2)
+    assert got[0] == (0, "a b", "a~b", 3)
+    assert got[1] == (1, "a~b c", "a~b~c", 2)
+
+
+def test_overlapping_run_greedy_left_to_right(spark):
+    # "a a a a": greedy left-to-right fuses positions (1,2) and (3,4)
+    got = _train(spark, ["a a a a"], 2)
+    assert got[0] == (0, "a a", "a~a", 3)  # 3 adjacent occurrences counted
+    # after fusion the text is "a~a a~a": one occurrence of the new pair
+    assert got[1] == (1, "a~a a~a", "a~a~a~a", 1)
+
+
+def test_tie_breaks_lexicographic(spark):
+    got = _train(spark, ["z y", "b a"], 1)
+    # both pairs occur once; 'b a' < 'z y'
+    assert got[0] == (0, "b a", "b~a", 1)
+
+
+def test_early_stop_when_no_pairs(spark):
+    got = _train(spark, ["solo", "word"], 3)
+    # round 0 fuses the only pair-less corpus? no adjacent pairs at all
+    assert got == []
