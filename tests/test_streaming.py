@@ -297,3 +297,61 @@ def test_incremental_provenance_matches_full(spark, tmp_path):
             for r in pipe_full.ppi_species_buckets(links).collect()
         }
     assert ppi_set(inc_links) == ppi_set(full["links"]) != set()
+
+
+def test_streaming_dedup_one_keeper_per_content(spark, tmp_path):
+    """Across micro-batches exactly ONE doc survives per distinct content,
+    dup statuses are consistent with the keeper set, and a replay over the
+    same source+checkpoint changes nothing."""
+    from biokg_spark.streaming.corpus import streaming_dedup
+
+    # 30 docs, 10 distinct contents -> 10 keepers, 20 dups
+    rows = [(i, f"dup text number {i % 10}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "dedup")
+    ckpt = str(tmp_path / "ckpt")
+    # several source files so availableNow + maxFilesPerTrigger=1 yields
+    # several micro-batches (the cross-batch dup_corpus path is exercised)
+    docs.repartition(6).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_dedup(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    res = spark.read.parquet(out)
+    got = [(r.doc_id, r.fingerprint, r.status, r.batch_id) for r in res.collect()]
+    assert len(got) == 30
+    n_batches = len({b for _, _, _, b in got})
+    assert n_batches >= 2  # the index-read path really ran
+    keepers = [(d, fp) for d, fp, s, _ in got if s == "keep"]
+    assert len(keepers) == 10  # one per distinct content
+    assert len({fp for _, fp in keepers}) == 10
+    # every dup's fingerprint has a keeper, and dup_corpus keepers are in
+    # an EARLIER batch
+    batch_of = {d: b for d, _, _, b in got}
+    keeper_batch = {fp: batch_of[d] for d, fp in keepers}
+    for d, fp, s, b in got:
+        if s == "dup_corpus":
+            assert keeper_batch[fp] < b
+        elif s == "dup_delta":
+            assert keeper_batch[fp] == b
+
+    # replay: same source, same checkpoint -> identical table
+    q2 = streaming_dedup(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        out,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    again = sorted(
+        (r.doc_id, r.fingerprint, r.status, r.batch_id)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert again == sorted(got)
