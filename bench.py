@@ -107,6 +107,7 @@ HEADLINE = [
     "embed_cosine_topk",
     "embed_ann_lsh",
     "embed_ann_hnsw",
+    "embed_kmeans",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

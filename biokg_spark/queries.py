@@ -2264,6 +2264,25 @@ def corpus_budget_select(spark, sf_dir):
 
 
 from biokg_spark.operators.bpe import bpe_oracle_sql  # noqa: E402
+from biokg_spark.operators.clustering import kmeans_oracle_sql  # noqa: E402
+
+
+@q("embed_kmeans", kmeans_oracle_sql(k=4, iterations=2))
+def embed_kmeans(spark, sf_dir):
+    """Deterministic distributed k-means over the embedding column
+    (operators/clustering.py::kmeans_assign): id-ordered init, rounded
+    argmin with id tie-break, and QUANTIZED-INTEGER centroid means
+    (micro-unit longs sum order-independently, unlike float sums), so
+    every run, partitioning, and engine lands identical clusters — the
+    oracle is the generated unrolled SQL twin. Shapes: assignment is a
+    pure Column expression against k x d centroid LITERALS (no join);
+    the update is one posexplode + one (cluster, dim) HashAggregate;
+    only k x d rows per iteration reach the driver (the MLlib KMeans
+    pattern)."""
+    from biokg_spark.operators.clustering import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, "vec_id", "embedding", k=4, iterations=2)
 
 
 @q("corpus_bpe_train", bpe_oracle_sql(4))
