@@ -313,6 +313,12 @@ def bench_default() -> None:
         json.dump(full, f, indent=1)
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # belt-and-braces: never overflow the 2 KiB tail
+        # first shed optional metadata keys (all duplicated in the file
+        # report) before sacrificing any per-query timing
+        for key in ("full_report", "cpus"):
+            compact.pop(key, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
         compact["queries"] = {
             k: v for k, v in sorted(
                 timings.items(), key=lambda kv: -kv[1]
