@@ -21,6 +21,16 @@ matter at 100 TB:
   transcript_near_dup 258.7 s vs <30 s at sf0.1 for the same algorithm
   with a LONG-buffered hash family). The round-4 audit missed exactly
   this, so it is now a first-class check.
+- no ``Exchange SinglePartition`` over UNAGGREGATED input: a global
+  ``Window.orderBy(...)`` / global ``Sort`` drags every row into ONE
+  task — correct at test scale, a guaranteed straggler at 100 TB
+  (measured: the naive global running sum vs the two-phase bucketed
+  prefix sum of ``operators/mixture.py::budget_select`` — 4.23 s vs
+  1.63 s at 5M rows, and the gap is unbounded in row count). A
+  single-partition exchange is FINE when its child subtree contains an
+  Aggregate/Limit/LocalTableScan (a tiny pre-reduced frame: corpus-
+  scalar finals, the mixture factor window, per-bucket offsets); the
+  check flags only raw-stream cases.
 
 Run: ``python scripts/audit_plans.py`` (writes PLANS.md at the repo root).
 """
@@ -71,6 +81,40 @@ EXPECTED = {
 }
 
 
+def _unaggregated_single_partition(plan: str) -> list[str]:
+    """Node ids of SinglePartition exchanges fed by raw (unreduced) input.
+
+    Detail blocks identify which Exchange nodes are SinglePartition; the
+    tree section gives each exchange's child subtree by indentation. A
+    subtree containing an Aggregate/Limit/LocalTableScan is a tiny
+    pre-reduced frame (corpus-scalar finals, factor-table windows) and
+    passes; anything else means every raw row lands in one task.
+    """
+    sp_ids = set()
+    for blk in re.split(r"\n\n", plan):
+        m = re.match(r"\((\d+)\) Exchange\b", blk)
+        if m and "Arguments: SinglePartition" in blk:
+            sp_ids.add(m.group(1))
+    if not sp_ids:
+        return []
+    tree = plan.split("\n\n")[0].split("\n")
+    bad = []
+    for i, ln in enumerate(tree):
+        m = re.search(r"\bExchange \((\d+)\)\s*$", ln)
+        if not m or m.group(1) not in sp_ids:
+            continue
+        depth = len(ln) - len(ln.lstrip(" :+-"))
+        sub = []
+        for ln2 in tree[i + 1 :]:
+            d2 = len(ln2) - len(ln2.lstrip(" :+-"))
+            if ln2.strip() and d2 <= depth:
+                break
+            sub.append(ln2)
+        if not re.search(r"Aggregate|Limit|LocalTableScan", "\n".join(sub)):
+            bad.append(m.group(1))
+    return bad
+
+
 def audit(name: str, plan: str):
     problems = []
     if "CartesianProduct" in plan:
@@ -81,6 +125,12 @@ def audit(name: str, plan: str):
         problems.append("row-at-a-time Python UDF (BatchEvalPython)")
     if "SortAggregate" in plan:
         problems.append("SortAggregate present (string/struct agg buffer)")
+    sp_bad = _unaggregated_single_partition(plan)
+    if sp_bad:
+        problems.append(
+            "single-partition exchange over unaggregated input "
+            f"(global window/sort straggler; nodes {','.join(sp_bad)})"
+        )
     n_scans = plan.count("Scan parquet")
     n_pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
     # distinct-style aggregates carry no aggregate functions, hence no
@@ -109,8 +159,10 @@ def main() -> None:
         f"Auto-generated by `scripts/audit_plans.py` at sf dir `{SF_DIR}`.",
         "Checks: no cross joins, no row-at-a-time Python UDFs, broadcast",
         "dim joins, pushed filters + pruned scan schemas, partial+final",
-        "aggregates. `MapInPandas`/`ArrowEvalPython` (vectorized) are the",
-        "only Python operators allowed in any plan.",
+        "aggregates, no SortAggregate fallbacks, no single-partition",
+        "exchange over unaggregated input (global window/sort straggler).",
+        "`MapInPandas`/`ArrowEvalPython` (vectorized) are the only Python",
+        "operators allowed in any plan.",
         "",
     ]
     bad_total = 0
