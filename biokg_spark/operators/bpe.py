@@ -14,11 +14,16 @@ text is the space-joined token stream wrapped in sentinel spaces
 ``replace`` passes of ``' a b '`` -> ``' a~b '``. A single
 left-to-right non-overlapping pass misses every second occurrence in a
 run (``a a a a``: the first match consumes the shared space), and the
-second pass catches exactly those — the classic SQL idiom. Both Spark's
-``F.replace`` and DuckDB's ``replace`` are literal left-to-right
-non-overlapping, so the oracle reproduces training byte-for-byte
-(``bpe_oracle_sql`` generates the unrolled SQL twin level by level,
-the same generated-oracle pattern as functions/cascade.py).
+second pass catches those — the classic SQL idiom. The double-pass IS
+the contract: it fuses the same NUMBER of occurrences as a token-level
+greedy scan, but in an odd-length self-pair run (``a a a a a``) it may
+leave a different position unfused (the middle token instead of the
+last). What matters for parity is that both Spark's ``F.replace`` and
+DuckDB's ``replace`` are literal left-to-right non-overlapping, so the
+two engines apply the IDENTICAL rule and the oracle reproduces
+training byte-for-byte (``bpe_oracle_sql`` generates the unrolled SQL
+twin level by level, the generated-oracle pattern of
+functions/cascade.py).
 
 Scale shape: BPE training is INHERENTLY sequential in the merge rank —
 merge k+1's counts depend on merge k being applied — so the driver

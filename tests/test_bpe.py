@@ -40,3 +40,14 @@ def test_early_stop_when_no_pairs(spark):
     got = _train(spark, ["solo", "word"], 3)
     # round 0 fuses the only pair-less corpus? no adjacent pairs at all
     assert got == []
+
+
+def test_odd_self_run_double_pass_contract(spark):
+    # 5-token self-run: double-pass fuses (t1,t2) and (t4,t5), leaving the
+    # MIDDLE token unfused — same merge count as token-greedy (which would
+    # leave the last), different position; the documented contract.
+    got = _train(spark, ["a a a a a"], 2)
+    assert got[0] == (0, "a a", "a~a", 4)  # 4 adjacent occurrences counted
+    # remaining stream is "a~a a a~a": pairs 'a~a a' and 'a a~a' tie at 1,
+    # lexicographic tie-break picks 'a a~a'
+    assert got[1] == (1, "a a~a", "a~a~a", 1)
