@@ -173,3 +173,68 @@ def sessionize(
     return events.withColumn(
         "session_idx", F.sum(is_new).over(running).cast("int")
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: how far does each user progress through
+    ``steps``, requiring STRICTLY increasing timestamps between stages?
+
+    The classic product-analytics operator (and, over agent transcripts,
+    the tool-chain progression question: reached plan -> act -> verify?).
+    Stage k's timestamp is the EARLIEST event of type ``steps[k]`` after
+    the user's stage-k-1 timestamp — the standard greedy matching, which
+    maximizes completion (an earlier stage match can only admit more
+    later matches).
+
+    Output: (user_col, reached int, t{k}_us long ...) — one row per user
+    seen in ``events``; ``t{k}_us`` is stage k+1's timestamp in epoch
+    MICROS (a long: engines format timestamp STRINGS differently, longs
+    compare exactly), NULL from the first missed stage on.
+
+    Scale shape: one conditional min-aggregate per stage, each a
+    map-side-partial HashAggregate on the user key, chained by equi-joins
+    on that same key (co-partitioned after the first shuffle — Catalyst
+    reuses the hash partitioning, so stages 2..k add no new exchange of
+    the events table; AQE handles user-skew). Never a self-join on time,
+    never a window over the full event stream.
+    """
+    ev = events.select(F.col(user_col), F.col(type_col), F.col(ts_col))
+    acc = ev.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).alias("_t0")
+    )
+    for k in range(1, len(steps)):
+        prev = f"_t{k - 1}"
+        acc = (
+            ev.join(acc, user_col)
+            .groupBy(user_col, *[f"_t{j}" for j in range(k)])
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col(type_col) == steps[k])
+                        & (F.col(ts_col) > F.col(prev)),
+                        F.col(ts_col),
+                    )
+                ).alias(f"_t{k}")
+            )
+        )
+    reached = F.lit(0)
+    for k in range(len(steps)):
+        reached = F.when(F.col(f"_t{k}").isNotNull(), k + 1).otherwise(reached)
+    return acc.select(
+        user_col,
+        reached.cast("int").alias("reached"),
+        *[
+            # parquet timestamps read as TIMESTAMP_NTZ; the engine session
+            # pins spark.sql.session.timeZone=UTC (session.py), so the
+            # cast to TIMESTAMP reinterprets the same wall time and
+            # unix_micros equals DuckDB's epoch_us on the naive value
+            F.unix_micros(F.col(f"_t{k}").cast("timestamp")).alias(f"t{k + 1}_us")
+            for k in range(len(steps))
+        ],
+    )

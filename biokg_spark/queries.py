@@ -2285,6 +2285,119 @@ def embed_kmeans(spark, sf_dir):
     return kmeans_assign(emb, "vec_id", "embedding", k=4, iterations=2)
 
 
+@q(
+    "events_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM events GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, s1.t1,
+             min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1
+                      THEN e.ts END) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      GROUP BY e.user_id, s1.t1),
+    s3 AS (
+      SELECT e.user_id, s2.t1, s2.t2,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2
+                      THEN e.ts END) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      GROUP BY e.user_id, s2.t1, s2.t2)
+    SELECT user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS reached,
+           epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us, epoch_us(t3) AS t3_us
+    FROM s3
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel progression (operators/temporal.py::funnel_steps):
+    per user, the earliest view -> first later click -> first later
+    purchase (strictly increasing timestamps; greedy matching maximizes
+    completion). Timestamps export as epoch MICROS longs — engines
+    format timestamp strings differently, longs compare exactly.
+    Shapes: one conditional min HashAggregate per stage chained by
+    user-key equi-joins (co-partitioned after the first shuffle);
+    never a time self-join, never a full-stream window."""
+    from biokg_spark.operators.temporal import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+@q(
+    "corpus_source_profile",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             string_split(lower(trim(text)), ' ') AS ts
+      FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len(ts) END AS n_tokens,
+             len(list_filter(ts, w -> w IN {_STOP_SQL})) AS n_stop,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             round(0.4 * (CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                                          ELSE len(ts) END) BETWEEN 5 AND 5000
+                                THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * least(CAST(len(list_filter(ts, w -> w IN {_STOP_SQL}))
+                                    AS DOUBLE)
+                               / greatest(CASE WHEN trim(text) = '' THEN 0
+                                               ELSE len(ts) END, 1) * 5, 1.0)
+                 + 0.3 * (CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                               AS DOUBLE) / greatest(len(text), 1)), 4) AS q
+      FROM t)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           count(DISTINCT fp) AS n_distinct,
+           count(*) - count(DISTINCT fp) AS n_exact_dup,
+           CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_hi,
+           CAST(sum(CASE WHEN n_tokens > 0
+                          AND CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)
+                              >= 0.10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+    FROM m GROUP BY source
+    """,
+)
+def corpus_source_profile(spark, sf_dir):
+    """Per-source corpus triage profile — the slice-level dashboard
+    behind domain filtering decisions (RefinedWeb/CCNet drop whole
+    sources on exactly these aggregates): doc and token volume, exact-
+    dup rate, quality-gate and language-gate pass counts. All metrics
+    are INTEGER aggregates of already-oracled row signals (quality/lang
+    thresholds on engine-equal values), so parity is exact — no float
+    means. One groupBy on the source key, map-side partial."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        token_count("text").alias("n_tok"),
+        doc_fingerprint("text").alias("fp"),
+        quality_score("text").alias("q"),
+        lang_id("text").alias("lang"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tok").cast("long")).alias("sum_tokens"),
+            F.countDistinct("fp").alias("n_distinct"),
+            F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_quality_hi"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("n_en"),
+        )
+        .withColumn("n_exact_dup", F.col("n_docs") - F.col("n_distinct"))
+        .select(
+            "source", "n_docs", "sum_tokens", "n_distinct", "n_exact_dup",
+            "n_quality_hi", "n_en",
+        )
+    )
+
+
 @q("corpus_bpe_train", bpe_oracle_sql(4))
 def corpus_bpe_train(spark, sf_dir):
     """BPE merge-table training (operators/bpe.py::bpe_train): learn the

@@ -140,3 +140,45 @@ def test_sessionize_tiebreak_deterministic(spark):
     df = spark.createDataFrame(rows, "user string, ts timestamp, event_id int")
     out = sessionize(df, key="user", gap_seconds=60, order_cols=["event_id"])
     assert {r.session_idx for r in out.collect()} == {0}
+
+
+# ---------------------------------------------------------------------------
+# funnel_steps: ordered stage progression
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_strict_ordering_and_greedy(spark):
+    from datetime import datetime
+
+    from biokg_spark.operators.temporal import funnel_steps
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # u1 completes in order: view@1 click@2 purchase@3
+        (1, "view", ts(1)), (1, "click", ts(2)), (1, "purchase", ts(3)),
+        # u2: purchase BEFORE click -> stops at click... view@1 click@5 purchase@2
+        (2, "view", ts(1)), (2, "purchase", ts(2)), (2, "click", ts(5)),
+        # u3: click before view -> only stage 1 (view@4), no later click
+        (3, "click", ts(2)), (3, "view", ts(4)),
+        # u4: no view at all
+        (4, "click", ts(1)), (4, "purchase", ts(2)),
+        # u5: greedy earliest view admits the click between the two views
+        (5, "view", ts(1)), (5, "view", ts(9)), (5, "click", ts(3)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r.user_id: (r.reached, r.t1_us, r.t2_us, r.t3_us)
+        for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()
+    }
+
+    def us(s):
+        return int(datetime(2024, 1, 1, 0, 0, s).timestamp() * 1_000_000)
+
+    assert got[1] == (3, us(1), us(2), us(3))
+    assert got[2][0] == 2 and got[2][3] is None  # purchase@2 not after click@5
+    assert got[3] == (1, us(4), None, None)
+    assert got[4] == (0, None, None, None)
+    assert got[5] == (2, us(1), us(3), None)
+    assert len(got) == 5
