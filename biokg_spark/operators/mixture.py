@@ -204,3 +204,95 @@ def budget_select(
             (F.col("running_before") < budget).alias("selected"),
         )
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: "F.Column",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    width: int = 2,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR) scores.
+
+    The hashed-n-gram importance-weighting scheme of Xie et al. 2023
+    ("Data Selection for Language Models via Importance Resampling"):
+    estimate a bag-of-hashed-n-grams unigram model for the TARGET slice
+    (the distribution you want more of — curated reference text) and
+    for the RAW corpus, then score every document by its mean
+    per-feature log-likelihood ratio ln(p_target / p_raw). High scores
+    = raw documents that look like the target domain; downstream
+    selection keeps the top slice (by threshold or via
+    :func:`budget_select` on the score).
+
+    Variant notes (pinned so the oracle is exact):
+    - features are DISTINCT word ``width``-shingles per document (set
+      semantics — the same shingle family as operators/dedup.py, so one
+      feature extractor serves dedup, overlap triage, and selection);
+    - the feature space is md5-hashed into ``buckets`` buckets
+      (``conv(substr(md5(sh),1,7),16,10) % buckets`` — a 28-bit prefix,
+      engine-portable, collision-folding exactly as DSIR prescribes);
+    - both models are add-one smoothed over the bucket vocabulary:
+      p(b) = (n_b + 1) / (N + buckets);
+    - a document's score is the MEAN log-ratio over its features
+      (length normalization, as in the paper's per-token form),
+      rounded to 4 dp for cross-engine comparison.
+
+    Returns (id_col, n_feats, dsir_score), one row per document
+    (documents with no features are absent — empty text still yields
+    the single empty-string shingle, so in practice every row scores).
+
+    Scale shape (100 TB): the shingle explode is the big intermediate;
+    it feeds ONE map-side-partial HashAggregate on the bucket key that
+    collapses the corpus to ``buckets`` rows (long buffers: two counts).
+    The grand totals are a window over that TINY table, the log-ratio
+    dim (buckets rows) broadcasts back onto the exploded features, and
+    the per-doc mean is a second partial+final HashAggregate on the doc
+    id. No all-pairs stage, no driver-side model state — the "model"
+    IS the broadcast dim. The target indicator rides the explode as a
+    boolean column, so target and raw counts come out of the same
+    aggregate (one pass, not two scans of the corpus).
+
+    Reference: n/a — training-data-pipeline mandate (quality-targeted
+    selection); cf. Xie et al. 2023 (DSIR), which this re-expresses as
+    two hash aggregates and a broadcast join.
+    """
+    from biokg_spark.operators.dedup import shingles
+
+    assert buckets >= 2
+    feats = docs.select(
+        F.col(id_col),
+        target.cast("boolean").alias("_is_t"),
+        F.explode(shingles(text_col, width)).alias("_sh"),
+    ).select(
+        id_col,
+        "_is_t",
+        (
+            F.conv(F.substring(F.md5(F.col("_sh")), 1, 7), 16, 10).cast("long")
+            % buckets
+        ).alias("_bucket"),
+    )
+    per_bucket = feats.groupBy("_bucket").agg(
+        F.count(F.lit(1)).alias("_n_raw"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_n_t"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lr = per_bucket.select(
+        "_bucket",
+        (
+            F.log((F.col("_n_t") + 1.0) / (F.sum("_n_t").over(w_all) + buckets))
+            - F.log((F.col("_n_raw") + 1.0) / (F.sum("_n_raw").over(w_all) + buckets))
+        ).alias("_lr"),
+    )
+    return (
+        feats.join(F.broadcast(lr), "_bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("_lr") / F.count(F.lit(1)), 4).alias("dsir_score"),
+        )
+        .select(id_col, "n_feats", "dsir_score")
+    )

@@ -3823,3 +3823,94 @@ def transcript_near_dup(spark, sf_dir):
         num_hashes=8, bands=4, width=3, max_bucket_size=20,
         shingle_partitions=64,
     )
+
+
+@q(
+    "corpus_dsir_scores",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(ts) >= 2
+                  THEN array_to_string(list_slice(ts, i, i + 1), ' ')
+                  ELSE array_to_string(ts, ' ') END AS sh
+      FROM tok, unnest(generate_series(1, greatest(len(ts) - 1, 1))) AS t(i)),
+    f AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(sh), 1, 7)) AS BIGINT) % 1024 AS bucket
+      FROM sh),
+    tgt AS (SELECT doc_id, (source IN ('src0', 'src1')) AS is_t FROM documents),
+    b AS (
+      SELECT bucket, count(*) AS n_raw,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t
+      FROM f JOIN tgt USING (doc_id) GROUP BY bucket),
+    g AS (SELECT sum(n_raw) AS r_tot, sum(n_t) AS t_tot FROM b),
+    lr AS (
+      SELECT bucket,
+             ln((n_t + 1.0) / (t_tot + 1024))
+               - ln((n_raw + 1.0) / (r_tot + 1024)) AS lr
+      FROM b, g)
+    SELECT f.doc_id, count(*) AS n_feats,
+           round(sum(lr) / count(*), 4) AS dsir_score
+    FROM f JOIN lr USING (bucket) GROUP BY f.doc_id
+    """,
+)
+def corpus_dsir_scores(spark, sf_dir):
+    """DSIR importance scores (operators/mixture.py::dsir_importance):
+    hashed-bigram unigram models for a curated target slice (sources
+    src0/src1 stand in for the reference-text domain) vs the raw
+    corpus; every document scores its mean per-feature log-likelihood
+    ratio — the Xie et al. 2023 importance-resampling selection signal.
+    Shapes: one shingle explode feeding ONE map-side-partial
+    HashAggregate that collapses the corpus to 1024 bucket rows (the
+    "model"), a window over that tiny dim for the totals, a broadcast
+    join back, and one per-doc aggregate — the corpus never shuffles on
+    a data key and no model state touches the driver."""
+    from biokg_spark.operators.mixture import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(
+        docs,
+        target=F.col("source").isin("src0", "src1"),
+        text_col="text",
+        id_col="doc_id",
+        buckets=1024,
+        width=2,
+    )
+
+
+def _bfs_sql():
+    from biokg_spark.operators.traversal import bfs_oracle_sql
+
+    edges_cte = f"""{_KG_LINKS_CTE},
+    e AS (SELECT subj AS src, obj AS dst FROM links
+          UNION SELECT obj AS src, subj AS dst FROM links)"""
+    seeds_cte = """seeds AS (
+      SELECT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)
+      ORDER BY id LIMIT 3)"""
+    return bfs_oracle_sql(edges_cte, seeds_cte, max_hops=4)
+
+
+@q("kg_bfs_distances", _bfs_sql())
+def kg_bfs_distances(spark, sf_dir):
+    """Multi-source BFS distance field over the symmetrized KG links
+    (operators/traversal.py::bfs_distances): hop distance from the
+    3-lowest-id seed entities to everything within 4 hops — the
+    GraphRAG-style "context within k hops" retrieval primitive and the
+    reachability audit of the constructed graph. Frontier-expansion
+    joins with localCheckpoint lineage truncation per round; oracled
+    VALUE-EXACTLY against a recursive-CTE DuckDB twin (integer-only
+    arithmetic, no tie-breaking — distances are unique)."""
+    from biokg_spark.operators.traversal import bfs_distances
+
+    links = _kg_links(spark, sf_dir)
+    e = (
+        links.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .union(links.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+        .distinct()
+    )
+    nodes = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
+    seeds = nodes.orderBy("id").limit(3)
+    d = bfs_distances(e, seeds, max_hops=4, src="src", dst="dst", id_col="id")
+    return d.select(F.col("id").alias("entity_id"), F.col("dist").cast("int").alias("dist"))
