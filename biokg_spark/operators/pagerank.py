@@ -236,3 +236,103 @@ def hits_oracle_ctes(links_cte: str, iters: int = 8) -> str:
         LEFT JOIN h{iters} ON nodes.id = h{iters}.id
         LEFT JOIN a{iters} ON nodes.id = a{iters}.id"""
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Personalized PageRank: restart mass concentrated on ``seeds``.
+
+    rank_{t+1}(v) = (1-d)*p(v) + d * Σ_{u→v} rank_t(u)/out_deg(u),
+    p(v) = 1/|S| for seed nodes, 0 otherwise; rank_0 = p. The relevance
+    field "how much does a random walk restarting at the query entities
+    visit v" — the GraphRAG retrieval-ranking primitive (BFS distances,
+    operators/traversal.py, give the HOP field; PPR gives the soft,
+    multiplicity-weighted one). Same fixed-iteration determinism and
+    the same per-iteration shape as :func:`pagerank` (ONE shuffle join
+    ranks × edges on src, ONE partial+final aggregate on dst, ranks
+    localCheckpointed every few iterations); the seed indicator is
+    computed once via a broadcast-sized left semi structure (seeds are
+    a query, not the corpus). Nodes the walk cannot reach keep rank 0
+    and ARE emitted (the oracle must see the full node universe).
+
+    Reference: n/a — graph-analytics mandate over the constructed KG;
+    cf. Page et al. 1999 §6 personalized vectors.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    s = seeds.select(F.col(id_col).alias("id")).distinct()
+    n_seeds = s.count()
+    p = nodes.join(F.broadcast(s.withColumn("_p", F.lit(1.0 / n_seeds))),
+                   "id", "left").select(
+        "id", F.coalesce(F.col("_p"), F.lit(0.0)).alias("p")
+    ).localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint()
+    ranks = p.select("id", F.col("p").alias("rank"))
+    for i in range(iters):
+        sums = (
+            ed.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
+            .withColumnRenamed("dst", "id")
+        )
+        ranks = p.join(sums, "id", "left").select(
+            "id",
+            "p",
+            (
+                (1.0 - damping) * F.col("p")
+                + damping * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("id", "rank")
+
+
+def ppr_oracle_ctes(
+    edges_cte: str, seeds_cte: str, damping: float = 0.85, iters: int = 10
+) -> str:
+    """ANSI-SQL twin of :func:`personalized_pagerank`. ``edges_cte``
+    must define ``e(src, dst)`` (pre-symmetrized if undirected) and
+    ``seeds_cte`` must define ``seeds(id)``; iterations unroll as
+    chained CTEs r0..r{iters}. Emits (entity_id, rank) at 6 dp."""
+    d, sql = damping, [edges_cte, seeds_cte]
+    sql.append("nodes AS (SELECT DISTINCT src AS id FROM e "
+               "UNION SELECT DISTINCT dst FROM e)")
+    sql.append("ns AS (SELECT count(*) AS n FROM (SELECT DISTINCT id FROM seeds))")
+    sql.append(
+        "p AS (SELECT nodes.id, CASE WHEN seeds.id IS NOT NULL "
+        "THEN 1.0/(SELECT n FROM ns) ELSE 0.0 END AS p "
+        "FROM nodes LEFT JOIN (SELECT DISTINCT id FROM seeds) seeds "
+        "ON nodes.id = seeds.id)"
+    )
+    sql.append("deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)")
+    sql.append("r0 AS (SELECT id, p AS rank FROM p)")
+    for i in range(1, iters + 1):
+        sql.append(
+            f"r{i} AS (SELECT p.id, "
+            f"{1.0 - d}*p.p + {d}*coalesce(c.s, 0) AS rank "
+            f"FROM p LEFT JOIN ("
+            f"SELECT e.dst AS id, sum(r{i - 1}.rank/deg.deg) AS s "
+            f"FROM e JOIN r{i - 1} ON e.src = r{i - 1}.id "
+            f"JOIN deg ON e.src = deg.src GROUP BY e.dst) c "
+            f"ON p.id = c.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(sql)
+        + f"\nSELECT id AS entity_id, round(rank, 6) AS rank FROM r{iters}"
+    )

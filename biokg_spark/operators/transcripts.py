@@ -136,3 +136,107 @@ def sft_pairs(
             F.col(text_col).alias("response"),
         )
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    score: "F.Column",
+    key_width: int = 2,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+    user_role: str = "user",
+) -> DataFrame:
+    """Preference-pair (DPO/RLHF-style) export: for each prompt group,
+    the best- and worst-scored assistant response become one
+    (prompt_key, chosen, rejected) pair.
+
+    A preference dataset needs MULTIPLE responses per prompt; a raw
+    transcript corpus has one response per literal prompt, so grouping
+    uses a prompt KEY — the first ``key_width`` lowercased whitespace
+    tokens of the immediately-preceding user turn (a deterministic
+    stand-in for the prompt-clustering step a production pipeline runs;
+    the operator takes any precomputed key column shape by mapping over
+    its output). ``score`` is the preference signal, any numeric Column
+    over a turn row — a trained quality score
+    (operators/classifier.py), a rule score, or a length prior.
+
+    Per group: chosen = argmax(score), rejected = argmin(score), ties
+    broken (conv_id, turn_idx) ascending on both sides so the pair is
+    engine-exact; groups with fewer than 2 candidates or with
+    chosen_score == rejected_score emit nothing (no preference signal —
+    a tie is not a training pair).
+
+    Shapes: one lag window on conv_id (the pipeline's existing
+    turn-order partitioning), then TWO row_number windows over the
+    prompt key — one shuffle on the key; both extremes come from the
+    same sorted run, joined back key-to-key (each side is exactly one
+    row per key, so the join is trivially skew-free even when one
+    prompt key is hot).
+
+    Reference: n/a — training-data-pipeline mandate (preference-pair
+    construction); cf. Rafailov et al. 2023 (DPO) data format.
+    """
+    wlag = Window.partitionBy(conv_col).orderBy(turn_col)
+    cand = (
+        df.withColumn("_prev_role", F.lag(role_col).over(wlag))
+        .withColumn("_prompt", F.lag(text_col).over(wlag))
+        .where(
+            (F.col(role_col) == assistant_role)
+            & (F.col("_prev_role") == user_role)
+        )
+        .select(
+            F.array_join(
+                F.slice(
+                    F.split(F.lower(F.trim(F.col("_prompt"))), " +"),
+                    1,
+                    key_width,
+                ),
+                " ",
+            ).alias("prompt_key"),
+            F.col(conv_col).alias("_c"),
+            F.col(turn_col).alias("_t"),
+            F.col(text_col).alias("_resp"),
+            score.cast("double").alias("_score"),
+        )
+    )
+    wbest = Window.partitionBy("prompt_key").orderBy(
+        F.desc("_score"), F.asc("_c"), F.asc("_t")
+    )
+    wworst = Window.partitionBy("prompt_key").orderBy(
+        F.asc("_score"), F.asc("_c"), F.asc("_t")
+    )
+    ranked = cand.select(
+        "prompt_key",
+        "_resp",
+        "_score",
+        F.row_number().over(wbest).alias("_rb"),
+        F.row_number().over(wworst).alias("_rw"),
+        F.count(F.lit(1)).over(Window.partitionBy("prompt_key")).alias("_n"),
+    )
+    best = ranked.where(F.col("_rb") == 1).select(
+        "prompt_key",
+        F.col("_n").alias("n_candidates"),
+        F.col("_resp").alias("chosen"),
+        F.col("_score").alias("chosen_score"),
+    )
+    worst = ranked.where(F.col("_rw") == 1).select(
+        "prompt_key",
+        F.col("_resp").alias("rejected"),
+        F.col("_score").alias("rejected_score"),
+    )
+    return (
+        best.join(worst, "prompt_key")
+        .where(F.col("chosen_score") > F.col("rejected_score"))
+        .select(
+            "prompt_key",
+            "n_candidates",
+            "chosen",
+            "rejected",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        )
+    )

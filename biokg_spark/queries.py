@@ -3914,3 +3914,141 @@ def kg_bfs_distances(spark, sf_dir):
     seeds = nodes.orderBy("id").limit(3)
     d = bfs_distances(e, seeds, max_hops=4, src="src", dst="dst", id_col="id")
     return d.select(F.col("id").alias("entity_id"), F.col("dist").cast("int").alias("dist"))
+
+
+def _ppr_sql():
+    from biokg_spark.operators.pagerank import ppr_oracle_ctes
+
+    edges_cte = f"""{_KG_LINKS_CTE},
+    e AS (SELECT subj AS src, obj AS dst FROM links
+          UNION ALL SELECT obj AS src, subj AS dst FROM links)"""
+    seeds_cte = """seeds AS (
+      SELECT id FROM (SELECT DISTINCT src AS id FROM e) ORDER BY id LIMIT 3)"""
+    return ppr_oracle_ctes(edges_cte, seeds_cte, damping=0.85, iters=10)
+
+
+@q("kg_personalized_pagerank", _ppr_sql())
+def kg_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from the 3-lowest-id seed entities over the
+    symmetrized KG multigraph (operators/pagerank.py::
+    personalized_pagerank) — the soft relevance field GraphRAG ranks
+    retrieved context by (kg_bfs_distances is the hop-count field from
+    the SAME seeds; this is its multiplicity-weighted complement).
+    Fixed 10-iteration recurrence, restart mass 1/3 on each seed,
+    oracled VALUE-EXACTLY (6 dp) against a DuckDB twin with unrolled
+    iterations. Per iteration: ONE shuffle join + ONE partial+final
+    HashAggregate; the seed indicator is a broadcast."""
+    from biokg_spark.operators.pagerank import personalized_pagerank
+
+    links = _kg_links(spark, sf_dir)
+    e = links.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).union(links.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+    seeds = e.select(F.col("src").alias("id")).distinct().orderBy("id").limit(3)
+    pr = personalized_pagerank(e, seeds, damping=0.85, iters=10)
+    return pr.select(
+        F.col("id").alias("entity_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _quality_clf_sql():
+    from biokg_spark.operators.classifier import quality_classifier_oracle_ctes
+
+    return quality_classifier_oracle_ctes(
+        docs_cte="d AS (SELECT doc_id, text, source FROM documents)",
+        label_sql="source IN ('src0', 'src1')",
+        buckets=256,
+        width=2,
+        iters=6,
+        lr=4.0,
+    )
+
+
+@q("corpus_quality_classifier", _quality_clf_sql())
+def corpus_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (operators/classifier.py): train a
+    hashed-bigram logistic-regression classifier IN the engine (weak
+    label: the src0/src1 curated slice, the same target slice
+    corpus_dsir_scores upweights) with 6 deterministic full-batch GD
+    steps, then score every document — the CCNet/fastText-style
+    filtering stage of a web-scale curation pipeline. The fitted model
+    is a 257-row broadcast dim, never driver state; training performs
+    zero driver-side actions; the whole run (train + score) is oracled
+    VALUE-EXACTLY (4 dp) against a DuckDB twin with the GD steps
+    unrolled as chained CTEs."""
+    from biokg_spark.operators.classifier import (
+        score_documents,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = F.col("source").isin("src0", "src1")
+    w = train_quality_classifier(
+        docs, label, buckets=256, width=2, iters=6, lr=4.0
+    )
+    scores = score_documents(docs, w, buckets=256, width=2)
+    return (
+        docs.select("doc_id", label.cast("double").alias("y"))
+        .join(scores, "doc_id")
+        .select("doc_id", "y", F.round("score", 4).alias("score"))
+    )
+
+
+@q(
+    "transcript_dpo_pairs",
+    f"""
+    WITH tx AS ({_TX_SQL}),
+    r AS (SELECT conv_id, turn_idx,
+                 CASE WHEN turn_idx % 2 = 1 THEN 'assistant' ELSE 'user' END
+                   AS role,
+                 text
+          FROM tx),
+    lagd AS (SELECT conv_id, turn_idx, role, text,
+                    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                      AS prev_role,
+                    lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                      AS prompt
+             FROM r),
+    cand AS (SELECT
+               array_to_string(list_slice(
+                 string_split_regex(lower(trim(prompt)), ' +'), 1, 2), ' ')
+                 AS prompt_key,
+               conv_id AS _c, turn_idx AS _t, text AS _resp,
+               CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE)
+                 AS _score
+             FROM lagd
+             WHERE role = 'assistant' AND prev_role = 'user'),
+    ranked AS (SELECT prompt_key, _resp, _score,
+                 row_number() OVER (PARTITION BY prompt_key
+                   ORDER BY _score DESC, _c ASC, _t ASC) AS rb,
+                 row_number() OVER (PARTITION BY prompt_key
+                   ORDER BY _score ASC, _c ASC, _t ASC) AS rw,
+                 count(*) OVER (PARTITION BY prompt_key) AS n
+               FROM cand)
+    SELECT b.prompt_key, b.n AS n_candidates,
+           b._resp AS chosen, w._resp AS rejected,
+           b._score AS chosen_score, w._score AS rejected_score,
+           b._score - w._score AS margin
+    FROM (SELECT * FROM ranked WHERE rb = 1) b
+    JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (prompt_key)
+    WHERE b._score > w._score
+    """,
+)
+def transcript_dpo_pairs(spark, sf_dir):
+    """Preference-pair (DPO) export (operators/transcripts.py::
+    preference_pairs): assistant responses grouped by a deterministic
+    prompt key (first two tokens of the preceding user turn — the
+    prompt-clustering stand-in), best vs worst by a token-count score
+    (a disclosed verbosity-prior stand-in for a trained quality score;
+    the operator takes ANY numeric Column, e.g.
+    operators/classifier.py scores). One lag window on conv_id + one
+    shuffle on the prompt key; ties and margin-0 groups emit nothing,
+    so the pair set is engine-exact."""
+    from biokg_spark.operators.transcripts import preference_pairs
+
+    tx = doc_transcripts(spark, sf_dir).withColumn(
+        "role",
+        F.when(F.col("turn_idx") % 2 == 1, "assistant").otherwise("user"),
+    )
+    score = F.size(F.split(F.trim(F.col("text")), " +")).cast("double")
+    return preference_pairs(tx, score=score, key_width=2)

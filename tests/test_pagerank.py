@@ -135,3 +135,72 @@ def test_hits_matches_reference_on_random_digraphs(spark):
         for n in h:
             assert abs(got[n][0] - h[n]) < 1e-9, (seed, n)
             assert abs(got[n][1] - a[n]) < 1e-9, (seed, n)
+
+
+def _numpy_ppr(edges, seeds, damping, iters):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    p = np.zeros(n)
+    for s in seeds:
+        p[ix[s]] = 1.0 / len(seeds)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[ix[s]] += 1
+    r = p.copy()
+    for _ in range(iters):
+        nxt = (1.0 - damping) * p
+        for s, d in edges:
+            nxt[ix[d]] += damping * r[ix[s]] / deg[ix[s]]
+        r = nxt
+    return {v: r[ix[v]] for v in nodes}
+
+
+def _spark_ppr(spark, edges, seeds, **kw):
+    from biokg_spark.operators.pagerank import personalized_pagerank
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([(x,) for x in seeds], "id string")
+    return {r.id: r.rank for r in personalized_pagerank(e, s, **kw).collect()}
+
+
+def test_ppr_matches_numpy_and_emits_unreachable_as_zero(spark):
+    # 'z' has no path from the seed 'a': rank must be EXACTLY 0 and the
+    # row must still be emitted (the oracle sees the full node universe)
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("z", "a")]
+    want = _numpy_ppr(edges, ["a"], 0.85, 10)
+    got = _spark_ppr(spark, edges, ["a"], damping=0.85, iters=10)
+    assert set(got) == set(want)
+    assert got["z"] == 0.0
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_ppr_restart_mass_splits_across_seeds(spark):
+    # two isolated 2-cycles, one seed in each: by symmetry each
+    # component holds exactly half the stationary-ish mass at every
+    # fixed iteration count
+    edges = [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")]
+    got = _spark_ppr(spark, edges, ["a", "x"], damping=0.85, iters=9)
+    assert abs(got["a"] - got["x"]) < 1e-12
+    assert abs(got["b"] - got["y"]) < 1e-12
+    assert (
+        abs(got["a"] + got["b"] - got["x"] - got["y"]) < 1e-12
+    )
+
+
+def test_ppr_random_graphs_vs_numpy(spark):
+    import random
+
+    for seed in (31, 32):
+        rng = random.Random(seed)
+        nodes = [f"v{i}" for i in range(9)]
+        edges = sorted(
+            {(rng.choice(nodes), rng.choice(nodes)) for _ in range(22)}
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        seeds = sorted({rng.choice(nodes) for _ in range(3)})
+        want = _numpy_ppr(edges, seeds, 0.85, 8)
+        got = _spark_ppr(spark, edges, seeds, damping=0.85, iters=8)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9, (seed, v)

@@ -86,3 +86,68 @@ def test_sft_pairs_context_window(spark):
     # k=3 window: turn 5 sees turns 2,3,4 only (turn 0/1 aged out)
     assert got[5]["context"] == "user: how\nassistant: fine\nuser: ok"
     assert got[5]["response"] == "bye"
+
+
+def test_preference_pairs_best_vs_worst_and_singletons_drop(spark):
+    from pyspark.sql import functions as F
+
+    from biokg_spark.operators.transcripts import preference_pairs
+
+    rows = [
+        # prompt key "how do" — three candidate responses (3, 1, 5 tokens)
+        ("c1", 0, "user", "How do I sort a list"),
+        ("c1", 1, "assistant", "use the sorted builtin function"),  # 5
+        ("c2", 0, "user", "how   do lists work"),
+        ("c2", 1, "assistant", "they are arrays"),  # 3
+        ("c3", 0, "user", "How do I reverse"),
+        ("c3", 1, "assistant", "reversed"),  # 1
+        # singleton prompt key — emits nothing
+        ("c4", 0, "user", "what is spark"),
+        ("c4", 1, "assistant", "a distributed engine"),
+        # assistant turn NOT preceded by a user turn — not a candidate
+        ("c5", 0, "assistant", "how do orphan turns behave"),
+    ]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    score = F.size(F.split(F.trim(F.col("text")), " +")).cast("double")
+    got = preference_pairs(tx, score=score, key_width=2).collect()
+    assert len(got) == 1
+    p = got[0]
+    assert p.prompt_key == "how do"
+    assert p.n_candidates == 3
+    assert p.chosen == "use the sorted builtin function"
+    assert p.rejected == "reversed"
+    assert (p.chosen_score, p.rejected_score, p.margin) == (5.0, 1.0, 4.0)
+
+
+def test_preference_pairs_tie_breaks_and_all_tied_group_drops(spark):
+    from pyspark.sql import functions as F
+
+    from biokg_spark.operators.transcripts import preference_pairs
+
+    rows = [
+        # key "fix bug": scores 3, 3, 1 — chosen must be the LOWEST
+        # (conv_id, turn_idx) among the tied maxima, deterministic
+        ("a1", 0, "user", "fix bug one"),
+        ("a1", 1, "assistant", "try rebooting it"),  # 3
+        ("a2", 0, "user", "fix bug two"),
+        ("a2", 1, "assistant", "reinstall the package"),  # 3
+        ("a3", 0, "user", "fix bug three"),
+        ("a3", 1, "assistant", "no"),  # 1
+        # key "all tied": every score equal — no preference, emits nothing
+        ("b1", 0, "user", "all tied here"),
+        ("b1", 1, "assistant", "same length"),  # 2
+        ("b2", 0, "user", "all tied there"),
+        ("b2", 1, "assistant", "also two"),  # 2
+    ]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    score = F.size(F.split(F.trim(F.col("text")), " +")).cast("double")
+    got = {r.prompt_key: r for r in preference_pairs(tx, score=score).collect()}
+    assert set(got) == {"fix bug"}
+    p = got["fix bug"]
+    assert p.chosen == "try rebooting it"  # a1 < a2 on the tie
+    assert p.rejected == "no"
+    assert p.margin == 2.0
