@@ -110,6 +110,13 @@ HEADLINE = [
     "embed_ann_lsh",
     "embed_ann_hnsw",
     "embed_kmeans",
+    "kg_personalized_pagerank",
+    "corpus_quality_classifier",
+    "transcript_dpo_pairs",
+    "corpus_dsir_scores",
+    "kg_bfs_distances",
+    "corpus_semantic_dedup",
+    "corpus_hard_negatives",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

@@ -115,19 +115,20 @@ def kmeans_assign(
     return out
 
 
-def kmeans_oracle_sql(
+def kmeans_oracle_ctes(
     k: int = 4,
     iterations: int = 2,
     source_sql: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> str:
-    """Generate the unrolled DuckDB twin of :func:`kmeans_assign`.
+) -> tuple[str, str]:
+    """CTE body of the :func:`kmeans_assign` DuckDB twin, for composition.
 
-    Per iteration: a cross join of points x k centroids (k rows — the
-    oracle may do what the operator must not), the same fixed-point
-    argmin row_number, and the same quantized-integer mean. The generated-SQL
-    pattern of functions/cascade.py / operators/bpe.py.
+    Returns ``(ctes, final)`` where ``ctes`` defines ``pts({id_col},
+    v double[])`` plus the unrolled iterations, and ``final`` names the
+    CTE holding the final ``({id_col}, cluster, dist_u6)`` assignment.
+    :func:`kmeans_oracle_sql` wraps this; :func:`semantic_dedup`'s oracle
+    composes it with the pair stage.
     """
 
     def assign(i: int, cent: str) -> str:
@@ -165,8 +166,139 @@ def kmeans_oracle_sql(
             f" FROM u{i} GROUP BY cluster)"
         )
     parts.append(assign(iterations, f"c{iterations}"))
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"\nSELECT {id_col}, cluster, dist_u6 FROM a{iterations}"
+    return ",\n".join(parts), f"a{iterations}"
+
+
+def kmeans_oracle_sql(
+    k: int = 4,
+    iterations: int = 2,
+    source_sql: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Generate the unrolled DuckDB twin of :func:`kmeans_assign`.
+
+    Per iteration: a cross join of points x k centroids (k rows — the
+    oracle may do what the operator must not), the same fixed-point
+    argmin row_number, and the same quantized-integer mean. The generated-SQL
+    pattern of functions/cascade.py / operators/bpe.py.
+    """
+    ctes, final = kmeans_oracle_ctes(k, iterations, source_sql, id_col, vec_col)
+    return f"WITH {ctes}\nSELECT {id_col}, cluster, dist_u6 FROM {final}"
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 2,
+    threshold: float = 0.999,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup: k-means blocking + within-cluster cosine near-dup drop.
+
+    The semantic-deduplication stage of a web-scale curation pipeline
+    (cf. Abbas et al. 2023, SemDeDup): cluster document embeddings with
+    the deterministic :func:`kmeans_assign`, compare pairs only WITHIN a
+    cluster, and for every pair with cosine ≥ ``threshold`` drop the
+    endpoint CLOSER to its centroid (SemDeDup keeps the member farthest
+    from the centroid — the most "representative of the cluster edge");
+    dist ties drop the greater id, so the keep set is engine-exact.
+
+    Output: one row per input point — (id_col, cluster, keep boolean);
+    keep = the point lost no above-threshold pair.
+
+    Scale shape: candidate generation is a self-equi-join on the cluster
+    id — never a cross join — and SemDeDup's own contract bounds the
+    quadratic term by scaling k with the corpus (k ≈ n/expected-cluster-
+    size, constant cluster sizes at any corpus scale; the paper uses
+    50k clusters for LAION). ``max_cluster_size`` is the degenerate-hot-
+    cluster guard (the embedding_near_dup_pairs ``max_bucket_size``
+    idiom): clusters above the cap skip the pair stage (their members
+    all keep) rather than detonate the join. The k-means stage itself
+    never touches the driver beyond k×d centroid rows per iteration.
+
+    Reference: n/a — training-data-pipeline mandate (semantic dedup);
+    cosine/rounding contract shared with operators/similarity.py so the
+    DuckDB twin (queries.py::corpus_semantic_dedup) is value-exact.
+    """
+    from biokg_spark.operators.similarity import cosine_similarity
+
+    assign = kmeans_assign(emb, id_col, vec_col, k, iterations).localCheckpoint()
+    pts = emb.select(id_col, vec_col).join(assign, id_col)
+    if max_cluster_size is not None:
+        ok = (
+            assign.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_cluster_size)
+            .select("cluster")
+        )
+        pts = pts.join(ok, "cluster", "left_semi")
+    a = pts.select(
+        "cluster",
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        F.col("dist_u6").alias("_da"),
     )
+    b = pts.select(
+        "cluster",
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("dist_u6").alias("_db"),
+    )
+    losers = (
+        a.join(b, "cluster")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(
+            cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold
+        )
+        .select(
+            F.when(F.col("_da") < F.col("_db"), F.col("_ida"))
+            .when(F.col("_db") < F.col("_da"), F.col("_idb"))
+            .otherwise(F.greatest("_ida", "_idb"))
+            .alias(id_col)
+        )
+        .distinct()
+        .withColumn("_lost", F.lit(True))
+    )
+    return assign.join(losers, id_col, "left").select(
+        id_col,
+        "cluster",
+        F.coalesce(~F.col("_lost"), F.lit(True)).alias("keep"),
+    )
+
+
+def semantic_dedup_oracle_sql(
+    k: int = 4,
+    iterations: int = 2,
+    source_sql: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.999,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` (composes
+    :func:`kmeans_oracle_ctes` with the within-cluster pair stage; same
+    4-dp cosine contract as queries.py::_COS_SQL, over the kmeans CTEs'
+    pre-cast double vectors)."""
+    ctes, final = kmeans_oracle_ctes(k, iterations, source_sql, id_col, vec_col)
+    return f"""WITH {ctes},
+    pp AS (SELECT p.{id_col}, p.v, a.cluster, a.dist_u6
+           FROM pts p JOIN {final} a USING ({id_col})),
+    pr AS (SELECT x.{id_col} AS id_a, y.{id_col} AS id_b,
+                  x.dist_u6 AS da, y.dist_u6 AS db,
+                  round(
+                    list_sum(list_transform(generate_series(1, len(x.v)),
+                             i -> x.v[i] * y.v[i]))
+                    / (sqrt(list_sum(list_transform(x.v, t -> t * t)))
+                     * sqrt(list_sum(list_transform(y.v, t -> t * t)))),
+                  4) AS sim
+           FROM pp x JOIN pp y
+             ON x.cluster = y.cluster AND x.{id_col} < y.{id_col}),
+    losers AS (SELECT DISTINCT
+                 CASE WHEN da < db THEN id_a
+                      WHEN db < da THEN id_b
+                      ELSE greatest(id_a, id_b) END AS {id_col}
+               FROM pr WHERE sim >= {threshold})
+    SELECT a.{id_col}, a.cluster, (l.{id_col} IS NULL) AS keep
+    FROM {final} a LEFT JOIN losers l USING ({id_col})"""

@@ -131,3 +131,68 @@ def unigram_logprob(
             ).alias("mean_neg_logprob"),
         )
     )
+
+
+def mine_hard_negatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n_negatives: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    pos_col: str = "pos_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training.
+
+    The DPR/ANCE training-data recipe: for every (query, positive)
+    pair, the hardest negatives are the top lexically-similar documents
+    that are NOT the positive — random negatives are too easy and the
+    bi-encoder never learns fine distinctions. Runs :func:`bm25_search`
+    at top-(n_negatives + 1) (the positive can occupy at most one slot),
+    drops the positive, re-ranks the survivors by their BM25 rank and
+    keeps ``n_negatives``.
+
+    Output: (query_id, pos_id, neg_id, neg_rank, neg_score) — one row
+    per mined negative; queries whose BM25 hit list is empty (no shared
+    vocabulary) emit nothing.
+
+    Scale shape: inherits bm25_search's inverted-index join plan (the
+    corpus never all-pairs against the query set; query terms broadcast
+    since the training-pair set is dim-sized next to the corpus); the
+    positive-exclusion join broadcasts the same pair dim, and the
+    re-rank window shuffles only the top-k hit rows — (n_negatives+1) ×
+    |queries|, corpus-size-independent.
+
+    Reference: n/a — training-data-pipeline mandate (retrieval
+    training-pair construction); cf. Karpukhin et al. 2020 (DPR) BM25
+    hard negatives.
+    """
+    hits = bm25_search(
+        docs,
+        pairs.select(query_id, query_text),
+        text_col=text_col,
+        id_col=id_col,
+        query_id=query_id,
+        query_text=query_text,
+        k1=k1,
+        b=b,
+        topk=n_negatives + 1,
+    )
+    neg = hits.join(F.broadcast(pairs.select(query_id, pos_col)), query_id).where(
+        F.col(id_col) != F.col(pos_col)
+    )
+    w = Window.partitionBy(query_id).orderBy("rank")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= n_negatives)
+        .select(
+            query_id,
+            pos_col,
+            F.col(id_col).alias("neg_id"),
+            "neg_rank",
+            F.col("score").alias("neg_score"),
+        )
+    )

@@ -4052,3 +4052,100 @@ def transcript_dpo_pairs(spark, sf_dir):
     )
     score = F.size(F.split(F.trim(F.col("text")), " +")).cast("double")
     return preference_pairs(tx, score=score, key_width=2)
+
+
+def _semantic_dedup_sql():
+    from biokg_spark.operators.clustering import semantic_dedup_oracle_sql
+
+    return semantic_dedup_oracle_sql(
+        k=8,
+        iterations=2,
+        source_sql="""(SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000 AS vec_id, embedding
+           FROM embeddings WHERE vec_id < 20) aug""",
+        threshold=0.999,
+    )
+
+
+@q("corpus_semantic_dedup", _semantic_dedup_sql())
+def corpus_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic deduplication (operators/clustering.py::
+    semantic_dedup): deterministic k-means blocks the embedding space,
+    within-cluster cosine pairs >= 0.999 drop the centroid-closer
+    endpoint. Planted exact duplicates (copies of vec_id < 20 re-enter
+    as vec_id + 10000) must land in their original's cluster and lose
+    the dist tie-break (greater id drops), so exactly the 20 copies
+    read keep = false. The pair stage is a cluster-keyed self-equi-join
+    (k scales with the corpus per SemDeDup's own contract — constant
+    cluster sizes); the k-means stage reaches the driver only as k x d
+    centroid rows per iteration."""
+    from biokg_spark.operators.clustering import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where("vec_id < 20").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return semantic_dedup(
+        emb.unionByName(copies), k=8, iterations=2, threshold=0.999
+    )
+
+
+@q(
+    "corpus_hard_negatives",
+    f"""
+    WITH {_TF_SQL},
+    qd AS (SELECT doc_id AS query_id,
+                  array_to_string(list_slice(
+                    string_split_regex(lower(trim(text)), '\\s+'), 1, 6), ' ')
+                    AS query_text,
+                  doc_id AS pos_id
+           FROM documents WHERE doc_id < 10),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scal AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    qt AS (SELECT DISTINCT query_id, t.term
+           FROM qd, unnest(string_split(lower(trim(query_text)), ' ')) AS t(term)
+           WHERE t.term <> ''),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf.tf * (1.2 + 1))
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                   4) AS score
+      FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+              JOIN dl USING (doc_id) CROSS JOIN scal
+      GROUP BY qt.query_id, tf.doc_id),
+    topk AS (SELECT * FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+               FROM scored)
+             WHERE rank <= 3),
+    neg AS (SELECT t.query_id, q.pos_id, t.doc_id AS neg_id, t.score,
+                   row_number() OVER (PARTITION BY t.query_id
+                                      ORDER BY t.rank) AS neg_rank
+            FROM topk t JOIN qd q USING (query_id)
+            WHERE t.doc_id <> q.pos_id)
+    SELECT query_id, pos_id, neg_id, CAST(neg_rank AS INT) AS neg_rank,
+           score AS neg_score
+    FROM neg WHERE neg_rank <= 2
+    """,
+)
+def corpus_hard_negatives(spark, sf_dir):
+    """BM25 hard-negative mining for contrastive retrieval training
+    (operators/retrieval.py::mine_hard_negatives — the DPR recipe):
+    queries are the first 6 tokens of docs with doc_id < 10, each doc
+    its own positive; the top lexically-similar NON-positive documents
+    become the negatives. Inherits the inverted-index BM25 plan; the
+    exclusion join and re-rank window touch only (n_negatives+1) x
+    |queries| rows — corpus-size-independent beyond the BM25 stage."""
+    from biokg_spark.functions.text import tokens
+    from biokg_spark.operators.retrieval import mine_hard_negatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    qd = docs.where("doc_id < 10").select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens("text"), 1, 6), " ").alias("query_text"),
+        F.col("doc_id").alias("pos_id"),
+    )
+    return mine_hard_negatives(docs, qd, n_negatives=2)

@@ -76,6 +76,9 @@ EXPECTED = {
     "kg_entity_tfidf": {"BroadcastNestedLoopJoin present"},
     # BM25's corpus scalars (N, avgdl): the same 1-row crossJoin pattern.
     "corpus_bm25_search": {"BroadcastNestedLoopJoin present"},
+    # hard-negative mining runs bm25_search, inheriting its 1-row
+    # corpus-scalar crossJoin.
+    "corpus_hard_negatives": {"BroadcastNestedLoopJoin present"},
     # unigram LM's corpus token total: same 1-row crossJoin pattern.
     "text_unigram_logprob": {"BroadcastNestedLoopJoin present"},
 }

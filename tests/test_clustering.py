@@ -43,3 +43,62 @@ def test_member_closer_to_own_centroid_after_convergence(spark):
     rows = kmeans_assign(df, k=3, iterations=3).collect()
     # converged on separated blobs: intra-blob distance is tiny
     assert all(r.dist_u6 < 1_000_000 for r in rows)  # < 1.0 squared L2
+
+
+def test_semantic_dedup_drops_centroid_closer_endpoint(spark):
+    from biokg_spark.operators.clustering import semantic_dedup
+
+    # one tight blob around [10,10,10,10] plus a far-away singleton so
+    # k=2 separates them; within the blob, ids 1 and 2 are parallel
+    # (cosine 1.0) but id 1 sits closer to the centroid -> id 1 drops (keep-farthest).
+    rows = [
+        (1, [10.0, 10.0, 10.0, 10.0]),
+        (2, [10.2, 10.2, 10.2, 10.2]),  # parallel to id 1 (cosine 1.0), farther out
+        (3, [10.0, 14.0, 6.0, 10.0]),   # same blob, cosine ~0.962 vs 1,2
+        (9, [-50.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: (r.cluster, r.keep)
+        for r in semantic_dedup(df, k=2, iterations=2, threshold=0.999).collect()
+    }
+    assert set(got) == {1, 2, 3, 9}
+    assert got[1][0] == got[2][0] == got[3][0]
+    assert got[9][0] != got[1][0]
+    centroid = [
+        (10.0 + 10.2 + 10.0) / 3,
+        (10.0 + 10.2 + 14.0) / 3,
+        (10.0 + 10.2 + 6.0) / 3,
+        (10.0 + 10.2 + 10.0) / 3,
+    ]
+    d1 = sum((a - b) ** 2 for a, b in zip(rows[0][1], centroid))
+    d2 = sum((a - b) ** 2 for a, b in zip(rows[1][1], centroid))
+    assert d1 < d2  # id 1 is the centroid-closer endpoint
+    assert got[1][1] is False and got[2][1] is True
+    assert got[3][1] is True and got[9][1] is True
+
+
+def test_semantic_dedup_exact_copies_tie_break_and_cap(spark):
+    from biokg_spark.operators.clustering import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),  # exact copy: dist tie -> greater id drops
+        (7, [0.0, 8.0, 0.0, 0.0]),
+        (8, [0.0, 0.0, 8.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(df, k=3, iterations=2, threshold=0.999).collect()
+    }
+    assert got == {1: True, 2: False, 7: True, 8: True}
+    # max_cluster_size below the dup cluster's size skips its pair stage:
+    # everything keeps, every row still emitted
+    capped = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(
+            df, k=3, iterations=2, threshold=0.999, max_cluster_size=1
+        ).collect()
+    }
+    assert capped == {1: True, 2: True, 7: True, 8: True}

@@ -62,3 +62,59 @@ def test_unigram_logprob_rare_tokens_score_higher(spark):
         (-math.log(p_common) - math.log(p_rare)) / 2, 4
     )
     assert got[2].mean_neg_logprob > got[1].mean_neg_logprob
+
+
+def test_hard_negatives_excludes_positive_and_reranks(spark):
+    from biokg_spark.operators.retrieval import bm25_search, mine_hard_negatives
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana damson"),      # shares 2 terms with q1
+            (3, "apple elderberry fig"),     # shares 1 term
+            (4, "grape honeydew kiwi"),      # shares 0 terms — never a hit
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, "apple banana cherry", 1)],
+        "query_id long, query_text string, pos_id long",
+    )
+    got = mine_hard_negatives(docs, pairs, n_negatives=2).collect()
+    # BM25 top-3 is (1=positive, 2, 3); the positive drops, 2 and 3
+    # re-rank to neg_rank 1 and 2
+    assert [(r.neg_id, r.neg_rank) for r in sorted(got, key=lambda r: r.neg_rank)] \
+        == [(2, 1), (3, 2)]
+    assert all(r.pos_id == 1 and r.query_id == 1 for r in got)
+    # neg_score is the BM25 score of that hit, verbatim
+    hits = {
+        r.doc_id: r.score
+        for r in bm25_search(
+            docs, pairs.select("query_id", "query_text"), topk=3
+        ).collect()
+    }
+    for r in got:
+        assert r.neg_score == hits[r.neg_id]
+
+
+def test_hard_negatives_positive_outside_topk_and_empty_query(spark):
+    from biokg_spark.operators.retrieval import mine_hard_negatives
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x x x"),               # the positive: no query term
+            (2, "apple banana cherry"),
+            (3, "apple banana damson"),
+            (4, "apple elderberry fig"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, "apple banana", 1), (2, "", 2)],
+        "query_id long, query_text string, pos_id long",
+    )
+    got = mine_hard_negatives(docs, pairs, n_negatives=2).collect()
+    # q1's positive never ranks (no shared term): top hits are all
+    # negatives, still capped at n_negatives; q2 has no terms -> nothing
+    assert {r.query_id for r in got} == {1}
+    assert [r.neg_id for r in sorted(got, key=lambda r: r.neg_rank)] == [2, 3]
