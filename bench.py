@@ -117,6 +117,8 @@ HEADLINE = [
     "kg_bfs_distances",
     "corpus_semantic_dedup",
     "corpus_hard_negatives",
+    "kg_harmonic_centrality",
+    "kg_skew_profile",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

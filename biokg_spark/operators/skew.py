@@ -65,3 +65,92 @@ def salted_collect_set(
     return partial.groupBy(*keys).agg(
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("_part")))).alias(out_col)
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 5,
+) -> DataFrame:
+    """Key-distribution diagnostic: per candidate join/agg key, the
+    heavy hitters and how pathological they are.
+
+    The measurement that DECIDES between this module's mitigations
+    (``salt_join`` / ``salted_collect_set``), AQE skew-join, and doing
+    nothing: for each column in ``key_cols``, the ``top_k`` most
+    frequent values with their absolute count, corpus share, and skew
+    factor (count / mean-per-key — 1.0 is perfectly uniform; a key that
+    a 1000-executor shuffle would serialize shows up as skew ≈ the
+    partition-count it starves). One row per (key_col, rank).
+
+    Shapes per column: ONE partial+final HashAggregate down to the
+    distinct-key frame; the rank window plans as TakeOrderedAndProject
+    (top_k rows pruned per map partition BEFORE the single reducer —
+    the orderBy().limit() shape, never a full-table single-partition
+    sort); then the 1-row scalar aggregate broadcast-crosses back onto
+    those top_k rows (the BM25/TF-IDF in-plan-scalar pattern — a
+    deliberate tiny cross, allowlisted in scripts/audit_plans.py). Key
+    values are cast to string so heterogeneous columns union into one
+    report.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    outs = []
+    for c in key_cols:
+        counts = (
+            df.select(F.col(c).cast("string").alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        scalars = counts.agg(
+            F.sum("cnt").cast("double").alias("_total"),
+            F.count(F.lit(1)).alias("_n_keys"),
+        )
+        w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cnt"), F.asc("key"))
+        ranked = (
+            counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .crossJoin(F.broadcast(scalars))
+        )
+        outs.append(
+            ranked.select(
+                F.lit(c).alias("key_col"),
+                "key",
+                "cnt",
+                F.round(F.col("cnt") / F.col("_total"), 4).alias("share"),
+                F.round(
+                    F.col("cnt") / (F.col("_total") / F.col("_n_keys")), 4
+                ).alias("skew"),
+                "rank",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def skew_profile_oracle_sql(
+    source_cte: str,
+    source_name: str,
+    key_cols: list[str],
+    top_k: int = 5,
+) -> str:
+    """ANSI-SQL twin of :func:`skew_profile`. ``source_cte`` defines
+    ``{source_name}``; one counts+window block per key column, UNION
+    ALL'd. Emits (key_col, key, cnt, share, skew, rank)."""
+    blocks = []
+    for c in key_cols:
+        blocks.append(f"""
+    SELECT key_col, key, cnt,
+           round(cnt / total, 4) AS share,
+           round(cnt / (total / n_keys), 4) AS skew,
+           rank
+    FROM (
+      SELECT '{c}' AS key_col, key, cnt,
+             row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank,
+             CAST(sum(cnt) OVER () AS DOUBLE) AS total,
+             count(*) OVER () AS n_keys
+      FROM (SELECT CAST({c} AS VARCHAR) AS key, count(*) AS cnt
+            FROM {source_name} GROUP BY {c}))
+    WHERE rank <= {top_k}""")
+    return f"WITH {source_cte}\n" + "\nUNION ALL\n".join(blocks)

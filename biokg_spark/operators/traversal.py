@@ -110,3 +110,111 @@ def bfs_oracle_sql(
     )
     SELECT id AS entity_id, CAST(min(dist) AS INT) AS dist
     FROM bfs GROUP BY id"""
+
+
+def bfs_distances_per_seed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-seed hop distances: (seed, id, dist) for every seed→node
+    pair within ``max_hops``.
+
+    The same frontier-expansion/anti-join algorithm as
+    :func:`bfs_distances` with the state keyed on (seed, node) instead
+    of node — the fields from different seeds expand in the SAME
+    per-round join (one shuffle per round for ALL seeds, not one BFS
+    per seed), which is what makes a sampled-seed centrality estimate
+    affordable: |seeds| is a sample-size knob, not a job multiplier.
+    State size is bounded by |seeds| × |V|.
+    """
+    assert max_hops >= 0
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    dist = (
+        seeds.select(F.col(id_col).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("id"), F.lit(0).alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = dist.select("seed", "id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["_s"])
+            .select("seed", F.col("_d").alias("id"))
+            .distinct()
+            .join(dist.select("seed", "id"), ["seed", "id"], "left_anti")
+            .withColumn("dist", F.lit(h))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint()
+        frontier = nxt.select("seed", "id")
+    return dist
+
+
+def harmonic_centrality_sampled(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    decimals: int = 4,
+) -> DataFrame:
+    """Sampled harmonic centrality: h(v) = Σ_{s ∈ seeds, d(s,v) > 0}
+    1 / d(s,v), distances truncated at ``max_hops``.
+
+    Exact harmonic centrality needs all-pairs distances — quadratic and
+    off the table at any scale; the standard estimator (Boldi & Vigna
+    2014, "Axioms for centrality"; Eppstein–Wang sampling) sums over a
+    seed SAMPLE and scales by |V|/|seeds| — the scaling is a constant,
+    so this returns the raw truncated sum, the engine-exact quantity
+    the oracle can reproduce (no float scaling to disagree on beyond
+    the final rounding). Nodes no sampled seed reaches in ``max_hops``
+    are absent; a seed contributes nothing to itself (d = 0).
+
+    One frontier-expansion pass for all seeds
+    (:func:`bfs_distances_per_seed`) + ONE partial+final HashAggregate
+    on the node id.
+
+    Reference: n/a — graph-analytics mandate over the constructed KG
+    (the centrality family next to pagerank/HITS/k-core/clustering).
+    """
+    d = bfs_distances_per_seed(edges, seeds, max_hops, src, dst, id_col)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.round(F.sum(F.lit(1.0) / F.col("dist")), decimals).alias("harmonic"),
+            F.count(F.lit(1)).alias("n_seeds_reaching"),
+        )
+    )
+
+
+def harmonic_oracle_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    max_hops: int = 4,
+    decimals: int = 4,
+) -> str:
+    """Recursive-CTE twin of :func:`harmonic_centrality_sampled` —
+    the :func:`bfs_oracle_sql` recursion keyed on (seed, id), then the
+    same 1/dist sum. Emits (entity_id, harmonic, n_seeds_reaching)."""
+    return f"""WITH RECURSIVE {edges_cte},
+    {seeds_cte},
+    bfs (seed, id, dist) AS (
+      SELECT id, id, 0 FROM seeds
+      UNION
+      SELECT b.seed, e.dst, b.dist + 1
+      FROM bfs b JOIN e ON b.id = e.src
+      WHERE b.dist < {max_hops}
+    ),
+    md AS (SELECT seed, id, min(dist) AS dist FROM bfs GROUP BY seed, id)
+    SELECT id AS entity_id,
+           round(sum(1.0 / dist), {decimals}) AS harmonic,
+           count(*) AS n_seeds_reaching
+    FROM md WHERE dist > 0 GROUP BY id"""

@@ -4149,3 +4149,63 @@ def corpus_hard_negatives(spark, sf_dir):
         F.col("doc_id").alias("pos_id"),
     )
     return mine_hard_negatives(docs, qd, n_negatives=2)
+
+
+def _harmonic_sql():
+    from biokg_spark.operators.traversal import harmonic_oracle_sql
+
+    edges_cte = f"""{_KG_LINKS_CTE},
+    e AS (SELECT subj AS src, obj AS dst FROM links
+          UNION SELECT obj AS src, subj AS dst FROM links)"""
+    seeds_cte = """seeds AS (
+      SELECT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)
+      ORDER BY id LIMIT 4)"""
+    return harmonic_oracle_sql(edges_cte, seeds_cte, max_hops=4)
+
+
+@q("kg_harmonic_centrality", _harmonic_sql())
+def kg_harmonic_centrality(spark, sf_dir):
+    """Sampled harmonic centrality over the symmetrized KG links
+    (operators/traversal.py::harmonic_centrality_sampled): h(v) =
+    sum 1/d(s,v) over the 4-lowest-id seed entities, distances
+    truncated at 4 hops — the Eppstein-Wang/Boldi-Vigna estimator whose
+    seed count is a sample-size knob, not a job multiplier (all seeds'
+    fields expand in the SAME per-round frontier join). Completes the
+    centrality family next to pagerank/HITS/k-core/clustering.
+    Oracled against a recursive-CTE DuckDB twin at 4 dp."""
+    from biokg_spark.operators.traversal import harmonic_centrality_sampled
+
+    links = _kg_links(spark, sf_dir)
+    e = (
+        links.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .union(links.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+        .distinct()
+    )
+    nodes = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
+    seeds = nodes.orderBy("id").limit(4)
+    h = harmonic_centrality_sampled(e, seeds, max_hops=4)
+    return h.select(F.col("id").alias("entity_id"), "harmonic", "n_seeds_reaching")
+
+
+def _skew_profile_sql():
+    from biokg_spark.operators.skew import skew_profile_oracle_sql
+
+    return skew_profile_oracle_sql(
+        _KG_LINKS_CTE, "links", ["pred", "subj"], top_k=5
+    )
+
+
+@q("kg_skew_profile", _skew_profile_sql())
+def kg_skew_profile(spark, sf_dir):
+    """Join/agg-key skew diagnostic over the KG triple table
+    (operators/skew.py::skew_profile): top-5 heavy hitters per key
+    column (pred, subj) with corpus share and skew factor (count /
+    mean-per-key) — the measurement that decides between salt_join,
+    AQE skew-join, and doing nothing before a 1000-executor shuffle.
+    Per column: one HashAggregate to the distinct-key frame, a
+    TakeOrderedAndProject top-k rank, and the 1-row corpus-scalar
+    broadcast cross (the BM25/TF-IDF in-plan-scalar pattern)."""
+    from biokg_spark.operators.skew import skew_profile
+
+    links = _kg_links(spark, sf_dir)
+    return skew_profile(links, ["pred", "subj"], top_k=5)

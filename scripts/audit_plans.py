@@ -79,6 +79,9 @@ EXPECTED = {
     # hard-negative mining runs bm25_search, inheriting its 1-row
     # corpus-scalar crossJoin.
     "corpus_hard_negatives": {"BroadcastNestedLoopJoin present"},
+    # skew profiler: per key column, the 1-row (total, n_keys) scalar
+    # aggregate broadcast-crossed onto the top_k heavy-hitter rows.
+    "kg_skew_profile": {"BroadcastNestedLoopJoin present"},
     # unigram LM's corpus token total: same 1-row crossJoin pattern.
     "text_unigram_logprob": {"BroadcastNestedLoopJoin present"},
 }

@@ -80,3 +80,66 @@ def test_dsir_scores_prefer_target_lookalikes(spark):
     assert got[2] > got[4]
     # the target docs themselves score at least as high as the lookalike
     assert min(got[0], got[1]) >= got[2]
+
+
+def test_per_seed_bfs_tracks_each_field_independently(spark):
+    from biokg_spark.operators.traversal import bfs_distances_per_seed
+
+    # path a -> b -> c -> d; seeds a and c
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    s = spark.createDataFrame([("a",), ("c",)], "id string")
+    got = {
+        (r.seed, r.id): r.dist
+        for r in bfs_distances_per_seed(e, s, max_hops=4).collect()
+    }
+    assert got == {
+        ("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 2, ("a", "d"): 3,
+        ("c", "c"): 0, ("c", "d"): 1,
+    }
+
+
+def test_harmonic_hand_computed_star_and_truncation(spark):
+    from biokg_spark.operators.traversal import harmonic_centrality_sampled
+
+    # undirected star: hub h <-> x,y,z  (symmetrized edge list)
+    ud = [("h", "x"), ("h", "y"), ("h", "z")]
+    e = spark.createDataFrame(
+        ud + [(b, a) for a, b in ud], "src string, dst string"
+    )
+    s = spark.createDataFrame([("x",), ("y",), ("z",)], "id string")
+    got = {
+        r.id: (r.harmonic, r.n_seeds_reaching)
+        for r in harmonic_centrality_sampled(e, s, max_hops=4).collect()
+    }
+    # hub: 1/1 from each of the 3 seeds; each leaf: 1/2 from the OTHER
+    # two seeds only (self at dist 0 contributes nothing)
+    assert got["h"] == (3.0, 3)
+    for leaf in "xyz":
+        assert got[leaf] == (1.0, 2)
+    # truncation at 1 hop: leaves no longer reach each other
+    t = {
+        r.id: (r.harmonic, r.n_seeds_reaching)
+        for r in harmonic_centrality_sampled(e, s, max_hops=1).collect()
+    }
+    assert t == {"h": (3.0, 3)}
+
+
+def test_skew_profile_counts_share_and_rank(spark):
+    from biokg_spark.operators.skew import skew_profile
+
+    rows = [("hot", i) for i in range(6)] + [("warm", 0), ("warm", 1), ("cold", 0)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = {
+        (r.key_col, r.key): (r.cnt, r.share, r.skew, r.rank)
+        for r in skew_profile(df, ["k", "v"], top_k=2).collect()
+    }
+    # column k: 9 rows over 3 keys -> mean 3; hot=6 (share 6/9, skew 2)
+    assert got[("k", "hot")] == (6, round(6 / 9, 4), 2.0, 1)
+    assert got[("k", "warm")] == (2, round(2 / 9, 4), round(2 / 3, 4), 2)
+    assert ("k", "cold") not in got  # top_k=2
+    # column v: 0 x3, 1 x2, 2..5 x1 -> mean 9/6 = 1.5
+    assert got[("v", "0")] == (3, round(3 / 9, 4), 2.0, 1)
+    assert got[("v", "1")] == (2, round(2 / 9, 4), round(2 / 1.5, 4), 2)
+    assert len(got) == 4
