@@ -587,3 +587,76 @@ def test_resize_media_uses_real_gif_path(spark):
     assert (out.width, out.height) == (10, 2)
     dec = _gif_decode(bytes(out.payload))
     assert dec is not None and (dec[1], dec[2]) == (10, 2)
+
+
+def _wav_pcm_bytes(channels, rate, samples):
+    """16-bit PCM WAV with EXPLICIT interleaved sample values."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+         + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_pcm_features_square_wave_and_silence(spark):
+    from biokg_spark.operators.multimodal import extract_pcm_features
+
+    # 8 kHz mono: 400 samples alternating +/-1000, then 400 of silence.
+    # frame_ms=25 -> 200-sample frames: two loud frames, two silent.
+    sig = [1000 if i % 2 == 0 else -1000 for i in range(400)] + [0] * 400
+    rows = [
+        (1, "audio", bytearray(_wav_pcm_bytes(1, 8000, sig)), "audio/wav"),
+        (2, "audio", bytearray(b"not a wav"), "x"),       # omitted
+        (3, "image", bytearray(b"ignored"), "image/png"),  # not audio
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+    out = {r.media_id: r for r in extract_pcm_features(media).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert (r.channels, r.sample_rate, r.n_samples, r.n_frames) == (1, 8000, 800, 4)
+    assert r.peak == 1000
+    assert abs(r.rms - (400 * 1000.0 ** 2 / 800) ** 0.5) < 1e-9
+    # sign flips every sample inside the loud run: 399 crossings; the
+    # trailing zeros hold the previous sign and add none
+    assert abs(r.zero_cross_rate - 399 / 799) < 1e-12
+    assert r.silence_ratio == 0.5
+    assert r.max_frame_rms == 1000.0
+
+
+def test_pcm_features_stereo_mixdown_cancels(spark):
+    from biokg_spark.operators.multimodal import extract_pcm_features
+
+    # L = +v, R = -v -> channel-mean mono is exactly zero everywhere
+    inter = []
+    for _ in range(300):
+        inter += [700, -700]
+    media = spark.createDataFrame(
+        [(5, "audio", bytearray(_wav_pcm_bytes(2, 8000, inter)), "audio/wav")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    r = extract_pcm_features(media).collect()[0]
+    assert (r.channels, r.n_samples) == (2, 300)
+    assert r.rms == 0.0 and r.peak == 0 and r.zero_cross_rate == 0.0
+    assert r.silence_ratio == 1.0 and r.max_frame_rms == 0.0
+
+
+def test_pcm_parser_rejects_non_pcm_and_clamps_truncation():
+    from biokg_spark.operators.multimodal import _wav_pcm16_samples
+
+    good = _wav_pcm_bytes(1, 8000, [1, -2, 3])
+    assert _wav_pcm16_samples(good) == (1, 8000, [1, -2, 3])
+    # 8-bit form rejected (bits != 16)
+    import struct
+
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"fmt " + struct.pack("<I", len(fmt8)) + fmt8 \
+         + b"data" + struct.pack("<I", 4) + bytes(4)
+    wav8 = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert _wav_pcm16_samples(wav8) is None
+    # truncated data chunk: trailing half-sample dropped, no crash
+    assert _wav_pcm16_samples(good[:-1]) == (1, 8000, [1, -2])
