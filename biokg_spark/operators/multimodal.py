@@ -761,17 +761,57 @@ def _gif_split_frames(payload: bytes) -> list[bytes] | None:
         return None  # truncated stream
 
 
+def _avi_split_frames(payload: bytes) -> list[bytes] | None:
+    """Video-frame payloads from a RIFF/AVI container, stdlib only.
+
+    Walks the RIFF chunk list (the same word-aligned layout as WAV) to
+    the ``LIST movi`` body and collects every ``##db``/``##dc`` chunk —
+    uncompressed/compressed video frames; for MJPEG AVIs each ``00dc``
+    body IS a standalone JPEG. ``LIST rec `` interleave groups (frames
+    batched for CD-ROM-era streaming) are recursed into. Audio (``wb``)
+    and index chunks are skipped. Returns None for non-AVI payloads;
+    a truncated final chunk clamps to the bytes present.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    import struct
+
+    def walk(buf: bytes, frames: list[bytes]) -> None:
+        i = 0
+        while i + 8 <= len(buf):
+            cid = buf[i:i + 4]
+            (clen,) = struct.unpack("<I", buf[i + 4:i + 8])
+            body = buf[i + 8:i + 8 + clen]
+            if cid == b"LIST" and body[:4] == b"rec ":
+                walk(body[4:], frames)
+            elif len(cid) == 4 and cid[2:4] in (b"db", b"dc"):
+                frames.append(body)
+            i += 8 + clen + (clen % 2)
+
+    frames: list[bytes] = []
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4:i + 8])
+        body = payload[i + 8:i + 8 + clen]
+        if cid == b"LIST" and body[:4] == b"movi":
+            walk(body[4:], frames)
+        i += 8 + clen + (clen % 2)
+    return frames
+
+
 def sample_frames(media: DataFrame, every_nth: int = 4, frame_bytes: int = 4) -> DataFrame:
     """Sample frames from video payloads — the 1→N (UDTF-shaped) media op.
 
-    REAL for animated GIFs: a stdlib container demuxer
-    (``_gif_split_frames``) splits the block structure into frames, each
-    re-wrapped as a standalone valid GIF, and every ``every_nth`` one is
-    emitted. Other containers keep the labeled STUB (payload treated as
-    ``frame_bytes``-sized frames) — a real deployment swaps that branch
-    for an mp4/mkv demuxer; the Spark contract (mapInPandas fan-out, one
-    input batch → many output rows, binary frame column) is identical
-    either way. Only ``kind='video'`` rows produce output.
+    REAL for animated GIFs (``_gif_split_frames``: block-structure demux,
+    each frame re-wrapped as a standalone valid GIF) and for RIFF/AVI
+    containers (``_avi_split_frames``: LIST-movi chunk walk; for MJPEG
+    each emitted frame is a standalone JPEG). Every ``every_nth`` frame
+    is emitted. Other containers (mp4/mkv — non-RIFF, out of stdlib
+    scope) keep the labeled STUB (payload treated as ``frame_bytes``-
+    sized frames); the Spark contract (mapInPandas fan-out, one input
+    batch → many output rows, binary frame column) is identical either
+    way. Only ``kind='video'`` rows produce output.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -780,10 +820,12 @@ def sample_frames(media: DataFrame, every_nth: int = 4, frame_bytes: int = 4) ->
             vids = pdf[pdf["kind"] == "video"]
             for mid, p in zip(vids["media_id"], vids["payload"]):
                 raw = bytes(p)
-                gif_frames = _gif_split_frames(raw)
-                if gif_frames is not None:
-                    for i in range(0, len(gif_frames), every_nth):
-                        rows.append((mid, i, gif_frames[i]))
+                frames = _gif_split_frames(raw)
+                if frames is None:
+                    frames = _avi_split_frames(raw)
+                if frames is not None:
+                    for i in range(0, len(frames), every_nth):
+                        rows.append((mid, i, frames[i]))
                     continue
                 n_frames = len(raw) // frame_bytes
                 for i in range(0, n_frames, every_nth):

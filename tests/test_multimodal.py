@@ -660,3 +660,60 @@ def test_pcm_parser_rejects_non_pcm_and_clamps_truncation():
     assert _wav_pcm16_samples(wav8) is None
     # truncated data chunk: trailing half-sample dropped, no crash
     assert _wav_pcm16_samples(good[:-1]) == (1, 8000, [1, -2])
+
+
+def _avi_bytes(frames, with_rec_group=False, extra_chunks=True):
+    """Minimal RIFF/AVI: LIST hdrl stub + LIST movi with 00dc frames
+    (and an audio 01wb + idx1 chunk that the demuxer must skip)."""
+    import struct
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    movi = b""
+    if with_rec_group:
+        head, tail = frames[:2], frames[2:]
+        movi += lst(b"rec ", b"".join(chunk(b"00dc", f) for f in head))
+        movi += b"".join(chunk(b"00dc", f) for f in tail)
+    else:
+        movi += b"".join(chunk(b"00dc", f) for f in frames)
+    if extra_chunks:
+        movi += chunk(b"01wb", b"AUDIO")  # audio stream chunk: skipped
+    body = lst(b"hdrl", chunk(b"avih", bytes(56))) + lst(b"movi", movi)
+    if extra_chunks:
+        body += chunk(b"idx1", bytes(16))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def test_avi_split_frames_real_demux():
+    from biokg_spark.operators.multimodal import _avi_split_frames
+
+    frames = [b"\xff\xd8JPEG0\xff\xd9", b"\xff\xd8JPEG11\xff\xd9", b"\xff\xd8J2\xff\xd9"]
+    assert _avi_split_frames(_avi_bytes(frames)) == frames
+    # odd-length frame bodies exercise the word-alignment padding above
+    assert _avi_split_frames(_avi_bytes([b"a", b"bcd", b"e"])) == [b"a", b"bcd", b"e"]
+    # rec-interleave groups are recursed into, order preserved
+    assert _avi_split_frames(_avi_bytes(frames, with_rec_group=True)) == frames
+    assert _avi_split_frames(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert _avi_split_frames(b"not avi") is None
+
+
+def test_sample_frames_avi_real_demux(spark):
+    from biokg_spark.operators.multimodal import sample_frames
+
+    frames = [bytes([0xFF, 0xD8, i, 0xFF, 0xD9]) for i in range(6)]
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(_avi_bytes(frames)), "video/x-msvideo"),
+            (2, "audio", bytearray(b"skipped"), "x"),
+        ],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    got = {
+        r.frame_idx: bytes(r.frame)
+        for r in sample_frames(media, every_nth=2).collect()
+    }
+    assert got == {0: frames[0], 2: frames[2], 4: frames[4]}
