@@ -23,7 +23,7 @@ corpora do this; the salting helper in operators/skew.py applies).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -670,4 +670,121 @@ def delta_dedup_against_index(
             .otherwise(F.lit("keep"))
             .alias("status"),
         )
+    )
+
+
+def positional_grams(col: Column | str, width: int) -> Column:
+    """Overlapping token k-grams WITH their 0-based start position:
+    ``array<struct<pos:int, gram:string>>``.
+
+    The positional sibling of ``shingles()`` (which is distinct and
+    position-free, fine for MinHash but useless for span removal). Same
+    two plan disciplines: the token split is bound to a lambda variable
+    via the single-element ``transform(array(...))`` wrapper so it is
+    evaluated once per document, not once per position (O(n²) hazard,
+    see shingles()), and documents shorter than ``width`` produce an
+    empty array so ``sequence()`` never sees a descending range.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks_expr = F.split(F.lower(F.trim(c)), "\\s+")
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - width + 1),
+            lambda i: F.struct(
+                (i - 1).cast("int").alias("pos"),
+                F.array_join(F.slice(toks, i, width), " ").alias("gram"),
+            ),
+        )
+        return F.when(n >= width, grams).otherwise(
+            F.array().cast("array<struct<pos:int,gram:string>>")
+        )
+
+    return F.element_at(F.transform(F.array(toks_expr), build), 1)
+
+
+def dup_span_intervals(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 8,
+    min_occ: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate SPANS: per-document removal intervals.
+
+    The interval-producing form of substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    token k-gram occurring ≥ ``min_occ`` times corpus-wide marks its
+    positions as duplicated; overlapping/adjacent marked windows are
+    merged into maximal per-document intervals ``[span_start,
+    span_end)`` in token coordinates, ready for span excision. The
+    reference has no substring dedup at all (its dedup is whole-record
+    set-dedup, parsers.py:783-832); ``chunk_dup_stats`` tallies
+    non-overlapping chunk duplication, this one produces the actual
+    cut list.
+
+    Plan shape at 100 TB: one explode to positional grams (the big
+    intermediate, ~n_tokens rows per doc), ONE HashAggregate on a
+    64-bit gram key (md5-prefix packed to LONG — numeric buffer, never
+    SortAggregate), one equi-join back on that key (AQE-splittable if a
+    boilerplate gram goes hot; count ≥ min_occ keeps the dup side
+    small), then one window per doc_id for the interval merge — the
+    classic max(end)-so-far / gap-flag / running-sum grouping, a single
+    sort within each doc partition. Nothing is all-pairs; the join key
+    is uniform by construction (hash).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(positional_grams(text_col, width)).alias("g"),
+    ).select(
+        id_col,
+        F.col("g.pos").alias("pos"),
+        # 60-bit md5 prefix as LONG: engine-portable (DuckDB
+        # ('0x'||substr(md5(x),1,15))::BIGINT) and a compact numeric
+        # shuffle/group key
+        F.conv(F.substring(F.md5(F.col("g.gram")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("gh"),
+    )
+    hot = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_occ)
+        .select("gh")
+    )
+    marked = grams.join(hot, "gh").select(id_col, "pos")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = marked.select(
+        id_col,
+        "pos",
+        F.max(F.col("pos") + width).over(w_prev).alias("_prev_end"),
+    ).select(
+        id_col,
+        "pos",
+        F.when(
+            F.col("_prev_end").isNull() | (F.col("pos") > F.col("_prev_end")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new_grp"),
+    )
+    return (
+        flagged.withColumn("_grp", F.sum("_new_grp").over(w_run))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + width).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .drop("_grp")
     )

@@ -238,3 +238,59 @@ def funnel_steps(
             for k in range(len(steps))
         ],
     )
+
+
+def burst_detection(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "day",
+    trailing: int = 3,
+    factor: float = 1.5,
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-key temporal burst detection vs a trailing baseline.
+
+    Buckets each key's events to ``bucket`` granularity, then flags a
+    bucket as a burst when its count is ≥ ``factor`` × the mean of the
+    previous ``trailing`` OBSERVED buckets (rows-based window — gaps in
+    the timeline don't dilute the baseline; the semantics is "vs the
+    last N active periods") and ≥ ``min_count`` absolute. The first
+    buckets of a key (no trailing history yet) are never bursts. This is
+    the spike audit a temporal KG needs before trusting a sudden pile of
+    extracted edges (reference has no timestamps at all, SURVEY §2.8 —
+    engine addition).
+
+    Plan shape at 100 TB: ONE HashAggregate on (key, bucket) does all
+    the data-sized work with map-side partial counts — the window runs
+    on the aggregated table (buckets × keys rows, ~10^6 even for years
+    of hourly buckets over 10^4 keys), so the per-key sort is trivial.
+    Output bucket is an ISO string (artifact convention: no timestamps
+    in oracle-compared outputs).
+    """
+    counts = events.groupBy(
+        F.col(key_col),
+        F.date_trunc(bucket, F.col(ts_col)).alias("_b"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_b")
+        .rowsBetween(-trailing, -1)
+    )
+    return counts.select(
+        key_col,
+        F.date_format("_b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "cnt",
+        F.round(F.avg("cnt").over(w), 4).alias("baseline"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+    ).select(
+        key_col,
+        "bucket",
+        "cnt",
+        "baseline",
+        (
+            (F.col("n_trailing") == trailing)
+            & (F.col("cnt") >= factor * F.col("baseline"))
+            & (F.col("cnt") >= min_count)
+        ).alias("is_burst"),
+    )

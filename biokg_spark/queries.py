@@ -4209,3 +4209,86 @@ def kg_skew_profile(spark, sf_dir):
 
     links = _kg_links(spark, sf_dir)
     return skew_profile(links, ["pred", "subj"], top_k=5)
+
+
+@q(
+    "dedup_span_intervals",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+    g AS (
+      SELECT doc_id, j - 1 AS pos,
+             ('0x' || substr(md5(array_to_string(list_slice(ts, j, j + 7), ' ')), 1, 15))::BIGINT AS gh
+      FROM tok, unnest(generate_series(1, len(ts) - 7)) AS t(j)
+      WHERE len(ts) >= 8),
+    hot AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+    marked AS (SELECT doc_id, pos FROM g JOIN hot USING (gh)),
+    flagged AS (
+      SELECT doc_id, pos,
+             max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM marked),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM flagged)
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 8 AS BIGINT) AS span_end,
+           count(*) AS n_dup_grams
+    FROM grp GROUP BY doc_id, gid
+    """,
+)
+def dedup_span_intervals(spark, sf_dir):
+    """Exact-substring duplicate spans as per-doc removal intervals
+    (operators/dedup.py::dup_span_intervals — the Lee et al. 2022 cut
+    list): token 8-grams occurring ≥2× corpus-wide mark positions;
+    overlapping marks merge into maximal [span_start, span_end) token
+    intervals via the max-end-so-far / gap-flag / running-sum window
+    idiom. One 64-bit-keyed HashAggregate over the positional-gram
+    explode, one join back, one per-doc window — nothing all-pairs."""
+    from biokg_spark.operators.dedup import dup_span_intervals
+
+    return dup_span_intervals(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", width=8, min_occ=2
+    )
+
+
+@q(
+    "events_burst_detection",
+    """
+    WITH counts AS (
+      SELECT event_type, date_trunc('day', ts) AS b, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    base AS (
+      SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, cnt,
+             round(avg(cnt) OVER w, 4) AS baseline,
+             count(*) OVER w AS n_trailing
+      FROM counts
+      WINDOW w AS (PARTITION BY event_type ORDER BY b
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, bucket, cnt, baseline,
+           (n_trailing = 3 AND cnt >= 1.5 * baseline AND cnt >= 5) AS is_burst
+    FROM base
+    """,
+)
+def events_burst_detection(spark, sf_dir):
+    """Temporal burst audit over the event stream
+    (operators/temporal.py::burst_detection): per event_type daily
+    counts vs the mean of the 3 previous observed days; a day is a
+    burst at ≥1.5× baseline and ≥5 events. The spike gate a temporal
+    KG runs before trusting a sudden pile of extracted edges. All
+    data-sized work is ONE map-side-partial HashAggregate; the window
+    sorts only the tiny (key × bucket) frame."""
+    from biokg_spark.operators.temporal import burst_detection
+
+    return burst_detection(
+        load_table(spark, sf_dir, "events"),
+        key_col="event_type",
+        ts_col="ts",
+        bucket="day",
+        trailing=3,
+        factor=1.5,
+        min_count=5,
+    )

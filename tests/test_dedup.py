@@ -376,3 +376,53 @@ def test_delta_dedup_corpus_outranks_shard(spark):
     got = {r.doc_id: r.status for r in delta_dedup(corpus, delta, "text", "doc_id").collect()}
     # both shard copies exist in the corpus: neither is 'keep' or 'dup_delta'
     assert got == {1: "dup_corpus", 2: "dup_corpus"}
+
+
+def test_dup_span_intervals_planted(spark):
+    from biokg_spark.operators.dedup import dup_span_intervals
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    rows = [
+        # shared phrase at token offset 2 in doc 1, offset 0 in doc 2
+        (1, "alpha beta " + shared + " gamma delta epsilon zeta eta"),
+        (2, shared + " one two three four five six seven"),
+        # no 8-gram shared with anything
+        (3, "completely different words that never repeat anywhere else ok"),
+        # too short to produce any 8-gram
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id): (r.span_start, r.span_end, r.n_dup_grams)
+        for r in dup_span_intervals(df, "text", "doc_id", width=8).collect()
+    }
+    # shared 10-gram => 3 duplicated 8-gram positions, merged into ONE
+    # interval of exactly the shared tokens: doc1 [2, 12), doc2 [0, 10)
+    assert got == {1: (2, 12, 3), 2: (0, 10, 3)}
+
+
+def test_dup_span_intervals_merges_adjacent_and_splits_gaps(spark):
+    from biokg_spark.operators.dedup import dup_span_intervals
+
+    a = "a1 a2 a3 a4 a5 a6 a7 a8"       # 8 toks - one gram
+    b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [
+        # two duplicated grams separated by 20 unique tokens -> 2 spans
+        (1, a + " " + " ".join(f"x{i}" for i in range(20)) + " " + b),
+        (2, a + " mid " + b),
+        # within-doc repetition alone also counts (occ >= 2 corpus-wide)
+        (3, a + " " + a),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dup_span_intervals(df, "text", "doc_id", width=8).collect()
+    spans = {}
+    for r in out:
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for v in spans.values():
+        v.sort()
+    assert spans[1] == [(0, 8), (28, 36)]
+    assert spans[2] == [(0, 8), (9, 17)]
+    # doc 3 = "a...a a...a": every 8-window of the 16 tokens repeats
+    # (it equals the window 8 positions later or earlier), so the whole
+    # doc merges into one interval [0, 16)
+    assert spans[3] == [(0, 16)]

@@ -182,3 +182,39 @@ def test_funnel_strict_ordering_and_greedy(spark):
     assert got[4] == (0, None, None, None)
     assert got[5] == (2, us(1), us(3), None)
     assert len(got) == 5
+
+
+def test_burst_detection_planted(spark):
+    from datetime import datetime
+
+    from biokg_spark.operators.temporal import burst_detection
+
+    def day(d):
+        return datetime(2024, 3, d, 12, 0, 0)
+
+    rows = []
+    # key 'e': 10/day for days 1-3, burst of 30 on day 4, back to 10 day 5
+    for d, n in [(1, 10), (2, 10), (3, 10), (4, 30), (5, 10)]:
+        rows += [("e", day(d))] * n
+    # key 'f': climbing but under 1.5x baseline -> never a burst
+    for d, n in [(1, 10), (2, 11), (3, 12), (4, 13)]:
+        rows += [("f", day(d))] * n
+    # key 'g': doubles on day 4 but below min_count=5
+    for d, n in [(1, 2), (2, 2), (3, 2), (4, 4)]:
+        rows += [("g", day(d))] * n
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = burst_detection(
+        ev, bucket="day", trailing=3, factor=1.5, min_count=5
+    ).collect()
+    bursts = {(r.event_type, r.bucket) for r in out if r.is_burst}
+    assert bursts == {("e", "2024-03-04 00:00:00")}
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.event_type, []).append(r)
+    # first 3 buckets of every key lack a full trailing window -> never burst
+    for rs in by_key.values():
+        rs.sort(key=lambda r: r.bucket)
+        assert all(not r.is_burst for r in rs[:3])
+    # day-4 baseline for 'e' is mean(10,10,10)=10
+    e4 = next(r for r in out if r.event_type == "e" and r.bucket == "2024-03-04 00:00:00")
+    assert e4.cnt == 30 and e4.baseline == 10.0
