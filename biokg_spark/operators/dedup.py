@@ -788,3 +788,80 @@ def dup_span_intervals(
         )
         .drop("_grp")
     )
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Apply a duplicate-span cut list: rewrite each document with the
+    tokens inside any ``[span_start, span_end)`` interval removed.
+
+    The second half of substring dedup (Lee et al. 2022):
+    ``dup_span_intervals`` produces the intervals, this excises them.
+    Returns ``(id_col, clean_text, n_kept, n_removed)`` where
+    ``clean_text`` is the whitespace-normalized (lower/trim) surviving
+    token sequence in original order — the form downstream tokenization
+    consumes. Documents with no spans pass through with n_removed = 0.
+
+    Plan shape at 100 TB: the interval list aggregates to ≤ a handful
+    of structs per doc (intervals are MERGED maximal spans, bounded by
+    n_tokens/width), joins back on the doc id, and the excision is a
+    single pure-Column pass: positional transform → filter-by-coverage
+    → array_join. No explode, no window — map-side work after one
+    equi-join on the id. The per-element coverage probe references
+    only the joined interval-array ATTRIBUTE (not a computed
+    expression), so nothing re-inlines (see shingles()).
+    """
+    iv = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_iv")
+    )
+    joined = df.join(iv, id_col, "left").select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), "\\s+").alias("_toks"),
+        F.coalesce(
+            F.col("_iv"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+        ).alias("_ivs"),
+    )
+    pos = F.transform(
+        F.col("_toks"), lambda t, i: F.struct(i.alias("i"), t.alias("t"))
+    )
+    kept = F.filter(
+        pos,
+        lambda st: ~F.exists(
+            F.col("_ivs"),
+            lambda v: (st["i"] >= v["s"]) & (st["i"] < v["e"]),
+        ),
+    )
+
+    # let-bind `kept` via the single-element transform wrapper and emit
+    # ONE packed struct, unpacked in a separate Project: referencing the
+    # filter chain from three sibling output columns re-inlines it three
+    # times (measured — the shingles()/cascade.py hazard), and
+    # CollapseProject keeps the two Projects apart because the packed
+    # expression is non-cheap and multiply referenced.
+    def pack(k: Column) -> Column:
+        return F.struct(
+            F.array_join(F.transform(k, lambda st: st["t"]), " ").alias(
+                "clean_text"
+            ),
+            F.size(k).cast("long").alias("n_kept"),
+        )
+
+    packed = joined.select(
+        F.col(id_col),
+        F.element_at(F.transform(F.array(kept), pack), 1).alias("_o"),
+        F.size("_toks").cast("long").alias("_n"),
+    )
+    return packed.select(
+        id_col,
+        F.col("_o.clean_text").alias("clean_text"),
+        F.col("_o.n_kept").alias("n_kept"),
+        (F.col("_n") - F.col("_o.n_kept")).alias("n_removed"),
+    )

@@ -4292,3 +4292,69 @@ def events_burst_detection(spark, sf_dir):
         factor=1.5,
         min_count=5,
     )
+
+
+@q(
+    "dedup_span_excise",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+    g AS (
+      SELECT doc_id, j - 1 AS pos,
+             ('0x' || substr(md5(array_to_string(list_slice(ts, j, j + 7), ' ')), 1, 15))::BIGINT AS gh
+      FROM tok, unnest(generate_series(1, len(ts) - 7)) AS t(j)
+      WHERE len(ts) >= 8),
+    hot AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+    marked AS (SELECT doc_id, pos FROM g JOIN hot USING (gh)),
+    flagged AS (
+      SELECT doc_id, pos,
+             max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM marked),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM flagged),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+      FROM grp GROUP BY doc_id, gid),
+    pos AS (
+      SELECT doc_id, j, ts[j] AS t
+      FROM tok, unnest(generate_series(1, len(ts))) AS u(j)),
+    cov AS (
+      SELECT DISTINCT p.doc_id, p.j
+      FROM pos p JOIN spans sp
+        ON p.doc_id = sp.doc_id AND p.j - 1 >= sp.s AND p.j - 1 < sp.e),
+    kept AS (
+      SELECT pos.doc_id, pos.j, pos.t
+      FROM pos ANTI JOIN cov USING (doc_id, j))
+    SELECT t0.doc_id,
+           -- a doc missing from k is FULLY excised (docs with no spans
+           -- still reach k with all their tokens via the anti join)
+           coalesce(k.clean_text, '') AS clean_text,
+           coalesce(k.n_kept, 0) AS n_kept,
+           t0.n - coalesce(k.n_kept, 0) AS n_removed
+    FROM (SELECT doc_id, array_to_string(ts, ' ') AS norm,
+                 CAST(len(ts) AS BIGINT) AS n FROM tok) t0
+    LEFT JOIN (
+      SELECT doc_id, array_to_string(list(t ORDER BY j), ' ') AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id) k USING (doc_id)
+    """,
+)
+def dedup_span_excise(spark, sf_dir):
+    """Substring-dedup corpus rewrite (operators/dedup.py::excise_spans
+    over dup_span_intervals' cut list): tokens inside any merged
+    duplicate interval are removed; surviving tokens rejoin in order.
+    One equi-join of the tiny per-doc interval arrays back onto the
+    corpus, then a single pure-Column positional filter — no explode,
+    no window on the data-sized side. The filter chain is let-bound
+    (packed struct + separate unpack Project) so it evaluates once,
+    not once per output column."""
+    from biokg_spark.operators.dedup import dup_span_intervals, excise_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dup_span_intervals(docs, "text", "doc_id", width=8, min_occ=2)
+    return excise_spans(docs, spans, "text", "doc_id")

@@ -426,3 +426,29 @@ def test_dup_span_intervals_merges_adjacent_and_splits_gaps(spark):
     # (it equals the window 8 positions later or earlier), so the whole
     # doc merges into one interval [0, 16)
     assert spans[3] == [(0, 16)]
+
+
+def test_excise_spans_planted(spark):
+    from biokg_spark.operators.dedup import dup_span_intervals, excise_spans
+
+    rows = [
+        (1, "a b c d e f g h i j"),   # shares [0,8) with doc 2
+        (2, "a b c d e f g h x y"),
+        (3, "u v w totally unique words here now"),  # no spans
+        (4, "a b c d e f g h"),       # fully covered -> empty rewrite
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dup_span_intervals(df, "text", "doc_id", width=8)
+    out = excise_spans(df, spans, "text", "doc_id")
+    got = {r.doc_id: (r.clean_text, r.n_kept, r.n_removed) for r in out.collect()}
+    assert got[1] == ("i j", 2, 8)
+    assert got[2] == ("x y", 2, 8)
+    assert got[3] == ("u v w totally unique words here now", 8, 0)
+    assert got[4] == ("", 0, 8)
+    # the filter/exists chain must be let-bound: evaluated once, not
+    # re-inlined per output column (clean_text/n_kept/n_removed)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE's string repeats the plan under "== Initial Plan =="; count
+    # only the final section
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("exists(") == 1
