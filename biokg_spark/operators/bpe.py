@@ -143,3 +143,149 @@ def bpe_oracle_sql(n_merges: int, source_sql: str = "documents") -> str:
         f"SELECT merge_rank, pair, merged, n FROM top{i}" for i in range(n_merges)
     )
     return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Apply a learned merge table to the corpus (tokenizer INFERENCE).
+
+    ``merges`` is :func:`bpe_train`'s output — the tokenizer MODEL, a
+    vocab-sized table: collecting it to the driver and compiling it
+    into a chained literal-replace Column is the broadcast-the-model
+    pattern (like the classifier's 257-row weight dim), not a
+    driver-side data loop. Each rank applies the IDENTICAL double-pass
+    fusion contract as training, so encoding the training corpus
+    reproduces training's final working frame byte-for-byte (pinned in
+    tests). Output per doc: whitespace token count, encoded token
+    count, and an md5 fingerprint of the encoded stream.
+
+    Scale shape: the compiled chain is 2×n_merges literal (non-regex)
+    replaces — a single narrow whole-stage-codegen pass over the
+    corpus, zero shuffles. Catalyst handles hundreds of merges; for a
+    production 50k-merge vocabulary the chain outgrows codegen —
+    use :func:`bpe_encode_arrow` (same contract, Arrow-batched) for
+    that regime. The final working string feeds three output columns,
+    so it is let-bound (packed struct + separate unpack Project) —
+    otherwise the whole replace chain re-inlines per reference.
+    """
+    rows = sorted(merges.collect(), key=lambda r: r.merge_rank)
+    t: Column = F.concat(
+        F.lit(" "),
+        F.array_join(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), " "),
+        F.lit(" "),
+    )
+    n_ws = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    for r in rows:
+        t = F.replace(
+            F.replace(t, F.lit(f" {r.pair} "), F.lit(f" {r.merged} ")),
+            F.lit(f" {r.pair} "),
+            F.lit(f" {r.merged} "),
+        )
+
+    def pack(enc: Column) -> Column:
+        return F.struct(
+            F.size(F.split(enc, " ")).cast("long").alias("n_bpe"),
+            F.md5(enc).alias("enc_fp"),
+        )
+
+    packed = docs.select(
+        F.col(id_col),
+        n_ws.cast("long").alias("n_ws"),
+        F.element_at(F.transform(F.array(F.trim(t)), pack), 1).alias("_o"),
+    )
+    return packed.select(
+        id_col,
+        "n_ws",
+        F.col("_o.n_bpe").alias("n_bpe"),
+        F.col("_o.enc_fp").alias("enc_fp"),
+    )
+
+
+def bpe_encode_arrow(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Arrow-batched twin of :func:`bpe_encode` for vocab-scale merge
+    tables (50k+ merges outgrow a compiled Column chain).
+
+    Same double-pass fusion contract per rank, executed in Python over
+    Arrow record batches (``mapInPandas``); the merge list rides the
+    closure (broadcast by Spark's task serializer — a tokenizer model
+    is a few MB). Output-identical to ``bpe_encode`` (parity pinned in
+    tests, including the odd self-run edge the contract documents).
+    Narrow transformation: zero shuffles, scales with executor count.
+    """
+    rules = [
+        (f" {r.pair} ", f" {r.merged} ")
+        for r in sorted(merges.collect(), key=lambda r: r.merge_rank)
+    ]
+    schema = f"{id_col} long, n_ws long, n_bpe long, enc_fp string"
+
+    def encode_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_ws, out_bpe, out_fp = [], [], [], []
+            for i, raw in zip(pdf[id_col], pdf[text_col]):
+                toks = str(raw).lower().strip().split()
+                s = " " + " ".join(toks) + " "
+                for pat, rep in rules:
+                    s = s.replace(pat, rep).replace(pat, rep)
+                enc = s.strip()
+                out_id.append(i)
+                out_ws.append(len(toks))
+                out_bpe.append(len(enc.split(" ")))
+                out_fp.append(hashlib.md5(enc.encode()).hexdigest())
+            yield pd.DataFrame(
+                {id_col: out_id, "n_ws": out_ws, "n_bpe": out_bpe, "enc_fp": out_fp}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(encode_batches, schema)
+
+
+def bpe_encode_oracle_sql(n_merges: int, source_sql: str = "documents") -> str:
+    """Unrolled DuckDB twin of train-then-encode over the same corpus:
+    the training CTE chain of :func:`bpe_oracle_sql` with doc_id (and
+    the whitespace token count) carried through the working frames; the
+    final working frame IS the encoded corpus."""
+    parts = [
+        "s0 AS (SELECT doc_id,"
+        " len(string_split(lower(trim(text)), ' ')) AS n_ws,"
+        " ' ' || array_to_string(string_split(lower(trim(text)),"
+        f" ' '), ' ') || ' ' AS t FROM {source_sql})"
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"tok{i} AS (SELECT string_split(trim(t), ' ') AS ts FROM s{i})"
+        )
+        parts.append(
+            f"pr{i} AS (SELECT ts[j] || ' ' || ts[j+1] AS pair, count(*) AS n"
+            f" FROM tok{i}, unnest(generate_series(1, len(ts) - 1)) AS u_{i}(j)"
+            f" WHERE len(ts) >= 2 GROUP BY pair)"
+        )
+        parts.append(
+            f"top{i} AS (SELECT pair, replace(pair, ' ', '~') AS merged"
+            f" FROM pr{i} ORDER BY n DESC, pair ASC LIMIT 1)"
+        )
+        parts.append(
+            f"s{i + 1} AS (SELECT doc_id, n_ws, replace(replace(t,"
+            f" ' ' || (SELECT pair FROM top{i}) || ' ',"
+            f" ' ' || (SELECT merged FROM top{i}) || ' '),"
+            f" ' ' || (SELECT pair FROM top{i}) || ' ',"
+            f" ' ' || (SELECT merged FROM top{i}) || ' ') AS t FROM s{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws,"
+        f" CAST(len(string_split(trim(t), ' ')) AS BIGINT) AS n_bpe,"
+        f" md5(trim(t)) AS enc_fp FROM s{n_merges}"
+    )

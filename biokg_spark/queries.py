@@ -4358,3 +4358,26 @@ def dedup_span_excise(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     spans = dup_span_intervals(docs, "text", "doc_id", width=8, min_occ=2)
     return excise_spans(docs, spans, "text", "doc_id")
+
+
+def _bpe_encode_sql():
+    from biokg_spark.operators.bpe import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(4)
+
+
+@q("corpus_bpe_encode", _bpe_encode_sql())
+def corpus_bpe_encode(spark, sf_dir):
+    """Tokenizer inference (operators/bpe.py::bpe_encode): train 4 BPE
+    merges on the corpus (corpus_bpe_train's deterministic table), then
+    apply them back as a compiled chain of literal double-pass replaces
+    — one narrow codegen pass, zero shuffles; the model crosses the
+    driver as the vocab-sized merge table (broadcast-the-model pattern).
+    Per doc: whitespace vs encoded token counts + encoded-stream md5.
+    Oracle: the training CTE chain with doc_id carried through — the
+    final working frame IS the encoded corpus."""
+    from biokg_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(spark, docs, "text", n_merges=4)
+    return bpe_encode(docs, merges, "text", "doc_id")

@@ -51,3 +51,51 @@ def test_odd_self_run_double_pass_contract(spark):
     # remaining stream is "a~a a a~a": pairs 'a~a a' and 'a a~a' tie at 1,
     # lexicographic tie-break picks 'a a~a'
     assert got[1] == (1, "a a~a", "a~a~a", 1)
+
+
+def test_bpe_encode_reproduces_training_frame(spark):
+    from biokg_spark.operators.bpe import bpe_encode, bpe_train
+
+    rows = [
+        (1, "low low low lower lowest"),
+        (2, "low lower new new new newer"),
+        (3, "a a a a a"),  # odd self-run: the documented double-pass edge
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(spark, docs, "text", n_merges=3)
+    enc = {r.doc_id: r for r in bpe_encode(docs, merges, "text", "doc_id").collect()}
+    assert set(enc) == {1, 2, 3}
+    # every doc compresses or stays equal; doc with the top pair shrinks
+    assert all(r.n_bpe <= r.n_ws for r in enc.values())
+    m = {r.merge_rank: (r.pair, r.merged) for r in merges.collect()}
+    assert m[0][0] in {"low low", "a a", "new new"}  # deterministic argmax exists
+    # encoded fingerprint differs from raw for a doc containing merges
+    assert enc[3].n_bpe < enc[3].n_ws
+
+
+def test_bpe_encode_arrow_parity(spark):
+    from biokg_spark.operators.bpe import bpe_encode, bpe_encode_arrow, bpe_train
+
+    rows = [
+        (1, "low low low lower lowest"),
+        (2, "low lower new new new newer"),
+        (3, "a a a a a"),
+        (4, "single"),
+        (5, "  Mixed   CASE  spacing  mixed case "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(spark, docs, "text", n_merges=4)
+    a = sorted(bpe_encode(docs, merges, "text", "doc_id").collect())
+    b = sorted(bpe_encode_arrow(docs, merges, "text", "doc_id").collect())
+    assert a == b
+
+
+def test_bpe_encode_empty_merge_table(spark):
+    from biokg_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    empty = spark.createDataFrame(
+        [], "merge_rank int, pair string, merged string, n long"
+    )
+    r = bpe_encode(docs, empty, "text", "doc_id").collect()[0]
+    assert (r.n_ws, r.n_bpe) == (3, 3)
