@@ -218,3 +218,195 @@ def harmonic_oracle_sql(
            round(sum(1.0 / dist), {decimals}) AS harmonic,
            count(*) AS n_seeds_reaching
     FROM md WHERE dist > 0 GROUP BY id"""
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    decimals: int = 4,
+) -> DataFrame:
+    """Sampled, distance-bounded betweenness centrality (Brandes).
+
+    The dependency-accumulation algorithm (Brandes 2001) restricted to
+    a seed SAMPLE of sources (Brandes & Pich 2007 — exact betweenness
+    is all-pairs, quadratic, off the table) and to shortest paths of
+    length ≤ ``max_hops`` (bounded-distance betweenness — the same
+    truncation the harmonic estimator uses). Returns the raw
+    dependency sum δ(v) = Σ_{s ∈ seeds} Σ_{t} σ_st(v)/σ_st — the
+    estimator's |V|/|seeds| scaling is a constant the consumer applies.
+    Directed semantics (pass a symmetrized edge list for undirected;
+    each unordered pair then counts twice, consistently in both
+    engines).
+
+    Forward pass: the (seed, node)-keyed frontier expansion of
+    :func:`bfs_distances_per_seed` with one extra aggregate — σ(s,v)
+    arrives as the SUM of predecessor σ over the same equi-join (BFS
+    visits v exactly at its min distance, so the partial sums are
+    complete when v first enters the state; no min-aggregate needed).
+    Backward pass: level-synchronous dependency accumulation — level L
+    nodes receive δ from level L+1 via ONE join of the shortest-path
+    DAG slice against the previous level's δ plus ONE HashAggregate,
+    ``max_hops`` rounds total for ALL seeds together. Everything is
+    keyed (seed, node): |seeds| scales state, never job count.
+    localCheckpoint every round (lineage-truncation discipline of
+    bfs_distances/pagerank/kcore).
+    """
+    assert max_hops >= 1
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    state = (
+        seeds.select(F.col(id_col).alias("seed"))
+        .distinct()
+        .select(
+            "seed",
+            F.col("seed").alias("id"),
+            F.lit(0).alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .localCheckpoint()
+    )
+    frontier = state.select("seed", "id", "sigma")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["_s"])
+            .select("seed", F.col("_d").alias("id"), "sigma")
+            .groupBy("seed", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(state.select("seed", "id"), ["seed", "id"], "left_anti")
+            .select("seed", "id", F.lit(h).alias("dist"), "sigma")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        state = state.union(nxt).localCheckpoint()
+        frontier = nxt.select("seed", "id", "sigma")
+    # shortest-path DAG slice: edge (v, w) is on a shortest path for
+    # `seed` iff dist_w = dist_v + 1 (both reached)
+    dv = state.select(
+        F.col("seed"),
+        F.col("id").alias("_v"),
+        F.col("dist").alias("_dv"),
+        F.col("sigma").alias("_sv"),
+    )
+    dw = state.select(
+        F.col("seed"),
+        F.col("id").alias("_w"),
+        F.col("dist").alias("_dw"),
+        F.col("sigma").alias("_sw"),
+    )
+    dag = (
+        e.join(dv, e["_s"] == dv["_v"])
+        .join(
+            dw,
+            (dv["seed"] == dw["seed"])
+            & (e["_d"] == dw["_w"])
+            & (dw["_dw"] == dv["_dv"] + 1),
+        )
+        .select(dv["seed"], "_v", "_dv", "_sv", "_w", "_dw", "_sw")
+        .localCheckpoint()
+    )
+    # backward: δ at the deepest level is 0; walk levels down
+    spark_zero = F.lit(0.0)
+    delta_prev = None  # δ of level L+1 nodes: (seed, id, delta)
+    acc = None  # all (seed, v, delta) for dist_v >= 1
+    for lev in range(max_hops - 1, -1, -1):
+        slice_l = dag.where(F.col("_dv") == lev)
+        if delta_prev is not None:
+            slice_l = slice_l.join(
+                delta_prev.select(
+                    "seed", F.col("id").alias("_w"), F.col("delta").alias("_dl")
+                ),
+                ["seed", "_w"],
+                "left",
+            )
+        else:
+            slice_l = slice_l.withColumn("_dl", spark_zero)
+        dlev = (
+            slice_l.groupBy("seed", F.col("_v").alias("id"))
+            .agg(
+                F.sum(
+                    (F.col("_sv") / F.col("_sw"))
+                    * (F.lit(1.0) + F.coalesce(F.col("_dl"), spark_zero))
+                ).alias("delta")
+            )
+            .localCheckpoint()
+        )
+        delta_prev = dlev
+        if lev >= 1:  # level-0 nodes are the seeds themselves — excluded
+            acc = dlev if acc is None else acc.union(dlev)
+    if acc is None:
+        return state.sparkSession.createDataFrame(
+            [], f"{id_col} string, betweenness double, n_seeds long"
+        )
+    return (
+        acc.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.round(F.sum("delta"), decimals).alias("betweenness"),
+            F.countDistinct("seed").alias("n_seeds"),
+        )
+    )
+
+
+def betweenness_oracle_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    max_hops: int = 4,
+    decimals: int = 4,
+) -> str:
+    """Unrolled DuckDB twin of :func:`betweenness_sampled`.
+
+    Forward σ via walk enumeration: a UNION ALL recursion emits one row
+    per walk of length ≤ max_hops; σ(s,v) = count of walks whose length
+    equals the min (shortest walks are exactly the shortest paths).
+    Backward δ as one chained CTE per level, deepest first — the same
+    level-synchronous accumulation the Spark side runs.
+    """
+    lvl_ctes = []
+    prev = None
+    for lev in range(max_hops - 1, 0, -1):
+        join_prev = (
+            f"LEFT JOIN {prev} dp ON dp.seed = dag.seed AND dp.id = dag.w"
+            if prev
+            else "LEFT JOIN (SELECT NULL AS seed, NULL AS id, NULL AS delta) dp ON FALSE"
+        )
+        lvl_ctes.append(
+            f"""d{lev} AS (
+      SELECT dag.seed, dag.v AS id,
+             sum((dag.sv * 1.0 / dag.sw) * (1 + coalesce(dp.delta, 0))) AS delta
+      FROM dag {join_prev}
+      WHERE dag.dv = {lev}
+      GROUP BY dag.seed, dag.v)"""
+        )
+        prev = f"d{lev}"
+    union = " UNION ALL ".join(
+        f"SELECT seed, id, delta FROM d{lev}" for lev in range(max_hops - 1, 0, -1)
+    )
+    lvl_block = ",\n    ".join(lvl_ctes)
+    return f"""WITH RECURSIVE {edges_cte},
+    {seeds_cte},
+    walks (seed, id, len) AS (
+      SELECT id, id, 0 FROM seeds
+      UNION ALL
+      SELECT w.seed, e.dst, w.len + 1
+      FROM walks w JOIN e ON w.id = e.src
+      WHERE w.len < {max_hops}
+    ),
+    md AS (SELECT seed, id, min(len) AS dist FROM walks GROUP BY seed, id),
+    sig AS (
+      SELECT w.seed, w.id, m.dist, count(*) AS sigma
+      FROM walks w JOIN md m ON w.seed = m.seed AND w.id = m.id AND w.len = m.dist
+      GROUP BY w.seed, w.id, m.dist),
+    dag AS (
+      SELECT sv.seed, sv.id AS v, sv.dist AS dv, sv.sigma AS sv,
+             sw.id AS w, sw.sigma AS sw
+      FROM e JOIN sig sv ON e.src = sv.id
+             JOIN sig sw ON sw.seed = sv.seed AND e.dst = sw.id
+                        AND sw.dist = sv.dist + 1),
+    {lvl_block},
+    alld AS ({union})
+    SELECT id AS entity_id, round(sum(delta), {decimals}) AS betweenness,
+           count(DISTINCT seed) AS n_seeds
+    FROM alld GROUP BY id"""

@@ -4381,3 +4381,39 @@ def corpus_bpe_encode(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(spark, docs, "text", n_merges=4)
     return bpe_encode(docs, merges, "text", "doc_id")
+
+
+def _betweenness_sql():
+    from biokg_spark.operators.traversal import betweenness_oracle_sql
+
+    edges_cte = f"""{_KG_LINKS_CTE},
+    e AS (SELECT subj AS src, obj AS dst FROM links
+          UNION SELECT obj AS src, subj AS dst FROM links)"""
+    seeds_cte = """seeds AS (
+      SELECT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)
+      ORDER BY id LIMIT 4)"""
+    return betweenness_oracle_sql(edges_cte, seeds_cte, max_hops=4)
+
+
+@q("kg_betweenness", _betweenness_sql())
+def kg_betweenness(spark, sf_dir):
+    """Sampled bounded-distance betweenness (operators/traversal.py::
+    betweenness_sampled — Brandes dependency accumulation from a seed
+    sample, paths ≤4 hops) over the symmetrized KG links, 4 lowest-id
+    seed entities: the broker-entity complement of the radial
+    centralities (pagerank/HITS/harmonic). Forward σ rides the same
+    (seed,node)-keyed frontier join as bfs_distances_per_seed; backward
+    δ is one DAG-slice join + HashAggregate per level for ALL seeds.
+    Oracle: walk-enumeration σ + unrolled per-level δ CTEs, 4 dp."""
+    from biokg_spark.operators.traversal import betweenness_sampled
+
+    links = _kg_links(spark, sf_dir)
+    e = (
+        links.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .union(links.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+        .distinct()
+    )
+    nodes = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
+    seeds = nodes.orderBy("id").limit(4)
+    b = betweenness_sampled(e, seeds, max_hops=4)
+    return b.select(F.col("id").alias("entity_id"), "betweenness", "n_seeds")

@@ -143,3 +143,47 @@ def test_skew_profile_counts_share_and_rank(spark):
     assert got[("v", "0")] == (3, round(3 / 9, 4), 2.0, 1)
     assert got[("v", "1")] == (2, round(2 / 9, 4), round(2 / 1.5, 4), 2)
     assert len(got) == 4
+
+
+def _sym(spark, pairs):
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+
+
+def test_betweenness_path_graph(spark):
+    from biokg_spark.operators.traversal import betweenness_sampled
+
+    e = _sym(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    seeds = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "id string")
+    got = {
+        r.id: (r.betweenness, r.n_seeds)
+        for r in betweenness_sampled(e, seeds, max_hops=3).collect()
+    }
+    # hand-computed Brandes (directed-sum over the symmetrized graph —
+    # each unordered pair counts twice): δ totals b=4, c=4; endpoints
+    # carry no dependency and are absent
+    assert got == {"b": (4.0, 3), "c": (4.0, 3)}
+
+
+def test_betweenness_star_graph(spark):
+    from biokg_spark.operators.traversal import betweenness_sampled
+
+    e = _sym(spark, [("x", "l1"), ("x", "l2"), ("x", "l3")])
+    seeds = spark.createDataFrame([("x",), ("l1",), ("l2",), ("l3",)], "id string")
+    got = {r.id: r.betweenness for r in betweenness_sampled(e, seeds, max_hops=2).collect()}
+    # center sits on every ordered leaf pair: 3x2 = 6
+    assert got == {"x": 6.0}
+
+
+def test_betweenness_hop_truncation(spark):
+    from biokg_spark.operators.traversal import betweenness_sampled
+
+    e = _sym(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    seeds = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "id string")
+    # max_hops=1: no path long enough to have an interior vertex
+    assert betweenness_sampled(e, seeds, max_hops=1).count() == 0
+    # max_hops=2 drops the a->d / d->a dependencies: b,c fall to 2 each
+    got = {r.id: r.betweenness for r in betweenness_sampled(e, seeds, max_hops=2).collect()}
+    assert got == {"b": 2.0, "c": 2.0}
