@@ -119,6 +119,11 @@ HEADLINE = [
     "corpus_hard_negatives",
     "kg_harmonic_centrality",
     "kg_skew_profile",
+    "dedup_span_intervals",
+    "dedup_span_excise",
+    "events_burst_detection",
+    "corpus_bpe_encode",
+    "kg_betweenness",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

@@ -196,3 +196,106 @@ def mine_hard_negatives(
             F.col("score").alias("neg_score"),
         )
     )
+
+
+def jaccard_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    topk: int = 5,
+    decimals: int = 4,
+) -> DataFrame:
+    """Token-set Jaccard top-k documents per query:
+    (query_id, doc_id, score, rank).
+
+    The set-overlap ranker — a second retrieval signal with a
+    different bias than BM25 (no tf saturation, no idf), which is
+    exactly what reciprocal-rank fusion wants as an input. Candidates
+    come from the same inverted term join as BM25 (docs sharing no
+    term never materialize); ranking is on the ROUNDED score with a
+    doc_id tie-break so cross-engine comparison is exact.
+    """
+    d_terms = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    d_size = d_terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nd"))
+    q_terms = queries.select(
+        F.col(query_id),
+        F.explode(F.array_distinct(tokens(query_text))).alias("term"),
+    ).where(F.col("term") != "")
+    q_size = q_terms.groupBy(query_id).agg(F.count(F.lit(1)).alias("_nq"))
+    ov = (
+        d_terms.join(q_terms, "term")
+        .groupBy(query_id, id_col)
+        .agg(F.count(F.lit(1)).alias("_ov"))
+    )
+    scored = (
+        ov.join(d_size, id_col)
+        .join(q_size, query_id)
+        .select(
+            query_id,
+            id_col,
+            F.round(
+                F.col("_ov") / (F.col("_nd") + F.col("_nq") - F.col("_ov")),
+                decimals,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    query_id: str = "query_id",
+    id_col: str = "doc_id",
+    topk: int = 5,
+    decimals: int = 4,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings (Cormack,
+    Clarke & Buettcher 2009): RRF(q, d) = Σ_r 1/(k + rank_r(q, d)).
+
+    The standard hybrid-search combiner (lexical + semantic + anything
+    else that emits a rank) — it needs only RANKS, so heterogeneous
+    scorers fuse without calibration. Documents absent from a ranking
+    contribute nothing; ``n_lists`` reports how many rankings carried
+    the doc. Re-ranking happens on the ROUNDED fused score with a
+    doc_id tie-break (engine-exact).
+
+    Scale shape: each input ranking is already top-k-per-query (tiny —
+    |queries| × k rows); the fusion is a union + ONE HashAggregate +
+    one per-query window on that tiny frame. The expensive part of
+    hybrid search stays inside the input rankers, which each keep
+    their own inverted/ANN-bucketed plans.
+    """
+    contribs = [
+        r.select(
+            F.col(query_id),
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(k) + F.col("rank"))).alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    fused = u.groupBy(query_id, id_col).agg(
+        F.round(F.sum("_c"), decimals).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("fused_rank") <= topk)
+    )

@@ -4417,3 +4417,77 @@ def kg_betweenness(spark, sf_dir):
     seeds = nodes.orderBy("id").limit(4)
     b = betweenness_sampled(e, seeds, max_hops=4)
     return b.select(F.col("id").alias("entity_id"), "betweenness", "n_seeds")
+
+
+@q(
+    "corpus_hybrid_rrf",
+    f"""
+    WITH q(query_id, query_text) AS (VALUES {_BM25_Q_SQL}),
+    {_TF_SQL},
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scal AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    qt AS (SELECT DISTINCT query_id, t.term
+           FROM q, unnest(string_split(lower(trim(query_text)), ' ')) AS t(term)
+           WHERE t.term <> ''),
+    bm_scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf.tf * (1.2 + 1))
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                   4) AS score
+      FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+              JOIN dl USING (doc_id) CROSS JOIN scal
+      GROUP BY qt.query_id, tf.doc_id),
+    bm AS (SELECT query_id, doc_id, rank FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+      FROM bm_scored) WHERE rank <= 20),
+    dterm AS (SELECT DISTINCT doc_id, term FROM tf),
+    nd AS (SELECT doc_id, count(*) AS nd FROM dterm GROUP BY doc_id),
+    nq AS (SELECT query_id, count(*) AS nq FROM qt GROUP BY query_id),
+    jov AS (SELECT qt.query_id, d.doc_id, count(*) AS ov
+            FROM dterm d JOIN qt USING (term) GROUP BY 1, 2),
+    jscored AS (SELECT query_id, doc_id,
+                       round(ov / CAST(nd + nq - ov AS DOUBLE), 4) AS score
+                FROM jov JOIN nd USING (doc_id) JOIN nq USING (query_id)),
+    jc AS (SELECT query_id, doc_id, rank FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+      FROM jscored) WHERE rank <= 20),
+    uni AS (
+      SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM bm
+      UNION ALL
+      SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) FROM jc),
+    fused AS (SELECT query_id, doc_id, round(sum(c), 4) AS rrf_score,
+                     count(*) AS n_lists
+              FROM uni GROUP BY 1, 2)
+    SELECT query_id, doc_id, rrf_score, n_lists, fused_rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC)
+             AS INT) AS fused_rank
+      FROM fused)
+    WHERE fused_rank <= 5
+    """,
+)
+def corpus_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (operators/
+    retrieval.py::rrf_fuse, Cormack et al. 2009): BM25 top-20 and
+    token-Jaccard top-20 (jaccard_search — a second signal with a
+    different bias: no tf saturation, no idf) fused as
+    Σ 1/(60 + rank), re-ranked to top-5 per query. The fusion itself
+    touches only |queries| × k rows — the expensive part stays inside
+    the input rankers' inverted-index plans."""
+    from biokg_spark.operators.retrieval import (
+        bm25_search,
+        jaccard_search,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, query_text string"
+    )
+    bm = bm25_search(docs, queries, topk=20)
+    jc = jaccard_search(docs, queries, topk=20)
+    return rrf_fuse([bm, jc], k=60, topk=5)

@@ -118,3 +118,40 @@ def test_hard_negatives_positive_outside_topk_and_empty_query(spark):
     # negatives, still capped at n_negatives; q2 has no terms -> nothing
     assert {r.query_id for r in got} == {1}
     assert [r.neg_id for r in sorted(got, key=lambda r: r.neg_rank)] == [2, 3]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from biokg_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id int, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id int, doc_id long, rank int"
+    )
+    got = {
+        r.doc_id: (r.rrf_score, r.n_lists, r.fused_rank)
+        for r in rrf_fuse([a, b], k=60, topk=4).collect()
+    }
+    # doc 11: 1/62 + 1/61 = 0.0325 (4 dp) — in both lists, ranks first
+    assert got[11] == (round(1 / 62 + 1 / 61, 4), 2, 1)
+    assert got[10] == (round(1 / 61, 4), 1, 2)
+    assert got[13] == (round(1 / 62, 4), 1, 3)
+    assert got[12] == (round(1 / 63, 4), 1, 4)
+
+
+def test_jaccard_search_exact(spark):
+    from biokg_spark.operators.retrieval import jaccard_search
+
+    docs = spark.createDataFrame(
+        [(1, "red green blue"), (2, "red red red"), (3, "yellow pink")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(7, "red blue")], "query_id int, query_text string")
+    got = {
+        r.doc_id: (r.score, r.rank)
+        for r in jaccard_search(docs, q, topk=3).collect()
+    }
+    # doc1: |{red,blue}|/|{red,green,blue} u {red,blue}| = 2/3
+    # doc2: 1/2 (distinct terms: {red}); doc3: no overlap -> absent
+    assert got == {1: (round(2 / 3, 4), 1), 2: (0.5, 2)}
