@@ -410,3 +410,96 @@ def betweenness_oracle_sql(
     SELECT id AS entity_id, round(sum(delta), {decimals}) AS betweenness,
            count(DISTINCT seed) AS n_seeds
     FROM alld GROUP BY id"""
+
+
+def weighted_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    id_col: str = "id",
+    decimals: int = 4,
+) -> DataFrame:
+    """Bounded multi-source Bellman-Ford: min-cost distance from the
+    seed SET over non-negative edge weights, restricted to paths of at
+    most ``max_rounds`` edges.
+
+    The weighted sibling of :func:`bfs_distances` (hop counts assume
+    unit cost; edge support/affinity weights don't). Classic
+    distributed relaxation: each round joins the current distance
+    field against the edge list, takes the per-node MIN of (dist +
+    weight) against the standing field, and stops early when no node
+    improves. The hop bound makes the result well-defined as "min cost
+    over ≤ k-edge paths" — the same truncation contract as
+    harmonic/betweenness, and what gives the walk-enumeration oracle a
+    finite twin.
+
+    Scale shape: one equi-join (field × edges, shuffled on the node
+    id — co-located when the edge table is bucketed by src) + one
+    partial+final HashAggregate per round; the field never exceeds
+    |V|. Improvement check is one isEmpty per round (driver boolean,
+    not a collect). localCheckpoint every round (lineage-truncation
+    discipline). Negative weights are rejected: with a hop bound the
+    algorithm would still terminate, but "shortest" loses its meaning
+    on negative cycles and the oracle's walk min diverges.
+    """
+    assert max_rounds >= 0
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_d"),
+        F.col(weight).cast("double").alias("_w"),
+    )
+    if not e.where(F.col("_w") < 0).isEmpty():
+        raise ValueError("weighted_distances requires non-negative weights")
+    dist = (
+        seeds.select(F.col(id_col).alias("id"))
+        .distinct()
+        .select("id", F.lit(0.0).alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        cand = (
+            dist.join(e, dist["id"] == e["_s"])
+            .select(F.col("_d").alias("id"), (F.col("dist") + F.col("_w")).alias("dist"))
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        improved = merged.join(
+            dist.select("id", F.col("dist").alias("_old")), "id", "left"
+        ).where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+        if improved.isEmpty():
+            dist = merged
+            break
+        dist = merged
+    return dist.select(
+        F.col("id").alias(id_col), F.round("dist", decimals).alias("dist")
+    )
+
+
+def weighted_distances_oracle_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    max_rounds: int = 4,
+    decimals: int = 4,
+) -> str:
+    """Walk-enumeration DuckDB twin of :func:`weighted_distances`:
+    a UNION ALL recursion carries the accumulated cost per walk of
+    ≤ max_rounds edges; the field is the per-node min. ``edges_cte``
+    must define e(src, dst, weight)."""
+    return f"""WITH RECURSIVE {edges_cte},
+    {seeds_cte},
+    walks (id, cost, len) AS (
+      SELECT id, CAST(0 AS DOUBLE), 0 FROM seeds
+      UNION ALL
+      SELECT e.dst, w.cost + e.weight, w.len + 1
+      FROM walks w JOIN e ON w.id = e.src
+      WHERE w.len < {max_rounds}
+    )
+    SELECT id AS entity_id, round(min(cost), {decimals}) AS dist
+    FROM walks GROUP BY id"""

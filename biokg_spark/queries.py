@@ -4491,3 +4491,43 @@ def corpus_hybrid_rrf(spark, sf_dir):
     bm = bm25_search(docs, queries, topk=20)
     jc = jaccard_search(docs, queries, topk=20)
     return rrf_fuse([bm, jc], k=60, topk=5)
+
+
+def _weighted_dist_sql():
+    from biokg_spark.operators.traversal import weighted_distances_oracle_sql
+
+    edges_cte = f"""{_KG_LINKS_CTE},
+    e AS (SELECT src, dst, CAST(len(pred) AS DOUBLE) AS weight FROM (
+          SELECT subj AS src, obj AS dst, pred FROM links
+          UNION SELECT obj AS src, subj AS dst, pred FROM links))"""
+    seeds_cte = """seeds AS (
+      SELECT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)
+      ORDER BY id LIMIT 2)"""
+    return weighted_distances_oracle_sql(edges_cte, seeds_cte, max_rounds=4)
+
+
+@q("kg_weighted_distances", _weighted_dist_sql())
+def kg_weighted_distances(spark, sf_dir):
+    """Bounded multi-source Bellman-Ford (operators/traversal.py::
+    weighted_distances) over the symmetrized KG links with the
+    predicate-name length as a deterministic positive edge cost —
+    demonstrating weighted semantics where a 2-edge path through cheap
+    predicates undercuts a direct expensive one (hop-count BFS cannot
+    express this). One field×edges equi-join + one partial+final
+    HashAggregate per round, early stop on no improvement. Oracle:
+    cost-carrying walk enumeration, min per node, 4 dp."""
+    from biokg_spark.operators.traversal import weighted_distances
+
+    links = _kg_links(spark, sf_dir)
+    e = (
+        links.select(F.col("subj").alias("src"), F.col("obj").alias("dst"), "pred")
+        .union(
+            links.select(F.col("obj").alias("src"), F.col("subj").alias("dst"), "pred")
+        )
+        .distinct()
+        .select("src", "dst", F.length("pred").cast("double").alias("weight"))
+    )
+    nodes = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
+    seeds = nodes.orderBy("id").limit(2)
+    d = weighted_distances(e, seeds, max_rounds=4)
+    return d.select(F.col("id").alias("entity_id"), "dist")

@@ -187,3 +187,23 @@ def test_betweenness_hop_truncation(spark):
     # max_hops=2 drops the a->d / d->a dependencies: b,c fall to 2 each
     got = {r.id: r.betweenness for r in betweenness_sampled(e, seeds, max_hops=2).collect()}
     assert got == {"b": 2.0, "c": 2.0}
+
+
+def test_weighted_distances_indirect_beats_direct(spark):
+    import pytest
+
+    from biokg_spark.operators.traversal import weighted_distances
+
+    e = spark.createDataFrame(
+        [("a", "c", 10.0), ("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 1.0)],
+        "src string, dst string, weight double",
+    )
+    seeds = spark.createDataFrame([("a",)], "id string")
+    got = {r.id: r.dist for r in weighted_distances(e, seeds, max_rounds=4).collect()}
+    assert got == {"a": 0.0, "b": 1.0, "c": 3.0, "d": 4.0}
+    # hop bound 1: only direct edges relax; c keeps the expensive path
+    got1 = {r.id: r.dist for r in weighted_distances(e, seeds, max_rounds=1).collect()}
+    assert got1 == {"a": 0.0, "b": 1.0, "c": 10.0}
+    with pytest.raises(ValueError, match="non-negative"):
+        neg = spark.createDataFrame([("a", "b", -1.0)], "src string, dst string, weight double")
+        weighted_distances(neg, seeds)
