@@ -865,3 +865,48 @@ def excise_spans(
         F.col("_o.n_kept").alias("n_kept"),
         (F.col("_n") - F.col("_o.n_kept")).alias("n_removed"),
     )
+
+
+def blocking_metrics(
+    df: DataFrame,
+    candidates: DataFrame,
+    truth_pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Blocking-quality scorecard for a candidate-pair generator:
+    pair completeness and reduction ratio (the two standard
+    entity-resolution blocking metrics, Christen 2012).
+
+    - ``pair_completeness`` = |candidates ∩ truth| / |truth| — recall
+      of the blocking scheme against known duplicate pairs;
+    - ``reduction_ratio`` = 1 − |candidates| / C(n, 2) — how much of
+      the all-pairs quadratic the scheme avoided.
+
+    Both candidate and truth frames carry (id_a, id_b) with id_a <
+    id_b (the convention every pair generator in this module emits).
+    ONE output row — the numbers that decide MinHash band counts,
+    bucket caps, and SimHash radii before a 10^12-row run. Everything
+    reduces map-side: two counts, one broadcast-able semi-join for the
+    intersection, one scalar n from the corpus.
+    """
+    n = df.select(F.col(id_col)).distinct().count()
+    total_pairs = n * (n - 1) // 2
+    n_cand = candidates.count()
+    n_truth = truth_pairs.count()
+    n_hit = candidates.join(truth_pairs, ["id_a", "id_b"], "left_semi").count()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                total_pairs,
+                n_cand,
+                n_truth,
+                n_hit,
+                round(n_hit / n_truth, 4) if n_truth else None,
+                round(1.0 - n_cand / total_pairs, 4) if total_pairs else None,
+            )
+        ],
+        "n_docs long, total_pairs long, n_candidates long, n_truth long,"
+        " n_matched long, pair_completeness double, reduction_ratio double",
+    )

@@ -4531,3 +4531,73 @@ def kg_weighted_distances(spark, sf_dir):
     seeds = nodes.orderBy("id").limit(2)
     d = weighted_distances(e, seeds, max_rounds=4)
     return d.select(F.col("id").alias("entity_id"), "dist")
+
+
+@q(
+    "dedup_blocking_metrics",
+    f"""
+    WITH {_SHINGLES_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    sig AS (
+      SELECT doc_id, seed,
+             min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || sh),
+                                      1, 15)) AS BIGINT)) AS mh
+      FROM sh, seeds GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band_idx,
+             md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, seed // 2),
+    ok AS (
+      SELECT band_idx, band_key FROM bands
+      GROUP BY band_idx, band_key HAVING count(*) <= 20),
+    kept AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_key)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+    scal AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+    cnts AS (
+      SELECT (SELECT n FROM scal) AS n_docs,
+             (SELECT n * (n - 1) // 2 FROM scal) AS total_pairs,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM truth) AS n_truth,
+             (SELECT count(*) FROM cand SEMI JOIN truth USING (id_a, id_b))
+               AS n_matched)
+    SELECT n_docs, total_pairs, n_candidates, n_truth, n_matched,
+           CASE WHEN n_truth > 0
+                THEN round(n_matched / CAST(n_truth AS DOUBLE), 4) END
+             AS pair_completeness,
+           CASE WHEN total_pairs > 0
+                THEN round(1.0 - n_candidates / CAST(total_pairs AS DOUBLE), 4) END
+             AS reduction_ratio
+    FROM cnts
+    """,
+)
+def dedup_blocking_metrics(spark, sf_dir):
+    """Blocking-quality scorecard (operators/dedup.py::blocking_metrics,
+    Christen 2012): pair completeness (recall of LSH candidates against
+    the exact-duplicate ground truth) and reduction ratio (fraction of
+    the all-pairs quadratic avoided) for the standard MinHash/LSH
+    configuration — the one-row report that decides band counts and
+    bucket caps before a 10^12-row run."""
+    from biokg_spark.functions.text import doc_fingerprint
+    from biokg_spark.operators.dedup import blocking_metrics, minhash_lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=4, width=3, max_bucket_size=20
+    )
+    fp = docs.select(F.col("doc_id"), doc_fingerprint("text").alias("f"))
+    a, b = fp.alias("a"), fp.alias("b")
+    truth = a.join(
+        b, (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    return blocking_metrics(docs, cand, truth, "doc_id")

@@ -452,3 +452,32 @@ def test_excise_spans_planted(spark):
     # only the final section
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("exists(") == 1
+
+
+def test_blocking_metrics_hand_computed(spark):
+    from biokg_spark.operators.dedup import blocking_metrics
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 6)], "doc_id long, text string"
+    )  # n=5 -> C(5,2)=10
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    r = blocking_metrics(docs, cand, truth, "doc_id").collect()[0]
+    assert (r.n_docs, r.total_pairs, r.n_candidates, r.n_truth, r.n_matched) == (
+        5, 10, 3, 2, 1,
+    )
+    assert r.pair_completeness == 0.5   # 1 of 2 truth pairs blocked together
+    assert r.reduction_ratio == 0.7     # 1 - 3/10
+
+
+def test_blocking_metrics_no_truth(spark):
+    from biokg_spark.operators.dedup import blocking_metrics
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    r = blocking_metrics(docs, empty, empty, "doc_id").collect()[0]
+    assert r.pair_completeness is None and r.n_matched == 0
