@@ -294,3 +294,75 @@ def burst_detection(
             & (F.col("cnt") >= min_count)
         ).alias("is_burst"),
     )
+
+
+def sliding_rollup(
+    events: DataFrame,
+    width_slides: int,
+    slide_seconds: int,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hopping (sliding) event-time windows: per-key counts over
+    overlapping windows of ``width_slides × slide_seconds`` seconds
+    hopping every ``slide_seconds`` — the overlapping counterpart of
+    :mod:`rollup`'s tumbling multi-grain pass (trend smoothing, rate
+    limits, "last 7 days, daily" style serving tables).
+
+    Implemented as an explode of each event onto the ``width_slides``
+    windows that contain it (epoch-aligned starts, the same alignment
+    ``F.window`` uses) followed by ONE map-side-partial HashAggregate
+    on (key, window_start). Replication factor IS width/slide — the
+    knob the caller already chose; there is no hidden blowup beyond
+    it, and no self-join. Window starts are emitted as epoch seconds
+    (BIGINT) so cross-engine comparison avoids timestamp formatting.
+    """
+    keys = list(key_cols or [])
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1_000_000.0)
+    base = (F.floor(epoch / slide_seconds)).cast("long")
+    starts = F.transform(
+        F.sequence(F.lit(0), F.lit(width_slides - 1)),
+        lambda j: (base - j) * slide_seconds,
+    )
+    return (
+        events.select(*keys, F.explode(starts).alias("window_start"))
+        .groupBy(*keys, "window_start")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def decay_weighted_counts(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    half_life_seconds: int = 7 * 86400,
+    decimals: int = 4,
+) -> DataFrame:
+    """Recency-decayed support per key: score = Σ 0.5^(Δt / half-life),
+    Δt measured back from the NEWEST event in the frame.
+
+    The temporal-KG edge-confidence aggregate: an edge seen 500× last
+    year and one seen 5× this morning need a common currency; an
+    exponential half-life is the standard one (and is MERGEABLE —
+    partial sums decay-shift correctly, so the map-side partial
+    aggregate below is exact, unlike a sliding hard cutoff). The
+    reference time is the corpus max timestamp, joined in-plan as a
+    1-row broadcast scalar (the BM25/TF-IDF pattern — no driver
+    collect).
+
+    Plan: one 1-row global agg + broadcast cross + ONE partial+final
+    HashAggregate on the key. Double buffers — hash-aggregable.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ref = events.agg(F.max(us).alias("_ref_us"))
+    halved = (F.col("_ref_us") - us) / F.lit(half_life_seconds * 1_000_000.0)
+    return (
+        events.crossJoin(F.broadcast(ref))
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.pow(F.lit(0.5), halved)), decimals).alias(
+                "decay_score"
+            ),
+        )
+    )

@@ -4601,3 +4601,58 @@ def dedup_blocking_metrics(spark, sf_dir):
         b, (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     return blocking_metrics(docs, cand, truth, "doc_id")
+
+
+@q(
+    "events_sliding_rollup",
+    """
+    SELECT event_type,
+           (CAST(floor(epoch(ts) / 86400) AS BIGINT) - j) * 86400 AS window_start,
+           count(*) AS cnt
+    FROM events, unnest(generate_series(0, 1)) AS t(j)
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_rollup(spark, sf_dir):
+    """Hopping event-time windows (operators/temporal.py::
+    sliding_rollup): 2-day windows hopping daily, per event type — the
+    overlapping counterpart of the tumbling multi-grain rollup. One
+    explode onto exactly width/slide windows (the caller's chosen
+    replication, no hidden blowup) + ONE map-side-partial
+    HashAggregate; epoch-second window starts keep the comparison
+    format-free."""
+    from biokg_spark.operators.temporal import sliding_rollup
+
+    return sliding_rollup(
+        load_table(spark, sf_dir, "events"),
+        width_slides=2,
+        slide_seconds=86400,
+        key_cols=["event_type"],
+    )
+
+
+@q(
+    "events_decay_score",
+    """
+    WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events)
+    SELECT event_type, count(*) AS n_events,
+           round(sum(pow(0.5, (ref_us - epoch_us(ts)) / (604800 * 1000000.0))),
+                 4) AS decay_score
+    FROM events CROSS JOIN ref
+    GROUP BY event_type
+    """,
+)
+def events_decay_score(spark, sf_dir):
+    """Recency-decayed support per key (operators/temporal.py::
+    decay_weighted_counts, half-life 7 days): the temporal-KG
+    edge-confidence currency — exponential decay is MERGEABLE, so the
+    partial aggregate stays exact, unlike a sliding hard cutoff.
+    Reference time is the corpus max timestamp as a 1-row broadcast
+    in-plan scalar (no driver collect)."""
+    from biokg_spark.operators.temporal import decay_weighted_counts
+
+    return decay_weighted_counts(
+        load_table(spark, sf_dir, "events"),
+        key_cols=["event_type"],
+        half_life_seconds=7 * 86400,
+    )

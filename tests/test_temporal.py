@@ -218,3 +218,47 @@ def test_burst_detection_planted(spark):
     # day-4 baseline for 'e' is mean(10,10,10)=10
     e4 = next(r for r in out if r.event_type == "e" and r.bucket == "2024-03-04 00:00:00")
     assert e4.cnt == 30 and e4.baseline == 10.0
+
+
+def test_sliding_rollup_overlap(spark):
+    from datetime import datetime
+
+    from biokg_spark.operators.temporal import sliding_rollup
+
+    rows = [
+        ("a", datetime(2024, 1, 2, 5, 0, 0)),   # day 19724
+        ("a", datetime(2024, 1, 3, 5, 0, 0)),   # day 19725
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {
+        (r.event_type, r.window_start): r.cnt
+        for r in sliding_rollup(ev, 2, 86400, ["event_type"]).collect()
+    }
+    d2, d3 = 19724 * 86400, 19725 * 86400
+    # each event lands in its own day's window and the previous day's;
+    # the shared window (starting day 2... wait) — window starting at
+    # d2 covers [d2, d2+2d): both events; d3 covers only the second;
+    # d1 covers only the first
+    assert out == {
+        ("a", d2 - 86400): 1,
+        ("a", d2): 2,
+        ("a", d3): 1,
+    }
+
+
+def test_decay_weighted_counts_halving(spark):
+    from datetime import datetime
+
+    from biokg_spark.operators.temporal import decay_weighted_counts
+
+    rows = [
+        ("e", datetime(2024, 1, 8, 0, 0, 0)),  # ref (newest): weight 1
+        ("e", datetime(2024, 1, 1, 0, 0, 0)),  # exactly one half-life: 0.5
+        ("f", datetime(2023, 12, 25, 0, 0, 0)),  # two half-lives: 0.25
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        r.event_type: (r.n_events, r.decay_score)
+        for r in decay_weighted_counts(ev, ["event_type"], half_life_seconds=7 * 86400).collect()
+    }
+    assert got == {"e": (2, 1.5), "f": (1, 0.25)}
