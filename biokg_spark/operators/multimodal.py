@@ -9,10 +9,13 @@ ratio) are computed from a REAL stdlib sample decode
 REAL for 24-bpp BMP (struct), 8-bit non-interlaced PNG (zlib inflate
 + the five RFC 2083 scanline filters, nearest-neighbor resample, filter-0
 deflate re-encode), and non-interlaced single-frame GIF (full LZW
-decode, index-raster resample, literal-code LZW re-encode); GIF frame
-demux is real too. JPEG pixel decode (DCT entropy coding) and non-GIF
-video frame sampling fall back to deterministic stand-ins clearly
-marked as such (PIL/torchaudio are not in this container). The
+decode, index-raster resample, literal-code LZW re-encode), AND
+baseline sequential 4:4:4/grayscale JPEG (full entropy decode +
+dequant + 8×8 IDCT + YCbCr→RGB in operators/jpegcodec.py, numpy only —
+unsupported baseline flavors like progressive or subsampled chroma
+keep the fallback); GIF frame demux is real too. Non-RIFF video frame
+sampling falls back to a deterministic stand-in clearly marked as such
+(PIL/torchaudio are not in this container). The
 Spark-side contract (schema, Arrow batch shape, ``mapInPandas``
 partition-parallel execution) is real and tested either way; swapping a
 stub body for a PIL/torchaudio call changes nothing about the plan.
@@ -658,19 +661,51 @@ def _gif_resize(payload: bytes, max_dim: int) -> tuple[bytes, int, int] | None:
     return _gif_encode(bytes(out), nw, nh, palette), nw, nh
 
 
+def _jpeg_resize(payload: bytes, max_dim: int) -> tuple[bytes, int, int] | None:
+    """REAL nearest-neighbor JPEG resize: full baseline entropy decode
+    to RGB/grey pixels (operators/jpegcodec.py — dequant, inverse
+    zigzag, 8×8 IDCT, YCbCr→RGB), resample, re-encode as baseline JFIF
+    with the codec's engine-generated tables. Same contract as the
+    BMP/PNG/GIF kernels; returns None for non-JPEG input and the
+    baseline flavors jpeg_decode skips (progressive, subsampled
+    chroma, restart intervals, 16-bit DQT)."""
+    from biokg_spark.operators.jpegcodec import jpeg_decode, jpeg_encode
+
+    dec = jpeg_decode(payload)
+    if dec is None:
+        return None
+    px, w, h, ch = dec
+    scale = min(1.0, max_dim / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    out = bytearray(nw * nh * ch)
+    for oy in range(nh):
+        sy = min(h - 1, oy * h // nh)
+        src = sy * w * ch
+        dst = oy * nw * ch
+        for ox in range(nw):
+            sx = min(w - 1, ox * w // nw)
+            out[dst + ox * ch:dst + (ox + 1) * ch] = px[
+                src + sx * ch:src + (sx + 1) * ch
+            ]
+    return jpeg_encode(bytes(out), nw, nh, ch), nw, nh
+
+
 def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
     """Resize images to fit ``max_dim``, preserving aspect ratio.
 
     REAL nearest-neighbor decode→resample→re-encode for uncompressed
     24-bpp BMPs (stdlib struct), for 8-bit non-interlaced PNGs of any
     color type (stdlib zlib: inflate IDAT, undo all five scanline
-    filters, resample, re-deflate), AND for non-interlaced single-frame
+    filters, resample, re-deflate), for non-interlaced single-frame
     GIFs (full LZW decode to palette indices, index-raster resample —
-    palette preserved exactly — literal-code LZW re-encode; no image
-    library anywhere). Remaining formats (JPEG: DCT entropy decode is
-    out of stdlib scope) keep the labeled deterministic stand-in (clamp
-    the header-decoded dimensions, truncate the payload proportionally)
-    — a real deployment swaps that fallback for PIL resize + re-encode.
+    palette preserved exactly — literal-code LZW re-encode), AND for
+    baseline sequential 4:4:4/grayscale JPEGs (full entropy decode +
+    dequant + IDCT + YCbCr→RGB via operators/jpegcodec.py; re-encoded
+    as baseline JFIF — no image library anywhere). Remaining flavors
+    (progressive/subsampled JPEG, exotic PNG/GIF/BMP variants) keep the
+    labeled deterministic stand-in (clamp the header-decoded
+    dimensions, truncate the payload proportionally) — a real
+    deployment swaps that fallback for PIL resize + re-encode.
     Narrow transformation: no shuffle, payload column pruned for any
     downstream metadata-only consumer.
     """
@@ -684,6 +719,7 @@ def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
                     _bmp_resize(raw, max_dim)
                     or _png_resize(raw, max_dim)
                     or _gif_resize(raw, max_dim)
+                    or _jpeg_resize(raw, max_dim)
                 )
                 if real is not None:
                     out_rows.append((mid, kind, *real))

@@ -717,3 +717,86 @@ def test_sample_frames_avi_real_demux(spark):
         for r in sample_frames(media, every_nth=2).collect()
     }
     assert got == {0: frames[0], 2: frames[2], 4: frames[4]}
+
+
+def test_jpeg_codec_roundtrip_real():
+    """The baseline JPEG codec is a genuine DCT codec: flat color
+    roundtrips exactly, a gradient roundtrips within the quantization
+    bound, grayscale works, and non-JPEG input is rejected."""
+    import numpy as np
+
+    from biokg_spark.operators.jpegcodec import jpeg_decode, jpeg_encode
+
+    w, h = 16, 12
+    flat = bytes([100, 150, 200]) * (w * h)
+    px, dw, dh, ch = jpeg_decode(jpeg_encode(flat, w, h, 3, quality=90))
+    assert (dw, dh, ch) == (w, h, 3)
+    a = np.frombuffer(px, dtype=np.uint8).astype(int)
+    b = np.frombuffer(flat, dtype=np.uint8).astype(int)
+    assert np.abs(a - b).max() == 0
+
+    g = np.zeros((24, 31, 3), dtype=np.uint8)
+    for y in range(24):
+        for x in range(31):
+            g[y, x] = (x * 8 % 256, y * 10 % 256, (x + y) * 4 % 256)
+    px2, dw2, dh2, ch2 = jpeg_decode(jpeg_encode(g.tobytes(), 31, 24, 3, 90))
+    assert (dw2, dh2, ch2) == (31, 24, 3)
+    a2 = np.frombuffer(px2, dtype=np.uint8).reshape(24, 31, 3).astype(int)
+    assert np.abs(a2 - g.astype(int)).max() <= 12  # quant-bounded loss
+
+    gray = bytes(range(0, 256, 4))  # 64 px -> 8x8
+    px3, w3, h3, c3 = jpeg_decode(jpeg_encode(gray, 8, 8, 1, quality=95))
+    assert (w3, h3, c3) == (8, 8, 1)
+    a3 = np.frombuffer(px3, dtype=np.uint8).astype(int)
+    assert np.abs(a3 - np.frombuffer(gray, dtype=np.uint8).astype(int)).max() <= 3
+
+    assert jpeg_decode(b"not a jpeg") is None
+    assert jpeg_decode(b"\xff\xd8\xff\xd9") is None  # no frame
+
+
+def test_jpeg_resize_real():
+    """JPEG resize decodes real pixels: the left-red / right-blue split
+    survives the downsample and the output re-decodes as a JPEG of the
+    clamped size (mirrors the BMP/PNG/GIF tests)."""
+    import numpy as np
+
+    from biokg_spark.operators.jpegcodec import jpeg_decode, jpeg_encode
+    from biokg_spark.operators.multimodal import _jpeg_resize
+
+    w, h = 64, 32
+    px = bytearray()
+    for _y in range(h):
+        for x in range(w):
+            px += b"\xc8\x00\x00" if x < w // 2 else b"\x00\x00\xc8"
+    src = jpeg_encode(bytes(px), w, h, 3, quality=95)
+    out, nw, nh = _jpeg_resize(src, 16)
+    assert (nw, nh) == (16, 8)
+    dec, dw, dh, ch = jpeg_decode(out)
+    assert (dw, dh, ch) == (16, 8, 3)
+    arr = np.frombuffer(dec, dtype=np.uint8).reshape(dh, dw, 3).astype(int)
+    # JPEG is lossy at the color edge; check the halves dominantly red/blue
+    assert (arr[:, :4, 0] > 140).all() and (arr[:, :4, 2] < 60).all()
+    assert (arr[:, -4:, 2] > 140).all() and (arr[:, -4:, 0] < 60).all()
+    assert _jpeg_resize(b"\x89PNG\r\n\x1a\nnot jpeg", 16) is None
+
+
+def test_resize_media_uses_real_jpeg_path(spark):
+    from biokg_spark.operators.jpegcodec import jpeg_decode, jpeg_encode
+    from biokg_spark.operators.multimodal import resize_media
+
+    w, h = 40, 20
+    px = bytes(
+        b
+        for y in range(h)
+        for x in range(w)
+        for b in ((x * 6) % 256, (y * 12) % 256, 60)
+    )
+    jpg = jpeg_encode(px, w, h, 3, quality=85)
+    rows = [(1, "image", bytearray(jpg), "image/jpeg")]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+    out = resize_media(media, max_dim=10).collect()[0]
+    assert (out.width, out.height) == (10, 5)
+    dec = jpeg_decode(bytes(out.payload))
+    assert dec is not None and (dec[1], dec[2], dec[3]) == (10, 5, 3)
