@@ -800,3 +800,33 @@ def test_resize_media_uses_real_jpeg_path(spark):
     assert (out.width, out.height) == (10, 5)
     dec = jpeg_decode(bytes(out.payload))
     assert dec is not None and (dec[1], dec[2], dec[3]) == (10, 5, 3)
+
+
+def test_mjpeg_avi_frames_decode_to_pixels(spark):
+    """End-to-end MJPEG: an AVI whose 00dc chunks are real baseline
+    JPEGs (our encoder) demuxes via sample_frames and each sampled
+    frame ENTROPY-DECODES back to the planted solid color — the video
+    path now composes two real codecs, not stand-ins."""
+    import numpy as np
+
+    from biokg_spark.operators.jpegcodec import jpeg_decode, jpeg_encode
+    from biokg_spark.operators.multimodal import sample_frames
+
+    colors = [(200, 0, 0), (0, 200, 0), (0, 0, 200), (200, 200, 0)]
+    frames = [
+        jpeg_encode(bytes(c) * (8 * 8), 8, 8, 3, quality=95) for c in colors
+    ]
+    avi = _avi_bytes(frames)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi), "video/avi")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    out = sorted(
+        sample_frames(media, every_nth=2).collect(), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in out] == [0, 2]
+    for row, want in zip(out, [colors[0], colors[2]]):
+        px, w, h, ch = jpeg_decode(bytes(row.frame))
+        assert (w, h, ch) == (8, 8, 3)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3).astype(int)
+        assert np.abs(arr - np.array(want)).max() <= 2
