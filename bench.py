@@ -124,6 +124,11 @@ HEADLINE = [
     "events_burst_detection",
     "corpus_bpe_encode",
     "kg_betweenness",
+    "kg_weighted_distances",
+    "corpus_hybrid_rrf",
+    "dedup_blocking_metrics",
+    "events_sliding_rollup",
+    "events_decay_score",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline
