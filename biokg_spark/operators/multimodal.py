@@ -13,9 +13,11 @@ decode, index-raster resample, literal-code LZW re-encode), AND
 baseline sequential 4:4:4/grayscale JPEG (full entropy decode +
 dequant + 8×8 IDCT + YCbCr→RGB in operators/jpegcodec.py, numpy only —
 unsupported baseline flavors like progressive or subsampled chroma
-keep the fallback); GIF frame demux is real too. Non-RIFF video frame
-sampling falls back to a deterministic stand-in clearly marked as such
-(PIL/torchaudio are not in this container). The
+keep the fallback); GIF frame demux is real too. Video frame sampling
+is REAL for RIFF/AVI (LIST-movi chunk walk) and ISO-BMFF MP4/MOV
+(box-tree walk to stsz/stsc/stco sample tables); only mkv/EBML keeps
+a deterministic stand-in clearly marked as such (PIL/torchaudio are
+not in this container). The
 Spark-side contract (schema, Arrow batch shape, ``mapInPandas``
 partition-parallel execution) is real and tested either way; swapping a
 stub body for a PIL/torchaudio call changes nothing about the plan.
@@ -836,18 +838,131 @@ def _avi_split_frames(payload: bytes) -> list[bytes] | None:
     return frames
 
 
+def _mp4_split_frames(payload: bytes) -> list[bytes] | None:
+    """REAL ISO-BMFF (MP4/MOV) video sample demux, stdlib only: walk
+    the box tree to the first video track's sample tables and
+    reconstruct every sample's absolute byte range — ``stsz`` (sizes),
+    ``stco``/``co64`` (chunk offsets), ``stsc`` (sample→chunk runs).
+    For MJPEG-in-MP4 each extracted sample is a standalone JPEG (the
+    same composition the AVI path has). Returns None for non-BMFF
+    payloads, tracks without a complete stbl, or out-of-range offsets
+    (truncated file) — those keep the labeled fallback."""
+    import struct
+
+    if len(payload) < 16:
+        return None
+
+    def children(start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            (size,) = struct.unpack(">I", payload[i:i + 4])
+            btype = payload[i + 4:i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", payload[i + 8:i + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - i
+            if size < hdr or i + size > end:
+                return
+            yield btype, i + hdr, i + size
+            i += size
+
+    def find(start: int, end: int, btype: bytes):
+        for t, b, e in children(start, end):
+            if t == btype:
+                return b, e
+        return None
+
+    moov = find(0, len(payload), b"moov")
+    if moov is None:
+        return None
+    for t, tb, te in children(*moov):
+        if t != b"trak":
+            continue
+        mdia = find(tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = find(*mdia, b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        minf = find(*mdia, b"minf")
+        if minf is None:
+            continue
+        stbl = find(*minf, b"stbl")
+        if stbl is None:
+            continue
+        stsz = find(*stbl, b"stsz")
+        stsc = find(*stbl, b"stsc")
+        stco = find(*stbl, b"stco")
+        wide = stco is None
+        if wide:
+            stco = find(*stbl, b"co64")
+        if stsz is None or stsc is None or stco is None:
+            return None
+        b = stsz[0]
+        uniform, n_samples = struct.unpack(">II", payload[b + 4:b + 12])
+        if uniform:
+            sizes = [uniform] * n_samples
+        else:
+            sizes = list(
+                struct.unpack(f">{n_samples}I", payload[b + 12:b + 12 + 4 * n_samples])
+            )
+        b = stco[0]
+        (n_chunks,) = struct.unpack(">I", payload[b + 4:b + 8])
+        fmt, wd = (">Q", 8) if wide else (">I", 4)
+        offsets = [
+            struct.unpack(fmt, payload[b + 8 + k * wd:b + 8 + (k + 1) * wd])[0]
+            for k in range(n_chunks)
+        ]
+        b = stsc[0]
+        (n_runs,) = struct.unpack(">I", payload[b + 4:b + 8])
+        runs = [
+            struct.unpack(">III", payload[b + 8 + k * 12:b + 20 + k * 12])[:2]
+            for k in range(n_runs)
+        ]
+        frames: list[bytes] = []
+        si = 0
+        for ci in range(1, n_chunks + 1):
+            per = 0
+            for first, spc in runs:
+                if first <= ci:
+                    per = spc
+                else:
+                    break
+            off = offsets[ci - 1]
+            for _ in range(per):
+                if si >= n_samples:
+                    break
+                sz = sizes[si]
+                if off + sz > len(payload):
+                    return None  # truncated
+                frames.append(payload[off:off + sz])
+                off += sz
+                si += 1
+        if si != n_samples:
+            return None  # tables inconsistent
+        return frames
+    return None
+
+
 def sample_frames(media: DataFrame, every_nth: int = 4, frame_bytes: int = 4) -> DataFrame:
     """Sample frames from video payloads — the 1→N (UDTF-shaped) media op.
 
     REAL for animated GIFs (``_gif_split_frames``: block-structure demux,
-    each frame re-wrapped as a standalone valid GIF) and for RIFF/AVI
-    containers (``_avi_split_frames``: LIST-movi chunk walk; for MJPEG
-    each emitted frame is a standalone JPEG). Every ``every_nth`` frame
-    is emitted. Other containers (mp4/mkv — non-RIFF, out of stdlib
-    scope) keep the labeled STUB (payload treated as ``frame_bytes``-
-    sized frames); the Spark contract (mapInPandas fan-out, one input
-    batch → many output rows, binary frame column) is identical either
-    way. Only ``kind='video'`` rows produce output.
+    each frame re-wrapped as a standalone valid GIF), for RIFF/AVI
+    containers (``_avi_split_frames``: LIST-movi chunk walk), AND for
+    ISO-BMFF MP4/MOV (``_mp4_split_frames``: box-tree walk to the video
+    track's stsz/stsc/stco sample tables); for MJPEG in either
+    container each emitted frame is a standalone JPEG that
+    operators/jpegcodec.py entropy-decodes to pixels. Every
+    ``every_nth`` frame is emitted. Remaining containers (mkv/EBML)
+    keep the labeled STUB (payload treated as ``frame_bytes``-sized
+    frames); the Spark contract (mapInPandas fan-out, one input batch →
+    many output rows, binary frame column) is identical either way.
+    Only ``kind='video'`` rows produce output.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -859,6 +974,8 @@ def sample_frames(media: DataFrame, every_nth: int = 4, frame_bytes: int = 4) ->
                 frames = _gif_split_frames(raw)
                 if frames is None:
                     frames = _avi_split_frames(raw)
+                if frames is None:
+                    frames = _mp4_split_frames(raw)
                 if frames is not None:
                     for i in range(0, len(frames), every_nth):
                         rows.append((mid, i, frames[i]))

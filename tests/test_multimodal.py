@@ -830,3 +830,103 @@ def test_mjpeg_avi_frames_decode_to_pixels(spark):
         assert (w, h, ch) == (8, 8, 3)
         arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3).astype(int)
         assert np.abs(arr - np.array(want)).max() <= 2
+
+
+def _mp4_bytes(frames, two_runs=True, wide_offsets=False):
+    """Minimal ISO-BMFF MP4: ftyp + mdat (frames back-to-back) + moov
+    whose video trak carries real stsz/stsc/stco (or co64) tables.
+    With two_runs, the first chunk holds 2 samples and later chunks 1
+    each — exercising the stsc run walk."""
+    import struct
+
+    def box(btype, body):
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    def full(btype, body):  # version+flags zero
+        return box(btype, b"\x00\x00\x00\x00" + body)
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_payload = b"".join(frames)
+    mdat = box(b"mdat", mdat_payload)
+    data_start = len(ftyp) + 8  # first frame's absolute offset
+
+    sizes = [len(f) for f in frames]
+    if two_runs and len(frames) > 2:
+        # chunk 1: samples 0,1 ; chunks 2..: one sample each
+        chunk_offsets = [data_start]
+        off = data_start + sizes[0] + sizes[1]
+        for sz in sizes[2:]:
+            chunk_offsets.append(off)
+            off += sz
+        stsc_runs = [(1, 2, 1), (2, 1, 1)]
+    else:
+        chunk_offsets = []
+        off = data_start
+        for sz in sizes:
+            chunk_offsets.append(off)
+            off += sz
+        stsc_runs = [(1, 1, 1)]
+
+    stsz = full(b"stsz", struct.pack(">II", 0, len(sizes))
+                + b"".join(struct.pack(">I", s) for s in sizes))
+    stsc = full(b"stsc", struct.pack(">I", len(stsc_runs))
+                + b"".join(struct.pack(">III", *r) for r in stsc_runs))
+    if wide_offsets:
+        stco = full(b"co64", struct.pack(">I", len(chunk_offsets))
+                    + b"".join(struct.pack(">Q", o) for o in chunk_offsets))
+    else:
+        stco = full(b"stco", struct.pack(">I", len(chunk_offsets))
+                    + b"".join(struct.pack(">I", o) for o in chunk_offsets))
+    stbl = box(b"stbl", stsz + stsc + stco)
+    minf = box(b"minf", stbl)
+    hdlr = full(b"hdlr", b"\x00\x00\x00\x00" + b"vide" + bytes(12) + b"\x00")
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", mdia)
+    # a non-video trak first, to exercise track selection
+    hdlr_a = full(b"hdlr", b"\x00\x00\x00\x00" + b"soun" + bytes(12) + b"\x00")
+    trak_a = box(b"trak", box(b"mdia", hdlr_a))
+    moov = box(b"moov", trak_a + trak)
+    return ftyp + mdat + moov
+
+
+def test_mp4_split_frames_real_demux():
+    from biokg_spark.operators.multimodal import _mp4_split_frames
+
+    frames = [b"AAAA", b"BBBBBB", b"CC", b"DDDDD"]
+    got = _mp4_split_frames(_mp4_bytes(frames))
+    assert got == frames
+    got64 = _mp4_split_frames(_mp4_bytes(frames, wide_offsets=True))
+    assert got64 == frames
+    assert _mp4_split_frames(_mp4_bytes(frames, two_runs=False)) == frames
+    # truncated mdat -> tables point past EOF -> None (fallback)
+    whole = _mp4_bytes(frames)
+    assert _mp4_split_frames(whole[: len(whole) - len(b"moov") - 200]) is None
+    assert _mp4_split_frames(b"RIFFxxxxAVI not bmff") is None
+
+
+def test_mjpeg_mp4_frames_decode_to_pixels(spark):
+    """MJPEG-in-MP4 composes the BMFF demux with the JPEG codec: each
+    sampled frame entropy-decodes to its planted solid color."""
+    import numpy as np
+
+    from biokg_spark.operators.jpegcodec import jpeg_decode, jpeg_encode
+    from biokg_spark.operators.multimodal import sample_frames
+
+    colors = [(220, 10, 10), (10, 220, 10), (10, 10, 220)]
+    frames = [
+        jpeg_encode(bytes(c) * (8 * 8), 8, 8, 3, quality=95) for c in colors
+    ]
+    mp4 = _mp4_bytes(frames)
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(mp4), "video/mp4")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    out = sorted(
+        sample_frames(media, every_nth=1).collect(), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in out] == [0, 1, 2]
+    for row, want in zip(out, colors):
+        px, w, h, ch = jpeg_decode(bytes(row.frame))
+        assert (w, h, ch) == (8, 8, 3)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3).astype(int)
+        assert np.abs(arr - np.array(want)).max() <= 2
