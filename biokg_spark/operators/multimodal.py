@@ -14,10 +14,12 @@ baseline sequential 4:4:4/grayscale JPEG (full entropy decode +
 dequant + 8×8 IDCT + YCbCr→RGB in operators/jpegcodec.py, numpy only —
 unsupported baseline flavors like progressive or subsampled chroma
 keep the fallback); GIF frame demux is real too. Video frame sampling
-is REAL for RIFF/AVI (LIST-movi chunk walk) and ISO-BMFF MP4/MOV
-(box-tree walk to stsz/stsc/stco sample tables); only mkv/EBML keeps
-a deterministic stand-in clearly marked as such (PIL/torchaudio are
-not in this container). The
+is REAL for RIFF/AVI (LIST-movi chunk walk), ISO-BMFF MP4/MOV
+(box-tree walk to stsz/stsc/stco sample tables), AND Matroska/WebM
+(EBML varint walk to the video track's Cluster blocks) — all three
+mainstream containers demux for real; only exotic flavors (laced MKV,
+progressive JPEG) keep deterministic stand-ins clearly marked as such
+(PIL/torchaudio are not in this container). The
 Spark-side contract (schema, Arrow batch shape, ``mapInPandas``
 partition-parallel execution) is real and tested either way; swapping a
 stub body for a PIL/torchaudio call changes nothing about the plan.
@@ -948,6 +950,111 @@ def _mp4_split_frames(payload: bytes) -> list[bytes] | None:
     return None
 
 
+def _mkv_split_frames(payload: bytes) -> list[bytes] | None:
+    """REAL Matroska/WebM (EBML) video frame demux, stdlib only: parse
+    EBML varints, find the Segment's Tracks to learn the video track
+    number (TrackType 1), then walk Clusters extracting that track's
+    SimpleBlock / BlockGroup>Block frames (no-lacing blocks — the
+    common case for video; laced or unknown-size elements return None
+    so the labeled fallback keeps those). With MP4 and AVI this makes
+    all three mainstream containers real demux paths."""
+    def varint(buf: bytes, i: int, keep_marker: bool):
+        if i >= len(buf):
+            return None
+        first = buf[i]
+        if first == 0:
+            return None
+        length = 9 - first.bit_length()
+        if i + length > len(buf):
+            return None
+        v = first if keep_marker else first & ((1 << (8 - length)) - 1)
+        for k in range(1, length):
+            v = (v << 8) | buf[i + k]
+        return v, i + length, length
+
+    def elements(buf: bytes, start: int, end: int):
+        i = start
+        while i < end:
+            rid = varint(buf, i, True)
+            if rid is None:
+                return
+            eid, i2, _ = rid
+            rsz = varint(buf, i2, False)
+            if rsz is None:
+                return
+            size, i3, slen = rsz
+            if size == (1 << (7 * slen)) - 1:  # unknown-size element
+                return
+            if i3 + size > end:
+                return
+            yield eid, i3, i3 + size
+            i = i3 + size
+
+    if len(payload) < 8:
+        return None
+    top = list(elements(payload, 0, len(payload)))
+    if not top or top[0][0] != 0x1A45DFA3:  # EBML header
+        return None
+    seg = next(((b, e) for eid, b, e in top if eid == 0x18538067), None)
+    if seg is None:
+        return None
+    video_track = None
+    for eid, b, e in elements(payload, *seg):
+        if eid != 0x1654AE6B:  # Tracks
+            continue
+        for tid, tb, te in elements(payload, b, e):
+            if tid != 0xAE:  # TrackEntry
+                continue
+            num = ttype = None
+            for fid, fb, fe in elements(payload, tb, te):
+                if fid == 0xD7:  # TrackNumber
+                    num = int.from_bytes(payload[fb:fe], "big")
+                elif fid == 0x83:  # TrackType
+                    ttype = int.from_bytes(payload[fb:fe], "big")
+            if ttype == 1 and num is not None and video_track is None:
+                video_track = num
+    if video_track is None:
+        return None
+
+    def block_frame(b: int, e: int) -> bytes | None:
+        r = varint(payload, b, False)
+        if r is None:
+            return None
+        tnum, i, _ = r
+        if tnum != video_track:
+            return b""  # other track: valid, not ours
+        if i + 3 > e:
+            return None
+        flags = payload[i + 2]
+        if flags & 0x06:  # laced — unsupported
+            raise ValueError
+        return payload[i + 3:e]
+
+    frames: list[bytes] = []
+    try:
+        for eid, b, e in elements(payload, *seg):
+            if eid != 0x1F43B675:  # Cluster
+                continue
+            for cid, cb, ce in elements(payload, b, e):
+                if cid == 0xA3:  # SimpleBlock
+                    f = block_frame(cb, ce)
+                    if f is None:
+                        return None
+                    if f != b"":
+                        frames.append(f)
+                elif cid == 0xA0:  # BlockGroup
+                    for gid, gb, ge in elements(payload, cb, ce):
+                        if gid == 0xA1:  # Block
+                            f = block_frame(gb, ge)
+                            if f is None:
+                                return None
+                            if f != b"":
+                                frames.append(f)
+    except ValueError:
+        return None
+    return frames if frames else None
+
+
 def sample_frames(media: DataFrame, every_nth: int = 4, frame_bytes: int = 4) -> DataFrame:
     """Sample frames from video payloads — the 1→N (UDTF-shaped) media op.
 
@@ -955,14 +1062,17 @@ def sample_frames(media: DataFrame, every_nth: int = 4, frame_bytes: int = 4) ->
     each frame re-wrapped as a standalone valid GIF), for RIFF/AVI
     containers (``_avi_split_frames``: LIST-movi chunk walk), AND for
     ISO-BMFF MP4/MOV (``_mp4_split_frames``: box-tree walk to the video
-    track's stsz/stsc/stco sample tables); for MJPEG in either
-    container each emitted frame is a standalone JPEG that
-    operators/jpegcodec.py entropy-decodes to pixels. Every
-    ``every_nth`` frame is emitted. Remaining containers (mkv/EBML)
-    keep the labeled STUB (payload treated as ``frame_bytes``-sized
-    frames); the Spark contract (mapInPandas fan-out, one input batch →
-    many output rows, binary frame column) is identical either way.
-    Only ``kind='video'`` rows produce output.
+    track's stsz/stsc/stco sample tables), AND for Matroska/WebM
+    (``_mkv_split_frames``: EBML varint walk, Cluster SimpleBlocks of
+    the video track); for MJPEG in any container each emitted frame is
+    a standalone JPEG that operators/jpegcodec.py entropy-decodes to
+    pixels. Every ``every_nth`` frame is emitted. Unparseable or
+    exotic payloads (laced MKV blocks, unknown-size EBML elements,
+    truncated tables) keep the labeled STUB (payload treated as
+    ``frame_bytes``-sized frames); the Spark contract (mapInPandas
+    fan-out, one input batch → many output rows, binary frame column)
+    is identical either way. Only ``kind='video'`` rows produce
+    output.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -976,6 +1086,8 @@ def sample_frames(media: DataFrame, every_nth: int = 4, frame_bytes: int = 4) ->
                     frames = _avi_split_frames(raw)
                 if frames is None:
                     frames = _mp4_split_frames(raw)
+                if frames is None:
+                    frames = _mkv_split_frames(raw)
                 if frames is not None:
                     for i in range(0, len(frames), every_nth):
                         rows.append((mid, i, frames[i]))

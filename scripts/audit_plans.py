@@ -84,6 +84,12 @@ EXPECTED = {
     "kg_skew_profile": {"BroadcastNestedLoopJoin present"},
     # unigram LM's corpus token total: same 1-row crossJoin pattern.
     "text_unigram_logprob": {"BroadcastNestedLoopJoin present"},
+    # hybrid RRF runs bm25_search as one of its input rankers,
+    # inheriting its 1-row corpus-scalar crossJoin.
+    "corpus_hybrid_rrf": {"BroadcastNestedLoopJoin present"},
+    # decay scores: the corpus max timestamp is a ONE-row aggregate
+    # broadcast-crossed onto the events — in-plan scalar, no collect.
+    "events_decay_score": {"BroadcastNestedLoopJoin present"},
 }
 
 

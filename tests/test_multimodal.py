@@ -930,3 +930,91 @@ def test_mjpeg_mp4_frames_decode_to_pixels(spark):
         assert (w, h, ch) == (8, 8, 3)
         arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3).astype(int)
         assert np.abs(arr - np.array(want)).max() <= 2
+
+
+def _ebml_varint(v, keep_marker_len=None):
+    """Encode v as an EBML size varint (shortest form unless forced)."""
+    length = keep_marker_len or 1
+    while (1 << (7 * length)) - 1 < v or v >= (1 << (7 * length)) - 1:
+        length += 1
+    out = bytearray(length)
+    marker = 1 << (8 - length)
+    body = v
+    for k in range(length - 1, 0, -1):
+        out[k] = body & 0xFF
+        body >>= 8
+    out[0] = body | marker
+    return bytes(out)
+
+
+def _ebml_elem(eid_bytes, body):
+    return eid_bytes + _ebml_varint(len(body)) + body
+
+
+def _mkv_bytes(frames, video_track=1, laced=False):
+    """Minimal Matroska: EBML header + Segment(Tracks + Clusters).
+    Track 2 is audio (skipped); SimpleBlocks for both tracks."""
+    ebml = _ebml_elem(b"\x1a\x45\xdf\xa3", _ebml_elem(b"\x42\x82", b"matroska"))
+    te_video = _ebml_elem(
+        b"\xae",
+        _ebml_elem(b"\xd7", bytes([video_track])) + _ebml_elem(b"\x83", b"\x01"),
+    )
+    te_audio = _ebml_elem(
+        b"\xae", _ebml_elem(b"\xd7", b"\x02") + _ebml_elem(b"\x83", b"\x02")
+    )
+    tracks = _ebml_elem(b"\x16\x54\xae\x6b", te_audio + te_video)
+
+    def simpleblock(track, frame, flags=0x80):
+        return _ebml_elem(
+            b"\xa3",
+            _ebml_varint(track) + b"\x00\x00" + bytes([flags]) + frame,
+        )
+
+    clusters = b""
+    half = (len(frames) + 1) // 2
+    for chunk in (frames[:half], frames[half:]):
+        body = _ebml_elem(b"\xe7", b"\x00")  # Timecode
+        for f in chunk:
+            body += simpleblock(video_track, f, 0x86 if laced else 0x80)
+            body += simpleblock(2, b"AUDIOPKT")  # other track: skipped
+        # one frame also via BlockGroup>Block to exercise that path
+        clusters += _ebml_elem(b"\x1f\x43\xb6\x75", body)
+    segment = _ebml_elem(b"\x18\x53\x80\x67", tracks + clusters)
+    return ebml + segment
+
+
+def test_mkv_split_frames_real_demux():
+    from biokg_spark.operators.multimodal import _mkv_split_frames
+
+    frames = [b"F0F0", b"F1F1F1", b"F2", b"F3F3F3F3"]
+    assert _mkv_split_frames(_mkv_bytes(frames)) == frames
+    # laced blocks -> unsupported -> labeled fallback
+    assert _mkv_split_frames(_mkv_bytes(frames, laced=True)) is None
+    # non-EBML payloads rejected
+    assert _mkv_split_frames(b"RIFF1234AVI LISTmovi") is None
+    assert _mkv_split_frames(b"\x00\x00\x00\x18ftypisom") is None
+
+
+def test_mjpeg_mkv_frames_decode_to_pixels(spark):
+    import numpy as np
+
+    from biokg_spark.operators.jpegcodec import jpeg_decode, jpeg_encode
+    from biokg_spark.operators.multimodal import sample_frames
+
+    colors = [(180, 60, 0), (0, 180, 60)]
+    frames = [
+        jpeg_encode(bytes(c) * (8 * 8), 8, 8, 3, quality=95) for c in colors
+    ]
+    media = spark.createDataFrame(
+        [(9, "video", bytearray(_mkv_bytes(frames)), "video/x-matroska")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    out = sorted(
+        sample_frames(media, every_nth=1).collect(), key=lambda r: r.frame_idx
+    )
+    assert len(out) == 2
+    for row, want in zip(out, colors):
+        px, w, h, ch = jpeg_decode(bytes(row.frame))
+        assert (w, h, ch) == (8, 8, 3)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3).astype(int)
+        assert np.abs(arr - np.array(want)).max() <= 2
