@@ -125,3 +125,119 @@ def dedup_clusters(
         F.col("component").alias("survivor"),
         (F.col("id") == F.col("component")).alias("is_survivor"),
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_peels: int = 20,
+    max_prop: int = 30,
+) -> DataFrame:
+    """SCC of a DIRECTED graph via coloring/FW-BW peeling (Orzan 2004;
+    the Slota et al. multistep family) — the directed sibling of
+    :func:`connected_components` (min-label propagation alone only
+    yields WEAK components).
+
+    Each peel round: (1) forward min-color propagation to fixpoint —
+    color(v) = the smallest node id that reaches v in the remaining
+    graph; (2) every node that kept its own id is a pivot, and its SCC
+    is confirmed by a BACKWARD sweep from the pivot restricted to
+    same-color nodes. The restriction is lossless: on any v→pivot path
+    with color(v) = pivot, every intermediate node w also has
+    color(w) = pivot (a smaller color at w would reach v through w's
+    colorer, contradicting color(v)). All pivots of a round peel in the
+    SAME joins — like the per-seed BFS, pivot count multiplies state,
+    never job count. Peeled nodes leave the graph; repeat.
+
+    Scale shape: every step is an equi-join + min/anti-join aggregate
+    on the node id; localCheckpoint every round (lineage-truncation
+    discipline). Rounds: forward fixpoint is O(diameter) per peel; the
+    number of peels is bounded by the longest SCC-DAG chain condensed
+    onto one pivot per round — power-law graphs peel their giant SCC
+    first (the FW-BW observation). RAISES if either bound is exhausted
+    with work remaining — a silently split SCC is wrong downstream.
+
+    Output: (id_col, scc_id) — scc_id is the smallest member id.
+    """
+    e_all = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col("_s") != F.col("_d"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    remaining = (
+        e_all.select(F.col("_s").alias("id"))
+        .union(e_all.select("_d"))
+        .union(edges.select(F.col(src).alias("id")))  # keeps self-loop-only nodes
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    assigned = None
+    for _ in range(max_peels):
+        if remaining.isEmpty():
+            break
+        e = (
+            e_all.join(remaining.select(F.col("id").alias("_s")), "_s", "left_semi")
+            .join(remaining.select(F.col("id").alias("_d")), "_d", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        # forward min-color fixpoint
+        color = remaining.select("id", F.col("id").alias("color")).localCheckpoint(
+            eager=True
+        )
+        for _p in range(max_prop):
+            cand = color.join(e, color["id"] == e["_s"]).select(
+                F.col("_d").alias("id"), "color"
+            )
+            nxt = (
+                color.unionByName(cand)
+                .groupBy("id")
+                .agg(F.min("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            changed = nxt.join(
+                color.select("id", F.col("color").alias("_old")), "id"
+            ).where(F.col("color") < F.col("_old"))
+            done = changed.isEmpty()
+            color = nxt
+            if done:
+                break
+        else:
+            raise RuntimeError("SCC forward propagation did not converge")
+        # backward confirmation from all pivots at once, within color
+        memb = color.where(F.col("id") == F.col("color")).select(
+            "id", F.col("color").alias("scc_id")
+        ).localCheckpoint(eager=True)
+        frontier = memb
+        while True:
+            step = (
+                frontier.join(e, frontier["id"] == e["_d"])
+                .select(F.col("_s").alias("id"), "scc_id")
+                .join(
+                    color.select("id", F.col("color").alias("_c")), "id"
+                )
+                .where(F.col("_c") == F.col("scc_id"))
+                .select("id", "scc_id")
+                .distinct()
+                .join(memb.select("id"), "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if step.isEmpty():
+                break
+            memb = memb.union(step).localCheckpoint(eager=True)
+            frontier = step
+        assigned = memb if assigned is None else assigned.union(memb)
+        remaining = remaining.join(
+            memb.select("id"), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+    if not remaining.isEmpty():
+        raise RuntimeError("SCC peeling exhausted max_peels with nodes left")
+    if assigned is None:
+        schema = f"{id_col} string, scc_id string"
+        return edges.sparkSession.createDataFrame([], schema)
+    return assigned.select(F.col("id").alias(id_col), "scc_id").localCheckpoint(
+        eager=True
+    )

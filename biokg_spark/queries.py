@@ -4656,3 +4656,35 @@ def events_decay_score(spark, sf_dir):
         key_cols=["event_type"],
         half_life_seconds=7 * 86400,
     )
+
+
+@q(
+    "kg_scc",
+    f"""
+    WITH RECURSIVE {_KG_LINKS_CTE},
+    e AS (SELECT subj AS src, obj AS dst FROM links),
+    n AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+    r (a, b) AS (
+      SELECT id, id FROM n
+      UNION
+      SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src
+    )
+    SELECT r1.a AS entity_id, min(r1.b) AS scc_id
+    FROM r r1 JOIN r r2 ON r1.b = r2.a AND r2.b = r1.a
+    GROUP BY r1.a
+    """,
+)
+def kg_scc(spark, sf_dir):
+    """Strongly connected components of the DIRECTED KG links
+    (operators/components.py::strongly_connected_components — coloring
+    /FW-BW peeling; min-label propagation alone only yields WEAK
+    components). The cycle audit of a directed ontology: a non-trivial
+    SCC in an is-a/part-of layer is a modeling error, and condensing
+    SCCs is the precondition for any topological processing. Oracle:
+    transitive closure + mutual-reachability min, integer-exact."""
+    from biokg_spark.operators.components import strongly_connected_components
+
+    links = _kg_links(spark, sf_dir)
+    e = links.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    scc = strongly_connected_components(e)
+    return scc.select(F.col("id").alias("entity_id"), "scc_id")

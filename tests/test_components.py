@@ -69,3 +69,38 @@ def test_non_convergence_raises(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=1)
+
+
+def test_scc_hand_built(spark):
+    from biokg_spark.operators.components import strongly_connected_components
+
+    e = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "a"),   # 3-cycle
+            ("d", "a"),                              # feeds the cycle, alone
+            ("c", "e"), ("e", "f"), ("f", "e"),   # 2-cycle downstream
+            ("g", "g"),                              # self-loop only
+        ],
+        "src string, dst string",
+    )
+    got = {
+        r.id: r.scc_id
+        for r in strongly_connected_components(e).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "d": "d", "e": "e", "f": "e", "g": "g",
+    }
+
+
+def test_scc_dag_all_singletons(spark):
+    from biokg_spark.operators.components import strongly_connected_components
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {
+        r.id: r.scc_id
+        for r in strongly_connected_components(e).collect()
+    }
+    assert got == {x: x for x in "abcd"}
