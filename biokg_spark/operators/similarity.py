@@ -453,3 +453,40 @@ def hnsw_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "c_id", "sim", "rank")
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id: str = "q_id",
+    id_col: str = "c_id",
+    decimals: int = 4,
+) -> DataFrame:
+    """Recall@k harness for any ANN tier: per query, the fraction of
+    the EXACT top-k the approximate tier returned — the similarity-
+    family sibling of the dedup blocking scorecard (the number that
+    tunes sign bits / n_probe / beam width before a 10^12-row run).
+
+    Both inputs are (query_id, id_col, ...) top-k frames (tiny:
+    |queries| × k rows); the harness is one semi-join + two
+    HashAggregates on that frame — corpus-size-independent, like the
+    RRF fuser. Queries the approximate tier missed entirely still
+    emit a row (recall 0.0).
+    """
+    ex = exact.select(query_id, id_col)
+    hits = ex.join(
+        approx.select(query_id, id_col), [query_id, id_col], "left_semi"
+    )
+    n_ex = ex.groupBy(query_id).agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hits.groupBy(query_id).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_ex.join(n_hit, query_id, "left")
+        .select(
+            query_id,
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), decimals
+            ).alias("recall"),
+        )
+    )

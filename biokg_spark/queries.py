@@ -4688,3 +4688,58 @@ def kg_scc(spark, sf_dir):
     e = links.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
     scc = strongly_connected_components(e)
     return scc.select(F.col("id").alias("entity_id"), "scc_id")
+
+
+@q(
+    "embed_ann_recall",
+    f"""
+    WITH ex_scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id, {_COS_SQL} AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+    ex AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+        FROM ex_scored) WHERE rank <= 3),
+    b AS (
+      SELECT vec_id, embedding,
+             CAST(embedding[1] > 0 AS INT) || CAST(embedding[2] > 0 AS INT) ||
+             CAST(embedding[3] > 0 AS INT) || CAST(embedding[4] > 0 AS INT) AS bucket
+      FROM embeddings),
+    ap_scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id, {_COS_SQL} AS sim
+      FROM b q JOIN b c ON q.bucket = c.bucket
+       AND q.vec_id < 5 AND c.vec_id <> q.vec_id),
+    ap AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+        FROM ap_scored) WHERE rank <= 3),
+    hits AS (SELECT ex.q_id, ex.c_id FROM ex SEMI JOIN ap USING (q_id, c_id)),
+    ne AS (SELECT q_id, count(*) AS n_exact FROM ex GROUP BY q_id),
+    nh AS (SELECT q_id, count(*) AS n_hit FROM hits GROUP BY q_id)
+    SELECT ne.q_id, n_exact, coalesce(n_hit, 0) AS n_hit,
+           round(coalesce(n_hit, 0) / CAST(n_exact AS DOUBLE), 4) AS recall
+    FROM ne LEFT JOIN nh USING (q_id)
+    """,
+)
+def embed_ann_recall(spark, sf_dir):
+    """ANN recall@3 harness (operators/similarity.py::ann_recall): the
+    sign-LSH tier at its real, PARTIAL configuration (search only the
+    query's bucket) scored against the brute-force exact top-3 — the
+    number that tunes sign bits / n_probe / beam width before a
+    10^12-row run (the similarity-family sibling of
+    dedup_blocking_metrics). One semi-join + two aggregates over the
+    tiny |queries|×k frames; queries the tier missed entirely emit
+    recall 0.0."""
+    from biokg_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 5")
+    exact = cosine_topk(emb, q, k=3)
+    approx = lsh_bucketed_topk(emb, q, k=3, sign_bits=4)
+    return ann_recall(approx, exact)

@@ -191,3 +191,21 @@ def test_hnsw_string_ids(spark):
     got = {(r.q_id, r.c_id, r.rank) for r in hnsw_topk(emb, q, k=3).collect()}
     assert got == exact and len(got) == 3
     assert all(isinstance(a, str) and isinstance(b, str) for a, b, _ in got)
+
+
+def test_ann_recall_hand_computed(spark):
+    from biokg_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "q_id long, c_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99)],  # q2 missed entirely
+        "q_id long, c_id long",
+    )
+    got = {
+        r.q_id: (r.n_exact, r.n_hit, r.recall)
+        for r in ann_recall(approx, exact).collect()
+    }
+    assert got == {1: (3, 2, round(2 / 3, 4)), 2: (3, 0, 0.0)}
