@@ -241,3 +241,70 @@ def strongly_connected_components(
     return assigned.select(F.col("id").alias(id_col), "scc_id").localCheckpoint(
         eager=True
     )
+
+
+def topo_layers(
+    edges: DataFrame,
+    scc: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Topological layers of the SCC condensation: layer(v) = longest
+    path (in condensed edges) ending at v's component — the
+    parallel-schedule depth of a directed KG (everything in layer L
+    depends only on layers < L), and the follow-through on
+    :func:`strongly_connected_components`' "precondition for
+    topological processing".
+
+    Condenses via the supplied (or freshly computed) SCC assignment,
+    drops intra-component edges, then iterates max-relaxation
+    ``layer(dst) = max(layer(dst), layer(src) + 1)`` — one equi-join +
+    one max HashAggregate per round, converging in exactly the number
+    of layers (the condensation is a DAG by construction, so
+    non-convergence within ``max_rounds`` RAISES — it means the SCC
+    input was wrong, not a deep graph).
+
+    Output: (id_col, scc_id, layer) — every original node labeled with
+    its component's layer.
+    """
+    if scc is None:
+        scc = strongly_connected_components(edges, src=src, dst=dst)
+    m = scc.select(F.col(id_col).alias("_n"), "scc_id")
+    e_c = (
+        edges.select(F.col(src).alias("_es"), F.col(dst).alias("_ed"))
+        .join(m.select(F.col("_n").alias("_es"), F.col("scc_id").alias("_cs")), "_es")
+        .join(m.select(F.col("_n").alias("_ed"), F.col("scc_id").alias("_cd")), "_ed")
+        .where(F.col("_cs") != F.col("_cd"))
+        .select(F.col("_cs").alias("_s"), F.col("_cd").alias("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    layer = (
+        scc.select("scc_id").distinct().select("scc_id", F.lit(0).alias("layer"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        cand = layer.join(e_c, layer["scc_id"] == e_c["_s"]).select(
+            F.col("_d").alias("scc_id"), (F.col("layer") + 1).alias("layer")
+        )
+        nxt = (
+            layer.unionByName(cand)
+            .groupBy("scc_id")
+            .agg(F.max("layer").alias("layer"))
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.join(
+            layer.select("scc_id", F.col("layer").alias("_old")), "scc_id"
+        ).where(F.col("layer") > F.col("_old"))
+        done = changed.isEmpty()
+        layer = nxt
+        if done:
+            break
+    else:
+        raise RuntimeError(
+            "topo_layers did not converge — condensation is not a DAG "
+            "(inconsistent SCC input)"
+        )
+    return scc.join(layer, "scc_id").select(id_col, "scc_id", "layer")

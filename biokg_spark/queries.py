@@ -4743,3 +4743,49 @@ def embed_ann_recall(spark, sf_dir):
     exact = cosine_topk(emb, q, k=3)
     approx = lsh_bucketed_topk(emb, q, k=3, sign_bits=4)
     return ann_recall(approx, exact)
+
+
+@q(
+    "kg_topo_layers",
+    f"""
+    WITH RECURSIVE {_KG_LINKS_CTE},
+    e AS (SELECT subj AS src, obj AS dst FROM links),
+    n AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+    r (a, b) AS (
+      SELECT id, id FROM n
+      UNION
+      SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src),
+    scc AS (
+      SELECT r1.a AS id, min(r1.b) AS scc_id
+      FROM r r1 JOIN r r2 ON r1.b = r2.a AND r2.b = r1.a
+      GROUP BY r1.a),
+    ec AS (
+      SELECT DISTINCT sa.scc_id AS src, sb.scc_id AS dst
+      FROM e JOIN scc sa ON e.src = sa.id JOIN scc sb ON e.dst = sb.id
+      WHERE sa.scc_id <> sb.scc_id),
+    walks (id, len) AS (
+      SELECT scc_id, 0 FROM (SELECT DISTINCT scc_id FROM scc)
+      UNION
+      SELECT ec.dst, w.len + 1 FROM walks w JOIN ec ON w.id = ec.src),
+    lay AS (SELECT id AS scc_id, CAST(max(len) AS INT) AS layer
+            FROM walks GROUP BY id)
+    SELECT scc.id AS entity_id, scc.scc_id, layer
+    FROM scc JOIN lay USING (scc_id)
+    """,
+)
+def kg_topo_layers(spark, sf_dir):
+    """Topological layers of the KG's SCC condensation
+    (operators/components.py::topo_layers): layer(v) = longest
+    condensed path ending at v's component — the parallel-schedule
+    depth of the directed graph (layer L depends only on layers < L).
+    Composes strongly_connected_components with a max-relaxation loop
+    that converges in exactly the layer count (condensation is a DAG
+    by construction; non-convergence raises). Oracle: the
+    mutual-reachability SCC CTE + condensed-edge longest-path
+    recursion, integer-exact."""
+    from biokg_spark.operators.components import topo_layers
+
+    links = _kg_links(spark, sf_dir)
+    e = links.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    out = topo_layers(e)
+    return out.select(F.col("id").alias("entity_id"), "scc_id", "layer")

@@ -104,3 +104,23 @@ def test_scc_dag_all_singletons(spark):
         for r in strongly_connected_components(e).collect()
     }
     assert got == {x: x for x in "abcd"}
+
+
+def test_topo_layers_with_cycle_condensation(spark):
+    from biokg_spark.operators.components import topo_layers
+
+    # d -> {a,b,c cycle} -> e -> {f,g cycle}; h isolated source -> e
+    e = spark.createDataFrame(
+        [
+            ("d", "a"), ("a", "b"), ("b", "c"), ("c", "a"),
+            ("c", "e"), ("e", "f"), ("f", "g"), ("g", "f"),
+            ("h", "e"),
+        ],
+        "src string, dst string",
+    )
+    got = {r.id: (r.scc_id, r.layer) for r in topo_layers(e).collect()}
+    assert got["d"] == ("d", 0)
+    assert got["h"] == ("h", 0)
+    assert got["a"] == ("a", 1) and got["b"] == ("a", 1) and got["c"] == ("a", 1)
+    assert got["e"] == ("e", 2)
+    assert got["f"] == ("f", 3) and got["g"] == ("f", 3)
