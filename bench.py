@@ -129,6 +129,7 @@ HEADLINE = [
     "dedup_blocking_metrics",
     "events_sliding_rollup",
     "events_decay_score",
+    "embed_ann_recall",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline
