@@ -1103,6 +1103,128 @@ def sample_frames(media: DataFrame, every_nth: int = 4, frame_bytes: int = 4) ->
     )
 
 
+TRANSCODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("src_format", StringType()),
+        StructField("converted", StringType()),  # 'yes' | 'no' (oracle-friendly)
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def _bmp_decode_rgb(payload: bytes) -> tuple[bytes, int, int] | None:
+    """Top-down RGB pixels from an uncompressed 24-bpp BMP (the decode
+    half of ``_bmp_resize``'s parser: 4-byte-aligned BGR rows, positive
+    height = bottom-up)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        return None
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    h = abs(h_signed)
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    stride = (w * 3 + 3) // 4 * 4
+    if data_off + stride * h > len(payload):
+        return None
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        sy = h - 1 - y if h_signed > 0 else y  # bottom-up unless negative
+        row = payload[data_off + sy * stride:data_off + sy * stride + w * 3]
+        for x in range(w):
+            b, g, r = row[x * 3:x * 3 + 3]
+            out[(y * w + x) * 3:(y * w + x) * 3 + 3] = bytes((r, g, b))
+    return bytes(out), w, h
+
+
+def _any_decode_rgb(payload: bytes) -> tuple[str, bytes, int, int] | None:
+    """(src_format, RGB pixels top-down, w, h) via whichever REAL codec
+    recognizes the payload: 24-bpp BMP, 8-bit PNG (alpha dropped /
+    grey expanded), single-frame GIF (palette applied), or baseline
+    JPEG (grey expanded)."""
+    bmp = _bmp_decode_rgb(payload)
+    if bmp is not None:
+        px, w, h = bmp
+        return "bmp", px, w, h
+    png = _png_decode(payload)
+    if png is not None:
+        raw, w, h, ch = png
+        out = bytearray(w * h * 3)
+        for i in range(w * h):
+            p = raw[i * ch:(i + 1) * ch]
+            if ch >= 3:
+                out[i * 3:i * 3 + 3] = p[:3]
+            else:  # grey / grey+alpha
+                out[i * 3:i * 3 + 3] = bytes((p[0], p[0], p[0]))
+        return "png", bytes(out), w, h
+    gif = _gif_decode(payload)
+    if gif is not None:
+        idx, w, h, palette = gif
+        out = bytearray(w * h * 3)
+        for i, k in enumerate(idx):
+            out[i * 3:i * 3 + 3] = palette[k * 3:k * 3 + 3]
+        return "gif", bytes(out), w, h
+    from biokg_spark.operators.jpegcodec import jpeg_decode
+
+    jpg = jpeg_decode(payload)
+    if jpg is not None:
+        px, w, h, ch = jpg
+        if ch == 1:
+            out = bytearray(w * h * 3)
+            for i in range(w * h):
+                out[i * 3:i * 3 + 3] = bytes((px[i],) * 3)
+            px = bytes(out)
+        return "jpeg", px, w, h
+    return None
+
+
+def transcode_media(media: DataFrame) -> DataFrame:
+    """Normalize every decodable image payload to RGB PNG — the
+    format-unification pass a multimodal training pipeline runs before
+    models consume pixels (one decode surface downstream instead of
+    four). Exercises all four REAL codecs: BMP (struct), PNG (zlib +
+    scanline filters), GIF (LZW + palette), baseline JPEG (entropy
+    decode + IDCT). Rows no codec recognizes pass through unchanged
+    with ``converted='no'`` and the header-derived dimensions — the
+    same labeled-fallback contract as resize_media.
+
+    Narrow Arrow ``mapInPandas`` transformation: no shuffle; the blob
+    column stays isolated so metadata-only consumers never read it.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            imgs = pdf[pdf["kind"] == "image"]
+            for mid, p in zip(imgs["media_id"], imgs["payload"]):
+                raw = bytes(p)
+                dec = _any_decode_rgb(raw)
+                if dec is None:
+                    w, h = _decode_dimensions(raw)
+                    rows.append((mid, "unknown", "no", raw, w, h))
+                    continue
+                fmt, px, w, h = dec
+                rows.append((mid, fmt, "yes", _png_encode(px, w, h, 3), w, h))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[f.name for f in TRANSCODE_SCHEMA],
+                )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=TRANSCODE_SCHEMA
+    )
+
+
 def synth_media(spark, n: int = 100) -> DataFrame:
     """Deterministic synthetic media table (payload = md5-chain bytes)."""
     return spark.range(n).select(

@@ -1018,3 +1018,77 @@ def test_mjpeg_mkv_frames_decode_to_pixels(spark):
         assert (w, h, ch) == (8, 8, 3)
         arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3).astype(int)
         assert np.abs(arr - np.array(want)).max() <= 2
+
+
+def test_transcode_media_all_codecs(spark):
+    """Every real codec's output lands as an RGB PNG with the original
+    pixels (lossless paths exact, JPEG within quantization bounds)."""
+    import struct
+
+    import numpy as np
+
+    from biokg_spark.operators.jpegcodec import jpeg_encode
+    from biokg_spark.operators.multimodal import (
+        _png_decode,
+        _png_encode,
+        transcode_media,
+    )
+
+    w, h = 8, 4
+    rgb = bytes(
+        b for y in range(h) for x in range(w) for b in (x * 30, y * 60, 90)
+    )
+    # BMP: bottom-up BGR, 4-byte aligned rows
+    stride = (w * 3 + 3) // 4 * 4
+    bmp_rows = b""
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            r, g, b_ = rgb[(y * w + x) * 3:(y * w + x) * 3 + 3]
+            row += bytes((b_, g, r))
+        bmp_rows += bytes(row) + bytes(stride - w * 3)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(bmp_rows), 0, 0, 0, 0)
+    bmp = b"BM" + struct.pack("<IHHI", 54 + len(bmp_rows), 0, 0, 54) + info + bmp_rows
+
+    png = _png_encode(rgb, w, h, 3)
+    jpg = jpeg_encode(rgb, w, h, 3, quality=95)
+    # GIF: 2-color palette checkerboard via the round-trippable encoder
+    from biokg_spark.operators.multimodal import _gif_encode
+
+    idx = bytes((x + y) % 2 for y in range(h) for x in range(w))
+    gif = _gif_encode(idx, w, h, b"\x10\x20\x30\xc0\xb0\xa0")
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bmp), "image/bmp"),
+            (2, "image", bytearray(png), "image/png"),
+            (3, "image", bytearray(jpg), "image/jpeg"),
+            (4, "image", bytearray(gif), "image/gif"),
+            (5, "image", bytearray(b"\x00unrecognized"), "application/octet-stream"),
+            (6, "audio", bytearray(b"RIFF"), "audio/wav"),  # skipped: not image
+        ],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    out = {r.media_id: r for r in transcode_media(media).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert {out[i].src_format for i in (1, 2, 3, 4)} == {"bmp", "png", "jpeg", "gif"}
+    for i in (1, 2, 3, 4):
+        assert out[i].converted == "yes" and (out[i].width, out[i].height) == (w, h)
+        dec = _png_decode(bytes(out[i].payload))
+        assert dec is not None and dec[3] == 3
+    # lossless paths: exact pixels
+    for i in (1, 2):
+        assert bytes(_png_decode(bytes(out[i].payload))[0]) == rgb
+    # JPEG: quant-bounded
+    got = np.frombuffer(bytes(_png_decode(bytes(out[3].payload))[0]), dtype=np.uint8)
+    want = np.frombuffer(rgb, dtype=np.uint8)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 12
+    # GIF: palette applied exactly
+    gif_px = bytes(_png_decode(bytes(out[4].payload))[0])
+    pal = b"\x10\x20\x30\xc0\xb0\xa0"
+    want_gif = b"".join(
+        pal[k * 3:k * 3 + 3] for k in idx
+    )
+    assert gif_px == want_gif
+    # unknown format passes through unconverted
+    assert out[5].converted == "no" and bytes(out[5].payload) == b"\x00unrecognized"
