@@ -24,7 +24,7 @@ discipline as dedup.py's ``max_doc_freq``/``max_bucket_size``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -162,4 +162,60 @@ def metapath_infer(
         F.col("o").alias("obj"),
         "n_paths",
         *extra,
+    )
+
+
+def linkpred_auc(
+    scored: DataFrame,
+    positives: DataFrame,
+    exclude: DataFrame | None = None,
+    score_col: str = "jaccard",
+    a: str = "a",
+    b: str = "b",
+    decimals: int = 4,
+) -> DataFrame:
+    """Mann-Whitney AUC of a scored pair frame against held-out
+    positive pairs — the link-prediction evaluation harness (third of
+    the eval family: dedup blocking scorecard, ANN recall, this).
+
+    AUC = P(random positive outranks random negative), ties at 0.5 —
+    computed WITHOUT a global rank over the candidate frame: one
+    HashAggregate collapses candidates to the (rounded-score,
+    n_pos, n_neg) distribution, a cumulative window runs over that
+    TINY distinct-score frame (its single-partition sort is behind an
+    aggregate — the auditor-sanctioned shape), and one final 1-row
+    aggregate evaluates Σ pos·(neg_below + ½·neg_tied) / (P·N).
+    ``exclude`` (e.g. training edges) is anti-joined out first;
+    positives the scorer never produced are NOT counted (this is
+    candidate-based evaluation — the standard caveat, documented at
+    the call site). Always emits exactly one row; AUC is NULL when
+    either class is empty.
+    """
+    cand = scored.select(
+        F.col(a), F.col(b), F.round(F.col(score_col), 6).alias("_s")
+    )
+    if exclude is not None:
+        cand = cand.join(exclude.select(a, b), [a, b], "left_anti")
+    lab = cand.join(
+        positives.select(a, b).withColumn("_p", F.lit(1)), [a, b], "left"
+    ).select("_s", F.coalesce(F.col("_p"), F.lit(0)).alias("_p"))
+    dist = lab.groupBy("_s").agg(
+        F.sum("_p").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("_p")).alias("neg"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = dist.select(
+        "pos", "neg", F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("below")
+    )
+    return cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.round(
+            F.when(
+                (F.sum("pos") > 0) & (F.sum("neg") > 0),
+                F.sum(F.col("pos") * (F.col("below") + 0.5 * F.col("neg")))
+                / (F.sum("pos") * F.sum("neg")),
+            ),
+            decimals,
+        ).alias("auc"),
     )

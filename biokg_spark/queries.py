@@ -4789,3 +4789,73 @@ def kg_topo_layers(spark, sf_dir):
     e = links.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
     out = topo_layers(e)
     return out.select(F.col("id").alias("entity_id"), "scc_id", "layer")
+
+
+@q(
+    "kg_linkpred_auc",
+    f"""
+    WITH {_KG_LINKS_CTE},
+    up AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+           FROM links),
+    sp AS (SELECT a, b,
+                  ('0x' || substr(md5(a || '|' || b), 1, 15))::BIGINT % 5 AS h
+           FROM up),
+    train AS (SELECT a, b FROM sp WHERE h < 4),
+    test AS (SELECT a, b FROM sp WHERE h = 4),
+    adj AS (SELECT DISTINCT a AS node, b AS nb FROM train
+            UNION SELECT b, a FROM train),
+    deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+    shared AS (SELECT l.node AS a, r.node AS b, count(*) AS n_shared
+               FROM adj l JOIN adj r ON l.nb = r.nb AND l.node < r.node
+               GROUP BY l.node, r.node),
+    jac AS (SELECT a, b,
+                   round(n_shared * 1.0 / (da.deg + db.deg - n_shared), 6) AS s
+            FROM shared
+            JOIN deg da ON shared.a = da.node
+            JOIN deg db ON shared.b = db.node),
+    cand AS (SELECT jac.a, jac.b, s FROM jac ANTI JOIN train USING (a, b)),
+    lab AS (SELECT s, CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END AS p
+            FROM cand LEFT JOIN test t USING (a, b)),
+    dist AS (SELECT s, sum(p) AS pos, count(*) - sum(p) AS neg
+             FROM lab GROUP BY s),
+    cum AS (SELECT pos, neg,
+                   coalesce(sum(neg) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS below
+            FROM dist)
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           round(CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+                 THEN sum(pos * (below + 0.5 * neg))
+                      / (sum(pos) * 1.0 * sum(neg)) END, 4) AS auc
+    FROM cum
+    """,
+)
+def kg_linkpred_auc(spark, sf_dir):
+    """Link-prediction AUC harness (operators/infer.py::linkpred_auc —
+    the third evaluation harness next to dedup_blocking_metrics and
+    embed_ann_recall): hash-split the KG's unordered entity pairs
+    80/20, score candidates by shared-neighbor Jaccard on the TRAIN
+    graph, and evaluate Mann-Whitney AUC of held-out test pairs vs
+    scored negatives (train edges excluded; candidate-based — test
+    pairs the scorer never surfaces are not counted, the standard
+    caveat). No global rank: the AUC comes from the distinct-score
+    distribution + one cumulative window over that tiny frame."""
+    from biokg_spark.operators.infer import linkpred_auc, node_jaccard
+
+    links = _kg_links(spark, sf_dir)
+    up = links.select(
+        F.least("subj", "obj").alias("a"), F.greatest("subj", "obj").alias("b")
+    ).distinct()
+    h = (
+        F.conv(F.substring(F.md5(F.concat("a", F.lit("|"), "b")), 1, 15), 16, 10)
+        .cast("long") % 5
+    )
+    sp = up.select("a", "b", h.alias("_h"))
+    train = sp.where(F.col("_h") < 4).select("a", "b")
+    test = sp.where(F.col("_h") == 4).select("a", "b")
+    e = train.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        train.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    scored = node_jaccard(e)
+    return linkpred_auc(scored, test, exclude=train)

@@ -108,3 +108,36 @@ def test_metapath_self_pair_dropped(spark):
         for r in metapath_infer(_links(spark, rows), "A", "B", "C").collect()
     }
     assert got == {("e1", "e2")}
+
+
+def test_linkpred_auc_hand_computed(spark):
+    from biokg_spark.operators.infer import linkpred_auc
+
+    scored = spark.createDataFrame(
+        [
+            ("a", "b", 0.9),   # positive
+            ("a", "c", 0.5),   # positive, tied with a negative
+            ("b", "c", 0.5),   # negative (tie -> 0.5 credit)
+            ("b", "d", 0.1),   # negative
+            ("c", "d", 0.2),   # negative
+            ("x", "y", 1.0),   # training edge: excluded entirely
+        ],
+        "a string, b string, jaccard double",
+    )
+    pos = spark.createDataFrame([("a", "b"), ("a", "c")], "a string, b string")
+    train = spark.createDataFrame([("x", "y")], "a string, b string")
+    r = linkpred_auc(scored, pos, exclude=train).collect()[0]
+    # pairs: 0.9 beats 3 negs (3) + 0.5 ties one (0.5) beats two (2) = 5.5/6
+    assert (r.n_pos, r.n_neg) == (2, 3)
+    assert r.auc == round(5.5 / 6, 4)
+
+
+def test_linkpred_auc_degenerate_classes(spark):
+    from biokg_spark.operators.infer import linkpred_auc
+
+    scored = spark.createDataFrame(
+        [("a", "b", 0.9)], "a string, b string, jaccard double"
+    )
+    no_pos = spark.createDataFrame([], "a string, b string")
+    r = linkpred_auc(scored, no_pos).collect()
+    assert len(r) == 1 and r[0].auc is None and r[0].n_neg == 1
