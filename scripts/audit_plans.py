@@ -90,6 +90,10 @@ EXPECTED = {
     # decay scores: the corpus max timestamp is a ONE-row aggregate
     # broadcast-crossed onto the events — in-plan scalar, no collect.
     "events_decay_score": {"BroadcastNestedLoopJoin present"},
+    # ANN recall harness: its EXACT side is deliberately the
+    # brute-force cosine theta join (embed_cosine_topk's allowlisted
+    # shape) — that is what "exact top-k ground truth" means.
+    "embed_ann_recall": {"BroadcastNestedLoopJoin present"},
 }
 
 
