@@ -130,6 +130,8 @@ HEADLINE = [
     "events_sliding_rollup",
     "events_decay_score",
     "embed_ann_recall",
+    "events_retention_cohorts",
+    "corpus_quality_percentiles",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

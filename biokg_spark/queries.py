@@ -4859,3 +4859,101 @@ def kg_linkpred_auc(spark, sf_dir):
     )
     scored = node_jaccard(e)
     return linkpred_auc(scored, test, exclude=train)
+
+
+@q(
+    "events_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events
+      GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(floor(date_diff('day', f.cohort, date_trunc('week', e.ts)) / 7.0)
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f USING (user_id))
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+           count(*) AS n_users
+    FROM act GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix — the classic activity-analytics op the
+    engine lacked next to funnel/sessionize: users cohorted by
+    first-seen week; each later active week counts them at its offset.
+    TWO HashAggregates on user_id (first-seen, then the distinct
+    (user, cohort, offset) collapse) + one tiny (cohort × offset)
+    final — all map-side-partial, no window over raw events. Week
+    arithmetic is done in day units on week-truncated stamps so both
+    engines agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort"))
+                / 7.0
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"), "week_offset"
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@q(
+    "corpus_quality_percentiles",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS ts
+      FROM documents),
+    q AS (
+      SELECT doc_id, source, len(ts) AS n_tokens,
+             len(list_distinct(ts)) * 1.0 / len(ts) AS ttr
+      FROM toks WHERE len(ts) > 0)
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(ttr, 4) AS ttr,
+           round(percent_rank() OVER (PARTITION BY source ORDER BY ttr, doc_id),
+                 4) AS ttr_pctl_in_source
+    FROM q
+    """,
+)
+def corpus_quality_percentiles(spark, sf_dir):
+    """Per-source score calibration: a quality signal (type-token
+    ratio) plus its percent_rank WITHIN the document's source — the
+    fair-threshold device when sources have different score
+    distributions (a fixed global cutoff over-prunes the noisier
+    source; per-source percentiles prune each source's own tail).
+    One window shuffle keyed by source (the same partitioning story
+    as turn ordering — source cardinality × docs-per-source is
+    uniform); doc_id tie-break makes the rank engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+
+    def build(ts):
+        return F.struct(
+            F.size(ts).cast("long").alias("n_tokens"),
+            (F.size(F.array_distinct(ts)) / F.size(ts)).alias("ttr"),
+        )
+
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.element_at(F.transform(F.array(toks), build), 1).alias("_o"),
+    ).where(F.col("_o.n_tokens") > 0)
+    w = Window.partitionBy("source").orderBy(F.col("_o.ttr"), F.col("doc_id"))
+    return base.select(
+        "doc_id",
+        "source",
+        F.col("_o.n_tokens").alias("n_tokens"),
+        F.round(F.col("_o.ttr"), 4).alias("ttr"),
+        F.round(F.percent_rank().over(w), 4).alias("ttr_pctl_in_source"),
+    )
