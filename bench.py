@@ -132,6 +132,7 @@ HEADLINE = [
     "embed_ann_recall",
     "events_retention_cohorts",
     "corpus_quality_percentiles",
+    "kg_modularity",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

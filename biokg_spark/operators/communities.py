@@ -65,6 +65,83 @@ def label_propagation(
     return labels.select("id", F.col("lbl").alias("community"))
 
 
+def modularity(
+    edges: DataFrame,
+    assign: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    com_col: str = "community",
+) -> DataFrame:
+    """Newman modularity Q of a community assignment — the evaluation
+    metric that closes the community family (LPA produces a partition;
+    this scores it): Q = Σ_c [ m_c/m − (d_c/2m)² ] over the undirected
+    simple graph (canonicalized pairs, self-loops dropped).
+
+    Returns ONE row: (n_communities, m_edges, inner_edges, modularity)
+    with modularity rounded to 6 dp.
+
+    Engine determinism: the two Σ terms are factored so every aggregate
+    is an INTEGER sum — Q = (Σm_c)/m − (Σd_c²)/(4m²) — and the only
+    float arithmetic is one fixed-shape scalar expression at the end.
+    Summing doubles per community would be summation-order-dependent
+    across engines; summing bigints is not.
+
+    Scale shape: canonical dedup + degree count + two assignment
+    equi-joins keyed on the node id (AQE-splittable), collapsing to a
+    |C|-sized per-community frame, then one global aggregate; the edge
+    count m rides in-plan as a 1-row crossJoin (the HITS norm idiom —
+    no driver action).
+    """
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    amem = assign.select(F.col(id_col).alias("_id"), F.col(com_col).alias("_c"))
+    deg = (
+        e.select(F.col("a").alias("_id"))
+        .union(e.select(F.col("b").alias("_id")))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dc = (
+        deg.join(amem, "_id")
+        .groupBy("_c")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    mc = (
+        e.join(amem.select(F.col("_id").alias("a"), F.col("_c").alias("_ca")), "a")
+        .join(amem.select(F.col("_id").alias("b"), F.col("_c").alias("_cb")), "b")
+        .where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("_c"))
+        .agg(F.count(F.lit(1)).alias("m_c"))
+    )
+    per = dc.join(mc, "_c", "left").select(
+        "_c", "d_c", F.coalesce("m_c", F.lit(0)).alias("m_c")
+    )
+    m1 = e.agg(F.count(F.lit(1)).alias("m"))
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum("m_c").alias("inner_edges"),
+        F.sum(F.col("d_c") * F.col("d_c")).alias("_sq"),
+    )
+    return tot.crossJoin(m1).select(
+        F.col("n_communities").cast("long").alias("n_communities"),
+        F.col("m").cast("long").alias("m_edges"),
+        F.col("inner_edges").cast("long").alias("inner_edges"),
+        F.round(
+            F.col("inner_edges") * F.lit(1.0) / F.col("m")
+            - F.col("_sq")
+            * F.lit(1.0)
+            / (F.lit(4.0) * F.col("m") * F.col("m")),
+            6,
+        ).alias("modularity"),
+    )
+
+
 def lpa_oracle_ctes(links_cte: str, iters: int = 4) -> str:
     """DuckDB twin over a ``links(subj, pred, obj)`` CTE chain: the
     symmetrized edge set, then ``iters`` unrolled label rounds with the

@@ -4957,3 +4957,59 @@ def corpus_quality_percentiles(spark, sf_dir):
         F.round(F.col("_o.ttr"), 4).alias("ttr"),
         F.round(F.percent_rank().over(w), 4).alias("ttr_pctl_in_source"),
     )
+
+
+def _modularity_sql():
+    from biokg_spark.operators.communities import lpa_oracle_ctes
+
+    inner = lpa_oracle_ctes(_KG_LINKS_CTE, iters=4)
+    return f"""
+    WITH {_KG_LINKS_CTE},
+    ue AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+           FROM links WHERE subj <> obj),
+    assign AS (SELECT entity_id AS id, community FROM ({inner}) t),
+    deg AS (SELECT id, count(*) AS deg FROM (
+              SELECT a AS id FROM ue UNION ALL SELECT b AS id FROM ue)
+            GROUP BY id),
+    dc AS (SELECT community, sum(deg) AS d_c
+           FROM deg JOIN assign USING (id) GROUP BY community),
+    mc AS (SELECT ca.community AS community, count(*) AS m_c
+           FROM ue JOIN assign ca ON ue.a = ca.id
+                   JOIN assign cb ON ue.b = cb.id
+           WHERE ca.community = cb.community GROUP BY 1),
+    per AS (SELECT dc.community, d_c, coalesce(m_c, 0) AS m_c
+            FROM dc LEFT JOIN mc USING (community)),
+    mm AS (SELECT count(*) AS m FROM ue)
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(max(mm.m) AS BIGINT) AS m_edges,
+           CAST(sum(m_c) AS BIGINT) AS inner_edges,
+           round(sum(m_c) * 1.0 / max(mm.m)
+                 - sum(d_c * d_c) * 1.0
+                   / (4.0 * max(mm.m) * max(mm.m)), 6) AS modularity
+    FROM per, mm
+    """
+
+
+@q("kg_modularity", _modularity_sql())
+def kg_modularity(spark, sf_dir):
+    """Modularity score of the LPA partition
+    (operators/communities.py::modularity) — the evaluation metric the
+    community family lacked: LPA produces the partition,
+    kg_communities_lpa publishes it, this one scores it (Q = Σ_c
+    [m_c/m − (d_c/2m)²] over the canonical undirected simple graph).
+    Both Σ terms are factored into INTEGER aggregates (Σm_c, Σd_c²)
+    so the only float math is one fixed-shape scalar at the end —
+    engine-deterministic, no summation-order dependence. The DuckDB
+    twin composes the unrolled LPA rounds with the same integer
+    factoring."""
+    from biokg_spark.operators.communities import label_propagation, modularity
+
+    links = _kg_links(spark, sf_dir)
+    e = links.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).union(links.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+    assign = label_propagation(e, iters=4)
+    return modularity(
+        links.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        assign,
+    )

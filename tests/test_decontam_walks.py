@@ -95,6 +95,42 @@ def test_label_propagation_two_cliques(spark):
     assert res["a"] != res["x"]
 
 
+def test_modularity_two_triangles(spark):
+    from biokg_spark.operators.communities import modularity
+
+    # two triangles {a,b,c}/{x,y,z} + bridge c-x, perfect partition:
+    # m=7, inner=6, d_c=7 each -> Q = 6/7 - 2*49/(4*49) = 0.357143
+    und = [("a", "b"), ("a", "c"), ("b", "c"),
+           ("x", "y"), ("x", "z"), ("y", "z"), ("c", "x")]
+    edges = spark.createDataFrame(und, "src string, dst string")
+    assign = spark.createDataFrame(
+        [("a", "A"), ("b", "A"), ("c", "A"), ("x", "X"), ("y", "X"), ("z", "X")],
+        "id string, community string",
+    )
+    row = modularity(edges, assign).collect()[0]
+    assert (row["n_communities"], row["m_edges"], row["inner_edges"]) == (2, 7, 6)
+    assert row["modularity"] == 0.357143
+    # whole graph as ONE community: Q is exactly 0 (1 - (2m)^2/(4m^2))
+    one = assign.select("id", F.lit("ALL").alias("community"))
+    assert modularity(edges, one).collect()[0]["modularity"] == 0.0
+
+
+def test_modularity_dedups_and_drops_self_loops(spark):
+    from biokg_spark.operators.communities import modularity
+
+    # duplicated edge (both orientations), one self-loop: the canonical
+    # simple graph is the same two-triangle fixture
+    und = [("a", "b"), ("b", "a"), ("a", "c"), ("b", "c"), ("c", "c"),
+           ("x", "y"), ("x", "z"), ("y", "z"), ("c", "x")]
+    edges = spark.createDataFrame(und, "src string, dst string")
+    assign = spark.createDataFrame(
+        [("a", "A"), ("b", "A"), ("c", "A"), ("x", "X"), ("y", "X"), ("z", "X")],
+        "id string, community string",
+    )
+    row = modularity(edges, assign).collect()[0]
+    assert (row["m_edges"], row["modularity"]) == (7, 0.357143)
+
+
 def test_label_propagation_deterministic(spark):
     from biokg_spark.operators.communities import label_propagation
 
