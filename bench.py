@@ -133,6 +133,7 @@ HEADLINE = [
     "events_retention_cohorts",
     "corpus_quality_percentiles",
     "kg_modularity",
+    "events_scd2_versions",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

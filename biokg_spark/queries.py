@@ -5013,3 +5013,57 @@ def kg_modularity(spark, sf_dir):
         links.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
         assign,
     )
+
+
+@q(
+    "events_scd2_versions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    chg AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type),
+    iv AS (
+      SELECT user_id, event_type, ts,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+      FROM chg)
+    SELECT user_id, event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(nxt, '%Y-%m-%d %H:%M:%S'), '') AS valid_to,
+           CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS is_current
+    FROM iv
+    """,
+)
+def events_scd2_versions(spark, sf_dir):
+    """Type-2 SCD history from the event changelog
+    (operators/versioning.py::scd2_intervals) — the warehouse
+    versioning primitive next to kg_snapshot_diff's build-over-build
+    delta: per user, each CHANGE of event_type opens a validity
+    interval [valid_from, valid_to), closed by the next change, open
+    (is_current=1) on the last. Consecutive repeats collapse — true
+    SCD2 change detection, not one row per event. Both window passes
+    share one (user_id, ts, event_id) exchange; equal-ts events are
+    ordered by event_id so the version sequence is engine-exact."""
+    from biokg_spark.operators.versioning import scd2_intervals
+
+    iv = scd2_intervals(
+        load_table(spark, sf_dir, "events"),
+        keys=["user_id"],
+        value_col="event_type",
+        ts_col="ts",
+        tiebreak="event_id",
+    )
+    return iv.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"), F.lit("")
+        ).alias("valid_to"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
