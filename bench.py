@@ -134,6 +134,7 @@ HEADLINE = [
     "corpus_quality_percentiles",
     "kg_modularity",
     "events_scd2_versions",
+    "events_hll_distinct",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

@@ -5067,3 +5067,55 @@ def events_scd2_versions(spark, sf_dir):
         ).alias("valid_to"),
         F.col("is_current").cast("int").alias("is_current"),
     )
+
+
+def _hll_sql():
+    from biokg_spark.operators.sketches import hll_oracle_exprs
+
+    x = hll_oracle_exprs(10)
+    h = x["hash"].format(v="user_id")
+    est = x["estimate"].format(
+        present="present", sum_int="sum_int", lc_est="lc_est"
+    )
+    return f"""
+    WITH hashed AS (SELECT event_type, {h} AS h FROM events),
+    regs AS (SELECT event_type, {x['bucket']} AS bucket, max({x['rho']}) AS r
+             FROM hashed GROUP BY 1, 2),
+    lc(vz, lc_est) AS (VALUES {x['lc_values']}),
+    per AS (SELECT event_type, count(*) AS present,
+                   sum({x['sum_term']}) AS sum_int
+            FROM regs GROUP BY 1),
+    ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+           FROM events GROUP BY 1)
+    SELECT p.event_type,
+           CAST(present AS BIGINT) AS n_buckets,
+           CAST(1024 - present AS BIGINT) AS v_zero,
+           round({est}, 4) AS est_distinct,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct
+    FROM per p JOIN ex USING (event_type)
+         LEFT JOIN lc ON 1024 - present = vz
+    """
+
+
+@q("events_hll_distinct", _hll_sql())
+def events_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct users per event_type
+    (operators/sketches.py) next to the exact count — the
+    bounded-memory, MERGEABLE count-distinct for 10^12-row rollups:
+    registers are (key, bucket, max_rho) rows from the engine's own
+    md5-prefix hash family, max-merged across shards/days/streaming
+    increments, so the per-key state is 1024 rows however large the
+    distinct set gets (exact count_distinct partial buffers hold the
+    set itself). Engine-exact: rho from binary-string length (no float
+    log), register sum as an exact integer aggregate, one fixed-shape
+    scalar per key at the end — DuckDB reproduces the ESTIMATE
+    bit-for-bit, which is the point of a deterministic sketch."""
+    from biokg_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, ["event_type"], "user_id", b=10)
+    est = hll_estimate(regs, ["event_type"], b=10)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
