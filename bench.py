@@ -135,6 +135,7 @@ HEADLINE = [
     "kg_modularity",
     "events_scd2_versions",
     "events_hll_distinct",
+    "corpus_cm_frequencies",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

@@ -156,6 +156,131 @@ def hll_estimate(
     )
 
 
+def cm_registers(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch registers per key: (*keys, row, col, cnt) — the
+    frequency sibling of the HLL distinct sketch (Cormode-Muthukrishnan
+    2005): bounded-memory per-item frequency estimation where the exact
+    per-value count table is itself too big to keep (per-shard token
+    frequencies, per-day entity mention rates at 10^12 rows).
+
+    Row i hashes the value with seed i (the engine's md5-prefix family)
+    into ``width`` columns; the register is the collision-pooled COUNT.
+    Estimates read min over the d probed cells — always ≥ the true
+    count (one-sided error ≤ e·N/width with prob 1-(1/2)^depth).
+
+    Everything is INTEGER: increments are counts, merge is SUM per
+    cell, estimate is MIN — bit-exact across engines and
+    summation-order-free by construction (no float anywhere).
+
+    Plan shape: one ×depth explode (a constant fan-out, not data-
+    dependent) + ONE map-side-partial HashAggregate down to the
+    (keys × depth × width) register table. Nothing downstream is
+    data-sized.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(
+                    _hash60(
+                        F.concat(
+                            F.lit(str(i)), F.lit("|"), F.col(value_col).cast("string")
+                        )
+                    ),
+                    F.lit(width),
+                ).alias("col"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(*keys, F.explode(rows).alias("_rc"))
+        .select(*keys, F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"))
+        .groupBy(*keys, "row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(registers: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge Count-Min register tables (shards / days / streaming
+    increments): SUM per (keys, row, col). Union the inputs first."""
+    return registers.groupBy(*keys, "row", "col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cm_estimate(
+    registers: DataFrame,
+    items: DataFrame,
+    keys: list[str],
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch: estimated count per (*keys, item).
+
+    Each item probes its d cells (same hash family as
+    :func:`cm_registers` — the two can't drift because both call
+    ``_hash60`` with the same seed scheme); the estimate is the MIN
+    over probed registers, 0 when a cell is absent (nothing ever
+    hashed there). One item×depth explode + one equi-join on the
+    register key + one min aggregate — the registers side is the
+    bounded sketch, so the join broadcasts at any corpus size.
+    """
+    probes = items.select(
+        *keys,
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            _hash60(
+                                F.concat(
+                                    F.lit(str(i)),
+                                    F.lit("|"),
+                                    F.col(item_col).cast("string"),
+                                )
+                            ),
+                            F.lit(width),
+                        ).alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("_rc"),
+    ).select(
+        *keys, item_col, F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col")
+    )
+    joined = probes.join(registers, [*keys, "row", "col"], "left")
+    return (
+        joined.groupBy(*keys, item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
+def cm_oracle_exprs(depth: int = 4, width: int = 256) -> dict[str, str]:
+    """DuckDB twins of the Count-Min hash probes, parameterized like
+    :func:`hll_oracle_exprs`. 'cells' expects ``{v}`` and yields a
+    ``[{'ri': i, 'ci': h_i(v)}, ...]`` list to unnest (the md5-prefix
+    hash is non-negative, so plain ``%`` matches Spark's pmod)."""
+    # quadruple braces: the struct's literal {…} must survive BOTH the
+    # inner .format(i=, w=) here and the caller's .format(v=…)
+    cell = (
+        "{{{{'ri': {i}, 'ci': ('0x' || substr(md5('{i}|' || "
+        "CAST({{v}} AS VARCHAR)), 1, 15))::BIGINT % {w}}}}}"
+    )
+    cells = ", ".join(cell.format(i=i, w=width) for i in range(depth))
+    return {"cells": f"[{cells}]"}
+
+
 def hll_oracle_exprs(b: int = 6) -> dict[str, str]:
     """The DuckDB twin of each stage as SQL fragments, parameterized
     the same way — kept next to the operator so query oracles and the

@@ -5119,3 +5119,67 @@ def events_hll_distinct(spark, sf_dir):
         F.count_distinct("user_id").alias("exact_distinct")
     )
     return est.join(exact, "event_type")
+
+
+def _cm_sql():
+    from biokg_spark.operators.sketches import cm_oracle_exprs
+
+    cells = cm_oracle_exprs(4, 256)["cells"]
+    lex_vals = ",".join(f"('{s}')" for s, _, _ in KG_LEXICON)
+    return f"""
+    WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+                 FROM documents),
+    cells AS (SELECT unnest({cells.format(v='tok')}) AS c FROM tok),
+    regs AS (SELECT c.ri AS ri, c.ci AS ci, count(*) AS cnt
+             FROM cells GROUP BY 1, 2),
+    lex(surface) AS (VALUES {lex_vals}),
+    probes AS (SELECT surface, unnest({cells.format(v='surface')}) AS c
+               FROM lex),
+    est AS (SELECT surface, min(coalesce(cnt, 0)) AS est_count
+            FROM probes p LEFT JOIN regs r
+              ON p.c.ri = r.ri AND p.c.ci = r.ci
+            GROUP BY 1),
+    ex AS (SELECT surface, count(*) AS exact_count
+           FROM tok JOIN lex ON tok = surface GROUP BY 1)
+    SELECT surface, CAST(est_count AS BIGINT) AS est_count,
+           CAST(coalesce(exact_count, 0) AS BIGINT) AS exact_count
+    FROM est LEFT JOIN ex USING (surface)
+    """
+
+
+@q("corpus_cm_frequencies", _cm_sql())
+def corpus_cm_frequencies(spark, sf_dir):
+    """Count-Min sketch frequency estimates
+    (operators/sketches.py::cm_registers/cm_estimate) for the KG
+    lexicon surfaces over the corpus token stream, beside the exact
+    counts — the frequency sibling of the HLL distinct sketch: the
+    register table is (depth × width) INTEGER cells however large the
+    token stream, merges by SUM across shards/days, and the point
+    estimate is min over the probed cells (one-sided error). All
+    integer arithmetic — bit-exact vs the SQL twin with no float
+    hazard at all. One constant ×4 explode + ONE map-side-partial
+    HashAggregate down to the 1024-cell sketch; probes join against
+    the bounded sketch, so the join broadcasts at any corpus size."""
+    from biokg_spark.operators.sketches import cm_estimate, cm_registers
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok")
+    )
+    regs = cm_registers(toks, [], "tok", depth=4, width=256)
+    items = spark.createDataFrame(
+        [(s,) for s, _, _ in KG_LEXICON], "surface string"
+    )
+    est = cm_estimate(
+        F.broadcast(regs), items, [], "surface", depth=4, width=256
+    )
+    exact = (
+        toks.join(F.broadcast(items), toks["tok"] == items["surface"])
+        .groupBy("surface")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "surface", "left").select(
+        "surface",
+        F.col("est_count").cast("long").alias("est_count"),
+        F.coalesce("exact_count", F.lit(0)).cast("long").alias("exact_count"),
+    )

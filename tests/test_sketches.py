@@ -89,3 +89,72 @@ def test_lc_literals_round_trip_in_duckdb(spark):
         for v, e in tbl:
             assert got[v] == e, (m, v)
             assert math.isclose(e, m * math.log(m / v), rel_tol=1e-15)
+
+
+# --- Count-Min ------------------------------------------------------------
+
+
+def _cm_df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "v string")
+
+
+def test_cm_merge_equals_whole(spark):
+    from biokg_spark.operators.sketches import cm_merge, cm_registers
+
+    a = cm_registers(_cm_df(spark, ["x"] * 5 + ["y"]), [], "v")
+    b = cm_registers(_cm_df(spark, ["x"] * 2 + ["z"] * 3), [], "v")
+    merged = sorted(map(tuple, cm_merge(a.union(b), []).collect()))
+    whole = sorted(
+        map(
+            tuple,
+            cm_registers(
+                _cm_df(spark, ["x"] * 7 + ["y"] + ["z"] * 3), [], "v"
+            ).collect(),
+        )
+    )
+    assert merged == whole
+
+
+def test_cm_estimate_never_underestimates(spark):
+    from biokg_spark.operators.sketches import cm_estimate, cm_registers
+
+    vals = [f"v{i}" for i in range(500) for _ in (0,)] + ["hot"] * 40
+    regs = cm_registers(_cm_df(spark, vals), [], "v", depth=4, width=64)
+    items = _cm_df(spark, ["hot", "v3", "v499"])
+    got = {
+        r["v"]: r["est_count"]
+        for r in cm_estimate(regs, items, [], "v", depth=4, width=64).collect()
+    }
+    # one-sided error: est >= true, and with 4 rows x 64 cols over 540
+    # increments the hot item's overshoot stays small
+    assert got["hot"] >= 40 and got["v3"] >= 1 and got["v499"] >= 1
+    assert got["hot"] <= 40 + 540 // 8
+
+
+def test_cm_absent_item_estimates_zero_or_collisions_only(spark):
+    from biokg_spark.operators.sketches import cm_estimate, cm_registers
+
+    regs = cm_registers(_cm_df(spark, ["a", "b"]), [], "v", depth=4, width=256)
+    got = cm_estimate(
+        regs, _cm_df(spark, ["never-seen"]), [], "v", depth=4, width=256
+    ).collect()[0]["est_count"]
+    # with 2 increments over 256 columns a collision on ALL 4 rows is
+    # (practically) impossible — the min probes an empty cell
+    assert got == 0
+
+
+def test_cm_keyed_sketches_are_independent(spark):
+    from biokg_spark.operators.sketches import cm_estimate, cm_registers
+
+    df = spark.createDataFrame(
+        [("k1", "x"), ("k1", "x"), ("k2", "x")], "grp string, v string"
+    )
+    regs = cm_registers(df, ["grp"], "v")
+    items = spark.createDataFrame(
+        [("k1", "x"), ("k2", "x")], "grp string, v string"
+    )
+    got = {
+        r["grp"]: r["est_count"]
+        for r in cm_estimate(regs, items, ["grp"], "v").collect()
+    }
+    assert got == {"k1": 2, "k2": 1}
