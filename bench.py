@@ -136,6 +136,7 @@ HEADLINE = [
     "events_scd2_versions",
     "events_hll_distinct",
     "corpus_cm_frequencies",
+    "kg_transe_embeddings",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

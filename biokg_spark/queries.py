@@ -5183,3 +5183,27 @@ def corpus_cm_frequencies(spark, sf_dir):
         F.col("est_count").cast("long").alias("est_count"),
         F.coalesce("exact_count", F.lit(0)).cast("long").alias("exact_count"),
     )
+
+
+def _transe_sql():
+    from biokg_spark.operators.kgembed import transe_oracle_ctes
+
+    return transe_oracle_ctes(_KG_LINKS_CTE, dim=4, epochs=2)
+
+
+@q("kg_transe_embeddings", _transe_sql())
+def kg_transe_embeddings(spark, sf_dir):
+    """TransE KG-embedding training IN THE ENGINE
+    (operators/kgembed.py): two full-batch margin-ranking subgradient
+    epochs over the compiled links, corrupted-tail negatives, L1
+    distance — the training loop the engine's vocab/negatives/walk
+    exports feed, run as DataFrame ops so a 10^12-triple graph trains
+    without leaving the cluster. Every number is a dyadic rational
+    (md5 init /2^8, sign subgradients, lr 2^-6, L∞ clip), so float
+    sums are exact and order-free and the unrolled-epoch DuckDB twin
+    matches BIT-FOR-BIT with no rounding — a stronger contract than
+    the 4-dp classifier scores."""
+    from biokg_spark.operators.kgembed import transe_train
+
+    links = _kg_links(spark, sf_dir)
+    return transe_train(links, dim=4, epochs=2)
