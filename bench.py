@@ -137,6 +137,7 @@ HEADLINE = [
     "events_hll_distinct",
     "corpus_cm_frequencies",
     "kg_transe_embeddings",
+    "kg_transe_eval",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

@@ -212,11 +212,119 @@ def transe_train(
     )
 
 
-def transe_oracle_ctes(links_cte: str, dim: int = 4, epochs: int = 2) -> str:
+def transe_eval(
+    embeddings: DataFrame,
+    train: DataFrame,
+    test: DataFrame,
+    dim: int = 4,
+) -> DataFrame:
+    """Filtered-setting link-prediction evaluation of trained TransE
+    embeddings (the harness that completes the trainer, as
+    linkpred_auc completes Jaccard scoring): for each test triple,
+    rank the TRUE tail among all candidate tails by L1 distance and
+    report ONE row (n_test, hits_at_1/3/10, mean_rank, mrr).
+
+    Standard KG-eval conventions: test triples whose subject, object,
+    or relation never appear in TRAIN are skipped (no embedding to
+    score — the "unseen entity" caveat); candidate tails that would
+    re-create a TRAIN triple are excluded (the FILTERED setting of
+    Bordes et al.); rank ties break by candidate id, so with dyadic
+    distances (exact equality comparisons) the ranks are
+    engine-exact. hits/mean_rank are integer-derived and bit-exact;
+    mrr sums |test| reciprocals and is rounded at 4 dp (the
+    classifier-score contract).
+
+    Scale shape: the candidate frame is |test|×|E| rows BEFORE the
+    train anti-join — candidate-based evaluation, the documented cost
+    class of every published KG eval; sample the test split upstream
+    to budget it. All joins are (id, dim)-keyed equi-joins; the
+    ranking is ONE per-triple count aggregate, not a global sort.
+    """
+    e_emb = embeddings.where(F.col("kind") == "E").select("id", "j", "val")
+    r_emb = embeddings.where(F.col("kind") == "R").select("id", "j", "val")
+    ents = e_emb.select("id").distinct()
+    rels = r_emb.select("id").distinct()
+    t = (
+        test.join(ents.select(F.col("id").alias("subj")), "subj", "left_semi")
+        .join(ents.select(F.col("id").alias("obj")), "obj", "left_semi")
+        .join(rels.select(F.col("id").alias("pred")), "pred", "left_semi")
+        .select("subj", "pred", "obj")
+    )
+    cand = t.crossJoin(ents.select(F.col("id").alias("c"))).join(
+        train.select("subj", "pred", F.col("obj").alias("c")),
+        ["subj", "pred", "c"],
+        "left_anti",
+    )
+    dims = F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("j")
+    cd = (
+        cand.select("subj", "pred", "obj", "c", dims)
+        .join(
+            e_emb.select(F.col("id").alias("subj"), "j", F.col("val").alias("_h")),
+            ["subj", "j"],
+        )
+        .join(
+            r_emb.select(F.col("id").alias("pred"), "j", F.col("val").alias("_r")),
+            ["pred", "j"],
+        )
+        .join(
+            e_emb.select(F.col("id").alias("c"), "j", F.col("val").alias("_c")),
+            ["c", "j"],
+        )
+        .groupBy("subj", "pred", "obj", "c")
+        .agg(F.sum(F.abs(F.col("_h") + F.col("_r") - F.col("_c"))).alias("d"))
+    )
+    td = cd.where(F.col("c") == F.col("obj")).select(
+        "subj", "pred", "obj", F.col("d").alias("dtrue")
+    )
+    rk = (
+        td.join(cd, ["subj", "pred", "obj"])
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            (
+                F.lit(1)
+                + F.count(
+                    F.when(
+                        (F.col("d") < F.col("dtrue"))
+                        | (
+                            (F.col("d") == F.col("dtrue"))
+                            & (F.col("c") < F.col("obj"))
+                        ),
+                        F.lit(1),
+                    )
+                )
+            ).alias("rank")
+        )
+    )
+    return rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.count(F.when(F.col("rank") <= 1, 1)).cast("long").alias("hits_at_1"),
+        F.count(F.when(F.col("rank") <= 3, 1)).cast("long").alias("hits_at_3"),
+        F.count(F.when(F.col("rank") <= 10, 1)).cast("long").alias("hits_at_10"),
+        (F.sum("rank") * F.lit(1.0) / F.count(F.lit(1))).alias("mean_rank"),
+        F.round(
+            F.sum(F.lit(1.0) / F.col("rank")) / F.count(F.lit(1)), 4
+        ).alias("mrr"),
+    )
+
+
+def transe_oracle_ctes(
+    links_cte: str,
+    dim: int = 4,
+    epochs: int = 2,
+    links_name: str = "links",
+    final_select: bool = True,
+) -> str:
     """DuckDB twin over a ``links(subj, pred, obj)`` CTE chain: the
     identical init, negative indexing, and ``epochs`` unrolled
     subgradient epochs (same discipline as pagerank/LPA/classifier
-    oracles). Bit-exact — no rounding in the SELECT."""
+    oracles). Bit-exact — no rounding in the SELECT.
+
+    ``links_name``: the CTE the trainer reads its triples from
+    (e.g. a ``train`` split defined inside ``links_cte``).
+    ``final_select=False`` returns just the CTE chain (no WITH, no
+    final SELECT) so a composing oracle — transe_eval_oracle — can
+    extend it; the trained tables are ``e{epochs}`` / ``r{epochs}``,
+    and ``ents``/``dims`` remain in scope."""
 
     def h60(expr: str) -> str:
         return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
@@ -269,10 +377,8 @@ def transe_oracle_ctes(links_cte: str, dim: int = 4, epochs: int = 2) -> str:
       FROM {pr} r LEFT JOIN gr{t} ON r.id = gr{t}.id AND r.j = gr{t}.j)"""
         )
         pe, pr = f"e{t}", f"r{t}"
-    return f"""
-    WITH {links_cte},
-    ents AS MATERIALIZED (SELECT DISTINCT id FROM (
-      SELECT subj AS id FROM links UNION SELECT obj FROM links) u),
+    chain = f"""ents AS MATERIALIZED (SELECT DISTINCT id FROM (
+      SELECT subj AS id FROM {links_name} UNION SELECT obj FROM {links_name}) u),
     vocab AS MATERIALIZED (SELECT id, row_number() OVER (ORDER BY id) - 1 AS idx
               FROM ents),
     nent AS MATERIALIZED (SELECT count(*) AS n FROM ents),
@@ -281,14 +387,80 @@ def transe_oracle_ctes(links_cte: str, dim: int = 4, epochs: int = 2) -> str:
       SELECT subj, pred, obj,
              {h60("'N|' || subj || '|' || pred || '|' || obj")}
                % (SELECT n FROM nent) AS nidx
-      FROM (SELECT DISTINCT subj, pred, obj FROM links) l),
+      FROM (SELECT DISTINCT subj, pred, obj FROM {links_name}) l),
     trip AS MATERIALIZED (SELECT subj, pred, obj, v.id AS neg
              FROM tripidx JOIN vocab v ON v.idx = nidx),
     e0 AS MATERIALIZED (SELECT id, j, {init('E', 'id')} AS val FROM ents CROSS JOIN dims),
     r0 AS MATERIALIZED (SELECT id, j, {init('R', 'id')} AS val
-           FROM (SELECT DISTINCT pred AS id FROM links) p CROSS JOIN dims),
-    {','.join(steps)}
+           FROM (SELECT DISTINCT pred AS id FROM {links_name}) p CROSS JOIN dims),
+    {','.join(steps)}"""
+    if not final_select:
+        return chain
+    return f"""
+    WITH {links_cte},
+    {chain}
     SELECT kind, id, CAST(j AS INTEGER) AS j, val FROM (
       SELECT 'E' AS kind, id, j, val FROM e{epochs}
       UNION ALL SELECT 'R' AS kind, id, j, val FROM r{epochs}) z
+    """
+
+
+def transe_eval_oracle(links_cte: str, dim: int = 4, epochs: int = 2) -> str:
+    """DuckDB twin of train-split TransE + :func:`transe_eval`:
+    80/20 md5 triple split, training composed from
+    :func:`transe_oracle_ctes` (``links_name='train'``), then the
+    identical filtered-setting ranking. hits/mean_rank bit-exact;
+    mrr at 4 dp."""
+
+    def h60(expr: str) -> str:
+        return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+    chain = transe_oracle_ctes(
+        links_cte, dim=dim, epochs=epochs, links_name="train",
+        final_select=False,
+    )
+    return f"""
+    WITH {links_cte},
+    lsplit AS MATERIALIZED (
+      SELECT subj, pred, obj,
+             {h60("'S|' || subj || '|' || pred || '|' || obj")} % 5 AS b
+      FROM links),
+    train AS MATERIALIZED (SELECT subj, pred, obj FROM lsplit WHERE b < 4),
+    test0 AS MATERIALIZED (SELECT subj, pred, obj FROM lsplit WHERE b = 4),
+    {chain},
+    rels AS (SELECT DISTINCT pred AS id FROM train),
+    test AS MATERIALIZED (
+      SELECT t.subj, t.pred, t.obj FROM test0 t
+      SEMI JOIN ents es ON t.subj = es.id
+      SEMI JOIN ents eo ON t.obj = eo.id
+      SEMI JOIN rels rr ON t.pred = rr.id),
+    cand AS MATERIALIZED (
+      SELECT t.subj, t.pred, t.obj, e.id AS c
+      FROM test t CROSS JOIN ents e
+      ANTI JOIN train tr
+        ON tr.subj = t.subj AND tr.pred = t.pred AND tr.obj = e.id),
+    cd AS MATERIALIZED (
+      SELECT cn.subj, cn.pred, cn.obj, cn.c,
+             sum(abs(h.val + r.val - cc.val)) AS d
+      FROM cand cn CROSS JOIN dims dm
+      JOIN e{epochs} h ON h.id = cn.subj AND h.j = dm.j
+      JOIN r{epochs} r ON r.id = cn.pred AND r.j = dm.j
+      JOIN e{epochs} cc ON cc.id = cn.c AND cc.j = dm.j
+      GROUP BY 1, 2, 3, 4),
+    td AS MATERIALIZED (
+      SELECT subj, pred, obj, d AS dtrue FROM cd WHERE c = obj),
+    rk AS MATERIALIZED (
+      SELECT t.subj, t.pred, t.obj,
+             1 + count(*) FILTER (WHERE cd.d < t.dtrue
+                   OR (cd.d = t.dtrue AND cd.c < t.obj)) AS rank
+      FROM td t JOIN cd ON cd.subj = t.subj AND cd.pred = t.pred
+                        AND cd.obj = t.obj
+      GROUP BY 1, 2, 3)
+    SELECT CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(*) FILTER (WHERE rank <= 1) AS BIGINT) AS hits_at_1,
+           CAST(count(*) FILTER (WHERE rank <= 3) AS BIGINT) AS hits_at_3,
+           CAST(count(*) FILTER (WHERE rank <= 10) AS BIGINT) AS hits_at_10,
+           sum(rank) * 1.0 / count(*) AS mean_rank,
+           round(sum(1.0 / rank) / count(*), 4) AS mrr
+    FROM rk
     """

@@ -5207,3 +5207,41 @@ def kg_transe_embeddings(spark, sf_dir):
 
     links = _kg_links(spark, sf_dir)
     return transe_train(links, dim=4, epochs=2)
+
+
+def _transe_eval_sql():
+    from biokg_spark.operators.kgembed import transe_eval_oracle
+
+    return transe_eval_oracle(_KG_LINKS_CTE, dim=4, epochs=2)
+
+
+@q("kg_transe_eval", _transe_eval_sql())
+def kg_transe_eval(spark, sf_dir):
+    """Filtered-setting link-prediction evaluation of the in-engine
+    TransE trainer (operators/kgembed.py::transe_eval) — the fourth
+    evaluation harness (next to dedup_blocking_metrics,
+    embed_ann_recall, kg_linkpred_auc): 80/20 md5 triple split, train
+    on the 80, rank each held-out true tail among all candidate tails
+    by L1 distance (train triples excluded from candidates — Bordes et
+    al.'s filtered setting; unseen-entity test triples skipped). With
+    dyadic distances the tie-broken ranks are ENGINE-EXACT, so
+    n_test/hits@k/mean_rank are bit-exact vs the composed DuckDB twin;
+    mrr rounds its reciprocal sum at 4 dp."""
+    from biokg_spark.operators.kgembed import transe_eval, transe_train
+
+    links = _kg_links(spark, sf_dir)
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("S"), "subj", "pred", "obj")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(5),
+    )
+    sp = links.select("subj", "pred", "obj", h.alias("_b"))
+    train = sp.where(F.col("_b") < 4).select("subj", "pred", "obj")
+    test = sp.where(F.col("_b") == 4).select("subj", "pred", "obj")
+    emb = transe_train(train, dim=4, epochs=2)
+    return transe_eval(emb, train, test, dim=4)

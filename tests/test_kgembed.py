@@ -110,3 +110,50 @@ def test_transe_values_clipped(spark):
     df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
     rows = transe_train(df, dim=4, epochs=3).collect()
     assert all(-1.0 <= r["val"] <= 1.0 for r in rows)
+
+
+def test_transe_eval_hand_fixture(spark):
+    from biokg_spark.operators.kgembed import transe_eval
+
+    # 1-dim embeddings with hand-computable L1 distances
+    emb = spark.createDataFrame(
+        [("E", "a", 0, 0.0), ("E", "b", 0, 0.25), ("E", "c", 0, 0.5),
+         ("E", "d", 0, 1.0), ("R", "p", 0, 0.25)],
+        "kind string, id string, j int, val double",
+    )
+    train = spark.createDataFrame(
+        [("a", "p", "c")], "subj string, pred string, obj string"
+    )
+    test = spark.createDataFrame(
+        [
+            ("a", "p", "b"),   # d: a=.25 b=0 d=.75 (c filtered) -> rank 1
+            ("a", "p", "a"),   # d: a=.25 b=0 d=.75 -> b beats a -> rank 2
+            ("z", "p", "b"),   # unseen subject -> skipped
+        ],
+        "subj string, pred string, obj string",
+    )
+    row = transe_eval(emb, train, test, dim=1).collect()[0]
+    assert (row["n_test"], row["hits_at_1"], row["hits_at_3"]) == (2, 1, 2)
+    assert row["mean_rank"] == 1.5
+    assert row["mrr"] == 0.75
+
+
+def test_transe_eval_filtered_setting_excludes_train_candidates(spark):
+    from biokg_spark.operators.kgembed import transe_eval
+
+    # h_s + r_p = 0.25: candidate c (d=0.0) would outrank true b
+    # (d=0.25); the train triple (s,p,c) removes it. Candidate s ties
+    # b at 0.25 but loses the id tie-break ('s' > 'b') -> rank 1.
+    emb = spark.createDataFrame(
+        [("E", "s", 0, 0.0), ("E", "b", 0, 0.5), ("E", "c", 0, 0.25),
+         ("R", "p", 0, 0.25)],
+        "kind string, id string, j int, val double",
+    )
+    train = spark.createDataFrame(
+        [("s", "p", "c")], "subj string, pred string, obj string"
+    )
+    test = spark.createDataFrame(
+        [("s", "p", "b")], "subj string, pred string, obj string"
+    )
+    row = transe_eval(emb, train, test, dim=1).collect()[0]
+    assert (row["n_test"], row["hits_at_1"]) == (1, 1)
