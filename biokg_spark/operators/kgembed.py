@@ -250,7 +250,7 @@ def transe_eval(
         .join(rels.select(F.col("id").alias("pred")), "pred", "left_semi")
         .select("subj", "pred", "obj")
     )
-    cand = t.crossJoin(ents.select(F.col("id").alias("c"))).join(
+    cand = t.crossJoin(F.broadcast(ents.select(F.col("id").alias("c")))).join(
         train.select("subj", "pred", F.col("obj").alias("c")),
         ["subj", "pred", "c"],
         "left_anti",

@@ -94,6 +94,14 @@ EXPECTED = {
     # brute-force cosine theta join (embed_cosine_topk's allowlisted
     # shape) — that is what "exact top-k ground truth" means.
     "embed_ann_recall": {"BroadcastNestedLoopJoin present"},
+    # modularity's edge count m: a ONE-row aggregate broadcast-crossed
+    # onto the per-community frame (the HITS in-plan-scalar pattern).
+    "kg_modularity": {"BroadcastNestedLoopJoin present"},
+    # TransE eval candidate generation: every test triple scores EVERY
+    # entity as a tail — the |test|×|E| cross is the definition of
+    # rank-based KG evaluation (entity side broadcast; budget via test
+    # sampling, not a smaller cross).
+    "kg_transe_eval": {"BroadcastNestedLoopJoin present"},
 }
 
 
