@@ -138,6 +138,7 @@ HEADLINE = [
     "corpus_cm_frequencies",
     "kg_transe_embeddings",
     "kg_transe_eval",
+    "corpus_table_profile",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

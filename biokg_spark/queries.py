@@ -5245,3 +5245,62 @@ def kg_transe_eval(spark, sf_dir):
     test = sp.where(F.col("_b") == 4).select("subj", "pred", "obj")
     emb = transe_train(train, dim=4, epochs=2)
     return transe_eval(emb, train, test, dim=4)
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _profile_sql():
+    from biokg_spark.operators.sketches import hll_oracle_exprs
+
+    x = hll_oracle_exprs(10)
+    parts, ctes = [], []
+    for c in _PROFILE_COLS:
+        h = x["hash"].format(v=c)
+        est = x["estimate"].format(
+            present=f"present", sum_int=f"sum_int", lc_est="lc_est"
+        )
+        ctes.append(
+            f"""h_{c} AS (SELECT {h} AS h FROM documents WHERE {c} IS NOT NULL),
+    regs_{c} AS (SELECT {x['bucket']} AS bucket, max({x['rho']}) AS r
+                 FROM h_{c} GROUP BY 1),
+    nd_{c} AS (SELECT coalesce(round({est}, 4), 0.0) AS est FROM
+      (SELECT count(*) AS present, sum({x['sum_term']}) AS sum_int
+       FROM regs_{c}) p LEFT JOIN lc ON 1024 - present = vz)"""
+        )
+        parts.append(
+            f"""SELECT '{c}' AS column, count(*) AS n_rows,
+           count(*) FILTER (WHERE {c} IS NULL) AS n_null,
+           (SELECT est FROM nd_{c}) AS est_ndv,
+           round(avg(length(CAST({c} AS VARCHAR))), 2) AS avg_len,
+           CAST(max(length(CAST({c} AS VARCHAR))) AS BIGINT) AS max_len,
+           min(TRY_CAST({c} AS DOUBLE)) AS min_num,
+           max(TRY_CAST({c} AS DOUBLE)) AS max_num
+    FROM documents"""
+        )
+    return (
+        "WITH lc(vz, lc_est) AS (VALUES "
+        + x["lc_values"]
+        + "),\n    "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(parts)
+    )
+
+
+@q("corpus_table_profile", _profile_sql())
+def corpus_table_profile(spark, sf_dir):
+    """ANALYZE-style per-column table profile
+    (operators/profile.py::profile_table) over the documents table —
+    the stats every broadcast/salting/bucketing decision bets on: row
+    and null counts, HLL-estimated ndv (the sketch, not an exact
+    count-distinct whose partial buffers hold the distinct set),
+    length stats, and numeric min/max for range pruning. Deliberately
+    NO string min/max: a string agg buffer plans as Sort+SortAggregate
+    over the full input (the audited 258 s hazard) and string extrema
+    aren't load-bearing for planning. One constant ×|cols| explode +
+    TWO map-side-partial HashAggregates; at 10^12 rows this is
+    scan-bound."""
+    from biokg_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "documents"), _PROFILE_COLS)

@@ -1,0 +1,41 @@
+"""ANALYZE-style table profiling (operators/profile.py)."""
+
+from __future__ import annotations
+
+from biokg_spark.operators.profile import profile_table
+
+
+def test_profile_table_hand_fixture(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", 2.5),
+            (2, "beta", None),
+            (3, None, 7.5),
+            (3, "alpha", 0.0),
+        ],
+        "id long, name string, score double",
+    )
+    got = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    assert set(got) == {"id", "name", "score"}
+
+    i = got["id"]
+    assert (i["n_rows"], i["n_null"]) == (4, 0)
+    assert (i["min_num"], i["max_num"]) == (1.0, 3.0)
+    # 3 distinct small values: HLL linear-counting regime is near-exact
+    assert abs(i["est_ndv"] - 3) < 0.1
+
+    n = got["name"]
+    assert (n["n_rows"], n["n_null"]) == (4, 1)
+    # non-numeric column: numeric range is NULL, lengths are real
+    assert n["min_num"] is None and n["max_num"] is None
+    assert n["max_len"] == 5 and abs(n["est_ndv"] - 2) < 0.1
+    assert n["avg_len"] == 4.67  # (5 + 4 + 5) / 3 rounded
+
+    s = got["score"]
+    assert (s["n_null"], s["min_num"], s["max_num"]) == (1, 0.0, 7.5)
+
+
+def test_profile_column_subset(spark):
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    rows = profile_table(df, ["b"]).collect()
+    assert [r["column"] for r in rows] == ["b"]
