@@ -139,6 +139,7 @@ HEADLINE = [
     "kg_transe_embeddings",
     "kg_transe_eval",
     "corpus_table_profile",
+    "transcript_topic_segments",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

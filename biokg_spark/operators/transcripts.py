@@ -240,3 +240,61 @@ def preference_pairs(
             (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
         )
     )
+
+
+def topic_segments(
+    tx: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    threshold: float = 0.1,
+) -> DataFrame:
+    """TextTiling-style topic segmentation of conversations (Hearst
+    1997, block comparison at block size 2): at each turn boundary,
+    lexical cohesion = Jaccard between the union of the two PRECEDING
+    turns' token sets and the union of the current + next turns'; a
+    boundary opens where cohesion drops below ``threshold``. The
+    transcript-native segmentation pass before per-topic extraction —
+    finer than idle-gap sessionization (temporal.py), which needs
+    timestamps and long gaps.
+
+    Returns (conv_col, order_col, n_prev, n_next, cohesion,
+    is_boundary) for every turn with at least one preceding turn;
+    cohesion is NULL when both blocks are empty (blank turns).
+    Integer set sizes and one division — engine-exact at 4 dp.
+
+    Plan shape: ONE window shuffle keyed by conversation (the
+    pipeline's existing turn-order partitioning); the block union is
+    lag/lead array composition inside that window — no self-join, no
+    explode. Conversations are bounded (10^2-10^4 turns), so the
+    per-key sorted partition is never the 100 TB skew case.
+    """
+    empty = F.array().cast("array<string>")
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    s = F.array_distinct(
+        F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    )
+    base = tx.select(conv_col, order_col, s.alias("_s"))
+    blocks = base.select(
+        conv_col,
+        order_col,
+        F.array_union(
+            F.coalesce(F.lag("_s", 1).over(w), empty),
+            F.coalesce(F.lag("_s", 2).over(w), empty),
+        ).alias("_prev"),
+        F.array_union(
+            F.col("_s"), F.coalesce(F.lead("_s", 1).over(w), empty)
+        ).alias("_next"),
+        F.row_number().over(w).alias("_rn"),
+    ).where(F.col("_rn") >= 2)
+    inter = F.size(F.array_intersect("_prev", "_next"))
+    uni = F.size(F.array_union("_prev", "_next"))
+    cohesion = F.when(uni > 0, F.round(inter * F.lit(1.0) / uni, 4))
+    return blocks.select(
+        conv_col,
+        order_col,
+        F.size("_prev").cast("long").alias("n_prev"),
+        F.size("_next").cast("long").alias("n_next"),
+        cohesion.alias("cohesion"),
+        F.coalesce(cohesion < threshold, F.lit(False)).alias("is_boundary"),
+    )

@@ -5304,3 +5304,50 @@ def corpus_table_profile(spark, sf_dir):
     from biokg_spark.operators.profile import profile_table
 
     return profile_table(load_table(spark, sf_dir, "documents"), _PROFILE_COLS)
+
+
+@q(
+    "transcript_topic_segments",
+    f"""
+    WITH tx AS ({_TX_SQL}),
+    sets AS (
+      SELECT conv_id, turn_idx,
+             list_distinct(string_split(lower(trim(text)), ' ')) AS s
+      FROM tx),
+    blocks AS (
+      SELECT conv_id, turn_idx,
+             list_distinct(list_concat(
+               coalesce(lag(s, 1) OVER w, []),
+               coalesce(lag(s, 2) OVER w, []))) AS prev,
+             list_distinct(list_concat(
+               s, coalesce(lead(s, 1) OVER w, []))) AS nxt,
+             row_number() OVER w AS rn
+      FROM sets
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+    scored AS (
+      SELECT conv_id, turn_idx,
+             CAST(len(prev) AS BIGINT) AS n_prev,
+             CAST(len(nxt) AS BIGINT) AS n_next,
+             CASE WHEN len(list_distinct(list_concat(prev, nxt))) > 0
+                  THEN round(len(list_intersect(prev, nxt)) * 1.0
+                             / len(list_distinct(list_concat(prev, nxt))), 4)
+             END AS cohesion
+      FROM blocks WHERE rn >= 2)
+    SELECT conv_id, turn_idx, n_prev, n_next, cohesion,
+           coalesce(cohesion < 0.1, false) AS is_boundary
+    FROM scored
+    """,
+)
+def transcript_topic_segments(spark, sf_dir):
+    """TextTiling-style topic segmentation
+    (operators/transcripts.py::topic_segments): lexical cohesion at
+    every turn boundary — Jaccard between the two preceding turns'
+    token union and the current+next turns' union; a boundary opens
+    where cohesion drops below 0.1. The transcript-native
+    segmentation pass before per-topic extraction, finer than
+    idle-gap sessionization. ONE conversation-keyed window shuffle;
+    lag/lead array composition, no self-join, no explode; integer
+    set sizes make the 4-dp cohesion engine-exact."""
+    from biokg_spark.operators.transcripts import topic_segments
+
+    return topic_segments(doc_transcripts(spark, sf_dir))

@@ -151,3 +151,33 @@ def test_preference_pairs_tie_breaks_and_all_tied_group_drops(spark):
     assert p.chosen == "try rebooting it"  # a1 < a2 on the tie
     assert p.rejected == "no"
     assert p.margin == 2.0
+
+
+def test_topic_segments_planted_shift(spark):
+    from biokg_spark.operators.transcripts import topic_segments
+
+    rows = [
+        ("c1", 0, "cats purr softly"),
+        ("c1", 1, "cats nap purr"),
+        ("c1", 2, "stocks fell sharply"),   # topic shift here
+        ("c1", 3, "stocks rallied sharply"),
+    ]
+    tx = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {r["turn_idx"]: r for r in topic_segments(tx).collect()}
+    # turn 0 has no preceding turn -> not emitted
+    assert set(got) == {1, 2, 3}
+    # boundary fires exactly at the shift: prev={cats,purr,softly,nap},
+    # next={stocks,...} share nothing
+    assert got[2]["cohesion"] == 0.0 and bool(got[2]["is_boundary"])
+    assert not bool(got[1]["is_boundary"])
+    assert not bool(got[3]["is_boundary"])
+
+
+def test_topic_segments_single_turn_conversations_emit_nothing(spark):
+    from biokg_spark.operators.transcripts import topic_segments
+
+    tx = spark.createDataFrame(
+        [("a", 0, "hello"), ("b", 0, "world")],
+        "conv_id string, turn_idx int, text string",
+    )
+    assert topic_segments(tx).count() == 0
