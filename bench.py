@@ -140,6 +140,7 @@ HEADLINE = [
     "kg_transe_eval",
     "corpus_table_profile",
     "transcript_topic_segments",
+    "events_value_histogram",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

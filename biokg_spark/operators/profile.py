@@ -79,3 +79,57 @@ def profile_table(
         "min_num",
         "max_num",
     )
+
+
+def column_histogram(
+    df: DataFrame, value_col: str, bins: int = 10
+) -> DataFrame:
+    """Equi-width histogram of a numeric column — the other half of
+    ANALYZE next to :func:`profile_table`'s scalar stats: selectivity
+    estimation for range predicates and the skew-at-a-glance view
+    before choosing partition bounds. Returns one row per OCCUPIED
+    bin: (bin, bin_lo, bin_hi, cnt), bin in [0, bins).
+
+    The [min, max] bounds ride in-plan as a 1-row aggregate
+    broadcast-crossed onto the rows (the HITS in-plan-scalar idiom —
+    no driver collect, no second pass trigger); binning is one fixed
+    float expression (deterministic — same arithmetic both engines),
+    the top edge closed (v == max lands in the last bin), degenerate
+    min == max collapses to bin 0. ONE map-side-partial HashAggregate
+    down to ≤ bins rows.
+    """
+    assert bins >= 1
+    v = F.col(value_col).cast("double")
+    bounds = df.where(v.isNotNull()).agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    )
+    binned = (
+        df.where(v.isNotNull())
+        .crossJoin(bounds)
+        .select(
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (v - F.col("_lo")) * bins / (F.col("_hi") - F.col("_lo"))
+                    ),
+                )
+            )
+            .cast("int")
+            .alias("bin"),
+            "_lo",
+            "_hi",
+        )
+    )
+    width = (F.col("_hi") - F.col("_lo")) / bins
+    return (
+        binned.groupBy("bin", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            F.round(F.col("_lo") + F.col("bin") * width, 4).alias("bin_lo"),
+            F.round(F.col("_lo") + (F.col("bin") + 1) * width, 4).alias("bin_hi"),
+            "cnt",
+        )
+    )

@@ -5351,3 +5351,35 @@ def transcript_topic_segments(spark, sf_dir):
     from biokg_spark.operators.transcripts import topic_segments
 
     return topic_segments(doc_transcripts(spark, sf_dir))
+
+
+@q(
+    "events_value_histogram",
+    """
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi
+               FROM events WHERE value IS NOT NULL),
+    binned AS (
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE CAST(least(9, floor((value - lo) * 10 / (hi - lo)))
+                       AS INTEGER) END AS bin,
+             lo, hi
+      FROM events, b WHERE value IS NOT NULL)
+    SELECT bin,
+           round(lo + bin * ((hi - lo) / 10), 4) AS bin_lo,
+           round(lo + (bin + 1) * ((hi - lo) / 10), 4) AS bin_hi,
+           count(*) AS cnt
+    FROM binned GROUP BY bin, lo, hi
+    """,
+)
+def events_value_histogram(spark, sf_dir):
+    """Equi-width histogram of the event value column
+    (operators/profile.py::column_histogram) — the other half of
+    ANALYZE next to corpus_table_profile's scalar stats: range-
+    predicate selectivity and skew-at-a-glance before choosing
+    partition bounds. The [min, max] bounds ride in-plan as a 1-row
+    broadcast cross (the HITS scalar idiom); one fixed float binning
+    expression (engine-deterministic), ONE map-side-partial
+    HashAggregate down to ≤ 10 rows."""
+    from biokg_spark.operators.profile import column_histogram
+
+    return column_histogram(load_table(spark, sf_dir, "events"), "value", 10)

@@ -102,6 +102,9 @@ EXPECTED = {
     # rank-based KG evaluation (entity side broadcast; budget via test
     # sampling, not a smaller cross).
     "kg_transe_eval": {"BroadcastNestedLoopJoin present"},
+    # histogram [min, max] bounds: a ONE-row aggregate broadcast-crossed
+    # onto the rows (the HITS in-plan-scalar pattern).
+    "events_value_histogram": {"BroadcastNestedLoopJoin present"},
 }
 
 

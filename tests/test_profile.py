@@ -39,3 +39,27 @@ def test_profile_column_subset(spark):
     df = spark.createDataFrame([(1, "x")], "a long, b string")
     rows = profile_table(df, ["b"]).collect()
     assert [r["column"] for r in rows] == ["b"]
+
+
+def test_column_histogram_hand_fixture(spark):
+    from biokg_spark.operators.profile import column_histogram
+
+    # values 0..10 into 10 bins of width 1; v == max closes the top bin
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(11)] + [(None,)], "v double"
+    )
+    got = {r["bin"]: r for r in column_histogram(df, "v", 10).collect()}
+    assert set(got) == set(range(10))
+    assert all(got[b]["cnt"] == 1 for b in range(9))
+    assert got[9]["cnt"] == 2  # 9.0 and the closed top edge 10.0
+    assert (got[0]["bin_lo"], got[0]["bin_hi"]) == (0.0, 1.0)
+    assert (got[9]["bin_lo"], got[9]["bin_hi"]) == (9.0, 10.0)
+
+
+def test_column_histogram_degenerate_single_value(spark):
+    from biokg_spark.operators.profile import column_histogram
+
+    df = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    rows = column_histogram(df, "v", 10).collect()
+    assert len(rows) == 1
+    assert (rows[0]["bin"], rows[0]["cnt"]) == (0, 2)
