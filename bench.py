@@ -141,6 +141,8 @@ HEADLINE = [
     "corpus_table_profile",
     "transcript_topic_segments",
     "events_value_histogram",
+    "corpus_lang_confusion",
+    "events_type_trend",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

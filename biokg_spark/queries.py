@@ -5383,3 +5383,91 @@ def events_value_histogram(spark, sf_dir):
     from biokg_spark.operators.profile import column_histogram
 
     return column_histogram(load_table(spark, sf_dir, "events"), "value", 10)
+
+
+def _lang_confusion_sql():
+    return f"""
+    SELECT d.lang AS declared, p.lang AS predicted, count(*) AS n
+    FROM documents d JOIN ({_lang_ngram_sql()}) p USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@q("corpus_lang_confusion", _lang_confusion_sql())
+def corpus_lang_confusion(spark, sf_dir):
+    """Language-metadata audit: confusion matrix of the DECLARED lang
+    column vs the engine's n-gram language ID — the standard check
+    before trusting upstream language tags for mixture weighting or
+    per-language pruning (web corpora routinely carry wrong tags).
+    Composes the existing lang_id_ngram column (same generated SQL
+    twin as text_lang_ngram, so the two queries cannot drift); ONE
+    map-side-partial HashAggregate to the |langs|² frame."""
+    from biokg_spark.functions.text import lang_id_ngram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("declared"),
+            lang_id_ngram("text").alias("predicted"),
+        )
+        .groupBy("declared", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "events_type_trend",
+    """
+    WITH buckets AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-05',
+                            date_trunc('week', ts)) / 7 AS BIGINT) AS t,
+             count(*) AS y
+      FROM events GROUP BY 1, 2),
+    sums AS (
+      SELECT event_type, count(*) AS n_buckets, sum(y) AS total,
+             sum(t) AS st, sum(y * t) AS sty,
+             sum(t * t) AS stt, sum(y) AS sy
+      FROM buckets GROUP BY 1)
+    SELECT event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(total AS BIGINT) AS total,
+           CASE WHEN n_buckets * stt - st * st > 0
+                THEN round((n_buckets * sty - st * sy) * 1.0
+                           / (n_buckets * stt - st * st), 6) END AS slope
+    FROM sums
+    """,
+)
+def events_type_trend(spark, sf_dir):
+    """Per-key activity trend: least-squares slope of weekly event
+    counts over the week index — the drift signal a temporal KG
+    watches per entity/predicate (rising co-occurrence, decaying
+    sources), here demonstrated per event_type. ALL regression sums
+    (Σt, Σy, Σty, Σt²) are INTEGER aggregates — summation-order-free —
+    and the slope is one fixed-shape division, so the 6-dp value is
+    engine-exact (the modularity factoring trick applied to
+    regression). TWO map-side-partial HashAggregates: events → weekly
+    buckets → per-key sums; a single-bucket key emits a NULL slope."""
+    ev = load_table(spark, sf_dir, "events")
+    t = (
+        F.datediff(F.date_trunc("week", F.col("ts")), F.lit("1970-01-05"))
+        / 7
+    ).cast("long")
+    buckets = ev.groupBy("event_type", t.alias("t")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    sums = buckets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("y").alias("total"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("y") * F.col("t")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("y").alias("sy"),
+    )
+    den = F.col("n_buckets") * F.col("stt") - F.col("st") * F.col("st")
+    num = F.col("n_buckets") * F.col("sty") - F.col("st") * F.col("sy")
+    return sums.select(
+        "event_type",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("total").cast("long").alias("total"),
+        F.when(den > 0, F.round(num * F.lit(1.0) / den, 6)).alias("slope"),
+    )
