@@ -143,6 +143,8 @@ HEADLINE = [
     "events_value_histogram",
     "corpus_lang_confusion",
     "events_type_trend",
+    "kg_conversation_graphs",
+    "corpus_stratified_sample",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

@@ -5471,3 +5471,119 @@ def events_type_trend(spark, sf_dir):
         F.col("total").cast("long").alias("total"),
         F.when(den > 0, F.round(num * F.lit(1.0) / den, 6)).alias("slope"),
     )
+
+
+@q(
+    "kg_conversation_graphs",
+    f"""
+    WITH {_MENTIONS_SQL},
+    per AS (SELECT conv_id, count(*) AS n_mentions,
+                   count(DISTINCT entity_id) AS n_entities
+            FROM m GROUP BY 1),
+    prs AS (SELECT DISTINCT m1.conv_id,
+                   least(m1.entity_id, m2.entity_id) AS a,
+                   greatest(m1.entity_id, m2.entity_id) AS b
+            FROM m m1 JOIN m m2
+              ON m1.conv_id = m2.conv_id AND m1.turn_idx = m2.turn_idx
+             AND m1.entity_id < m2.entity_id),
+    pc AS (SELECT conv_id, count(*) AS n_pairs FROM prs GROUP BY 1)
+    SELECT per.conv_id, CAST(n_mentions AS BIGINT) AS n_mentions,
+           CAST(n_entities AS BIGINT) AS n_entities,
+           CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+           CASE WHEN n_entities > 1
+                THEN round(2.0 * coalesce(n_pairs, 0)
+                           / (n_entities * (n_entities - 1)), 4)
+           END AS density
+    FROM per LEFT JOIN pc USING (conv_id)
+    """,
+)
+def kg_conversation_graphs(spark, sf_dir):
+    """Per-conversation KG subgraph profile: turn-level distinct
+    mentions, distinct entities, same-turn co-occurrence pair count,
+    and graph density 2L/(n(n-1)) — the conversation-level quality
+    signal for transcript extraction (a conversation producing an
+    implausibly dense subgraph is a template/bot loop; one producing
+    none is off-domain — both are pre-publication triage rows).
+    Integer-derived density → engine-exact at 4 dp. The pair join here
+    is the turn-keyed self-join (bounded by mentions-per-turn); the
+    production pipeline expands the same pairs ARRAY-SIDE from one
+    linear shuffle (pipeline/kg.py) — this query is the per-conv
+    rollup, not the links path."""
+    ments = (
+        kg_mentions(spark, sf_dir)
+        .select("conv_id", "turn_idx", "entity_id")
+        .distinct()
+    )
+    per = ments.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.count_distinct("entity_id").alias("n_entities"),
+    )
+    a, b = ments.alias("a"), ments.alias("b")
+    prs = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.turn_idx") == F.col("b.turn_idx"))
+            & (F.col("a.entity_id") < F.col("b.entity_id")),
+        )
+        .select(
+            F.col("a.conv_id").alias("conv_id"),
+            F.col("a.entity_id").alias("ea"),
+            F.col("b.entity_id").alias("eb"),
+        )
+        .distinct()
+    )
+    pc = prs.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+    ne = F.col("n_entities")
+    return per.join(pc, "conv_id", "left").select(
+        "conv_id",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        ne.cast("long").alias("n_entities"),
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.when(
+            ne > 1,
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("n_pairs", F.lit(0))
+                / (ne * (ne - 1)),
+                4,
+            ),
+        ).alias("density"),
+    )
+
+
+@q(
+    "corpus_stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('SAMP|' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents)
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 50
+    """,
+)
+def corpus_stratified_sample(spark, sf_dir):
+    """Exact-k uniform sample PER STRATUM (k=50 per source) — the
+    eval-set construction primitive the rate-based hash-threshold
+    split (functions/text.py) cannot give: hash-thresholding yields a
+    binomial count per stratum, this yields exactly k, still
+    deterministic and rerun-stable (md5 order, doc_id tie-break).
+    ONE window shuffle keyed by stratum; Spark's WindowGroupLimit
+    prunes each map partition to its local top-k BEFORE the exchange,
+    so a billion-doc stratum ships ~k rows per task, not the
+    stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("SAMP|"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .where(F.col("rk") <= 50)
+    )
