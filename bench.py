@@ -145,6 +145,7 @@ HEADLINE = [
     "events_type_trend",
     "kg_conversation_graphs",
     "corpus_stratified_sample",
+    "dedup_keep_best",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

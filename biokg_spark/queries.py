@@ -5587,3 +5587,62 @@ def corpus_stratified_sample(spark, sf_dir):
         )
         .where(F.col("rk") <= 50)
     )
+
+
+def _keep_best_sql():
+    # reuse the dedup_cluster_components recursive chain verbatim, then
+    # elect the longest member per component (doc_id tie-break)
+    comp_inner = REGISTRY["dedup_cluster_components"][1]
+    return f"""
+    WITH comp AS (SELECT * FROM ({comp_inner}) t),
+    toks AS (SELECT doc_id,
+                    len(string_split(lower(trim(text)), ' ')) AS n_tokens
+             FROM documents),
+    j AS (SELECT comp.id AS doc_id, comp.component, toks.n_tokens
+          FROM comp JOIN toks ON comp.id = toks.doc_id)
+    SELECT doc_id, component, CAST(n_tokens AS BIGINT) AS n_tokens,
+           (row_number() OVER (PARTITION BY component
+                               ORDER BY n_tokens DESC, doc_id ASC) = 1)
+             AS is_keeper
+    FROM j
+    """
+
+
+@q("dedup_keep_best", _keep_best_sql())
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware survivor election per near-dup cluster: LSH pairs
+    → connected components → keep the LONGEST member (doc_id
+    tie-break) — the production heuristic exact_dedup's min-id
+    election lacks: near-dup clusters contain truncated/boilerplate
+    variants, and min-id keeps an arbitrary one while keep-longest
+    keeps the most complete. Per-doc output with is_keeper so the
+    drop list is a filter away. Token counts are integers — the
+    election is engine-exact. Plan shape: the measured LSH+components
+    machinery unchanged, plus ONE component-keyed window over the
+    clustered docs only (clusters are a small fraction of the
+    corpus)."""
+    from biokg_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=4, width=3
+    )
+    comp = connected_components(pairs)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias(
+            "n_tokens"
+        ),
+    )
+    j = comp.join(toks, comp["id"] == toks["doc_id"]).select(
+        "doc_id", "component", "n_tokens"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id",
+        "component",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+    )
