@@ -146,6 +146,7 @@ HEADLINE = [
     "kg_conversation_graphs",
     "corpus_stratified_sample",
     "dedup_keep_best",
+    "events_zorder_locality",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

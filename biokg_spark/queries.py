@@ -5646,3 +5646,83 @@ def dedup_keep_best(spark, sf_dir):
         F.col("n_tokens").cast("long").alias("n_tokens"),
         (F.row_number().over(w) == 1).alias("is_keeper"),
     )
+
+
+def _zorder_sql():
+    from biokg_spark.operators.layout import morton_sql
+
+    m = morton_sql("a", "d", 16)
+    return f"""
+    WITH base AS (
+      SELECT user_id & 65535 AS a,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) & 255 AS d
+      FROM events),
+    keyed AS (
+      SELECT a, d, {m} >> 10 AS cz, a >> 4 AS cu, d AS cd,
+             a BETWEEN 100 AND 227 AS pu,
+             d BETWEEN 16 AND 23 AS pd
+      FROM base),
+    z AS (SELECT 'zorder' AS layout, count(DISTINCT cz) AS total_chunks,
+                 count(DISTINCT CASE WHEN pu THEN cz END) AS user_slice_chunks,
+                 count(DISTINCT CASE WHEN pd THEN cz END) AS day_slice_chunks
+          FROM keyed),
+    u AS (SELECT 'by_user', count(DISTINCT cu),
+                 count(DISTINCT CASE WHEN pu THEN cu END),
+                 count(DISTINCT CASE WHEN pd THEN cu END) FROM keyed),
+    dd AS (SELECT 'by_day', count(DISTINCT cd),
+                 count(DISTINCT CASE WHEN pu THEN cd END),
+                 count(DISTINCT CASE WHEN pd THEN cd END) FROM keyed)
+    SELECT layout, CAST(total_chunks AS BIGINT) AS total_chunks,
+           CAST(user_slice_chunks AS BIGINT) AS user_slice_chunks,
+           CAST(day_slice_chunks AS BIGINT) AS day_slice_chunks
+    FROM (SELECT * FROM z UNION ALL SELECT * FROM u UNION ALL
+          SELECT * FROM dd) t
+    """
+
+
+@q("events_zorder_locality", _zorder_sql())
+def events_zorder_locality(spark, sf_dir):
+    """Z-order layout locality metric (operators/layout.py) — the
+    lakehouse multi-column clustering decision, MEASURED: chunk the
+    events table three ways (Morton-interleaved user×day key, by
+    user, by day) and count chunks a user-range predicate and a
+    day-range predicate each touch. Linear layouts prune only their
+    own dimension (the orthogonal predicate touches ~every chunk);
+    the Morton key prunes BOTH — the numbers that justify
+    ``repartitionByRange(morton).sortWithinPartitions(morton)``
+    before a multi-key 100 TB write. Pure integer bit arithmetic,
+    bit-exact; ONE pass, three tiny distinct-count aggregates."""
+    from biokg_spark.operators.layout import morton_key
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").bitwiseAND(F.lit(65535)).alias("a"),
+        F.datediff(F.col("ts"), F.lit("1970-01-01"))
+        .bitwiseAND(F.lit(255))
+        .alias("d"),
+    )
+    keyed = base.select(
+        F.shiftright(morton_key(F.col("a"), F.col("d"), 16), 10).alias("cz"),
+        F.shiftright(F.col("a"), 4).alias("cu"),
+        F.col("d").alias("cd"),
+        F.col("a").between(100, 227).alias("pu"),
+        F.col("d").between(16, 23).alias("pd"),
+    )
+    rows = []
+    for layout, chunk in (("zorder", "cz"), ("by_user", "cu"), ("by_day", "cd")):
+        rows.append(
+            keyed.agg(
+                F.lit(layout).alias("layout"),
+                F.count_distinct(F.col(chunk)).cast("long").alias("total_chunks"),
+                F.count_distinct(F.when(F.col("pu"), F.col(chunk)))
+                .cast("long")
+                .alias("user_slice_chunks"),
+                F.count_distinct(F.when(F.col("pd"), F.col(chunk)))
+                .cast("long")
+                .alias("day_slice_chunks"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out

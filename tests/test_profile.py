@@ -63,3 +63,34 @@ def test_column_histogram_degenerate_single_value(spark):
     rows = column_histogram(df, "v", 10).collect()
     assert len(rows) == 1
     assert (rows[0]["bin"], rows[0]["cnt"]) == (0, 2)
+
+
+def test_morton_key_interleaves_bits(spark):
+    from biokg_spark.operators.layout import morton_key
+    from pyspark.sql import functions as F
+
+    # hand-checkable: a=0b101 (bits at even positions), b=0b011 (odd)
+    # -> m = 1*1 + 1*2 + 0*4 + 1*8 + 1*16 + 0*32 = 0b11011 = 27
+    df = spark.createDataFrame([(5, 3)], "a long, b long")
+    got = df.select(morton_key(F.col("a"), F.col("b"), 3).alias("m")).collect()
+    assert got[0]["m"] == 27
+
+
+def test_morton_key_prefix_locality(spark):
+    from biokg_spark.operators.layout import morton_key
+    from pyspark.sql import functions as F
+
+    # nearby (a, b) points share high Morton bits; distant ones do not
+    rows = [(a, b) for a in range(0, 256, 17) for b in range(0, 256, 13)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = df.select(
+        "a", "b", morton_key(F.col("a"), F.col("b"), 8).alias("m")
+    ).collect()
+    for r in out:
+        # high half of the key is exactly the interleave of high halves
+        expect_hi = sum(
+            (((r["a"] >> (4 + i)) & 1) << (2 * i))
+            + (((r["b"] >> (4 + i)) & 1) << (2 * i + 1))
+            for i in range(4)
+        )
+        assert r["m"] >> 8 == expect_hi
