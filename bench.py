@@ -147,6 +147,8 @@ HEADLINE = [
     "corpus_stratified_sample",
     "dedup_keep_best",
     "events_zorder_locality",
+    "kg_rule_confidence",
+    "kg_sparsify_topk",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

@@ -5726,3 +5726,141 @@ def events_zorder_locality(spark, sf_dir):
     for r in rows[1:]:
         out = out.union(r)
     return out
+
+
+@q(
+    "kg_rule_confidence",
+    f"""
+    WITH {_KG_LINKS_CTE},
+    paths AS (
+      SELECT a.pred AS pred_a, b.pred AS pred_b,
+             a.subj AS x, b.obj AS z
+      FROM links a JOIN links b ON a.obj = b.subj AND a.subj <> b.obj),
+    agg AS (
+      SELECT pred_a, pred_b, count(*) AS n_paths,
+             count(DISTINCT (x, z)) AS n_pairs
+      FROM paths GROUP BY 1, 2),
+    closed AS (
+      SELECT p.pred_a, p.pred_b, c.pred AS pred_c,
+             count(DISTINCT (p.x, p.z)) AS n_closed
+      FROM (SELECT DISTINCT pred_a, pred_b, x, z FROM paths) p
+      JOIN links c ON c.subj = p.x AND c.obj = p.z
+      GROUP BY 1, 2, 3)
+    SELECT c.pred_a, c.pred_b, c.pred_c,
+           CAST(a.n_pairs AS BIGINT) AS n_pairs,
+           CAST(c.n_closed AS BIGINT) AS n_closed,
+           round(c.n_closed * 1.0 / a.n_pairs, 4) AS confidence
+    FROM closed c JOIN agg a USING (pred_a, pred_b)
+    """,
+)
+def kg_rule_confidence(spark, sf_dir):
+    """AMIE-style rule confidence mining (Galárraga et al. 2013, the
+    length-2 closed-rule core): for every predicate pattern
+    pred_a(x,y) ∧ pred_b(y,z) ⇒ pred_c(x,z), the PCA-free standard
+    confidence = closed (x,z) pairs / all distinct (x,z) path pairs —
+    the schema-level rollup of kg_metapath_inference's instance-level
+    candidates, and the signal that ranks which inferred predicates
+    deserve INFERRED status at all. Integer counts → 4-dp confidence
+    engine-exact. Plan shape: the same mid-key path join as
+    metapath_infer (hub-degree guard documented there), one distinct
+    + two HashAggregates down to the |preds|³-bounded rule frame."""
+    links = _kg_links(spark, sf_dir)
+    a, b = links.alias("a"), links.alias("b")
+    paths = a.join(
+        b,
+        (F.col("a.obj") == F.col("b.subj"))
+        & (F.col("a.subj") != F.col("b.obj")),
+    ).select(
+        F.col("a.pred").alias("pred_a"),
+        F.col("b.pred").alias("pred_b"),
+        F.col("a.subj").alias("x"),
+        F.col("b.obj").alias("z"),
+    )
+    agg = paths.groupBy("pred_a", "pred_b").agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.count_distinct("x", "z").alias("n_pairs"),
+    )
+    dp = paths.select("pred_a", "pred_b", "x", "z").distinct()
+    c = links.alias("c")
+    closed = (
+        dp.join(
+            c,
+            (F.col("c.subj") == F.col("x")) & (F.col("c.obj") == F.col("z")),
+        )
+        .groupBy("pred_a", "pred_b", F.col("c.pred").alias("pred_c"))
+        .agg(F.count_distinct("x", "z").alias("n_closed"))
+    )
+    return closed.join(agg, ["pred_a", "pred_b"]).select(
+        "pred_a",
+        "pred_b",
+        "pred_c",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_closed").cast("long").alias("n_closed"),
+        F.round(F.col("n_closed") * F.lit(1.0) / F.col("n_pairs"), 4).alias(
+            "confidence"
+        ),
+    )
+
+
+def _sparsify_sql():
+    pmi_inner = REGISTRY["kg_pmi_links"][1]
+    return f"""
+    WITH p AS (SELECT * FROM ({pmi_inner}) t),
+    sym AS (
+      SELECT subj AS node, obj AS neighbor, pred, n_pair, pmi FROM p
+      UNION ALL
+      SELECT obj, subj, pred, n_pair, pmi FROM p),
+    ranked AS (
+      SELECT node, neighbor, pred, n_pair, pmi,
+             row_number() OVER (PARTITION BY node
+               ORDER BY pmi DESC, n_pair DESC, neighbor ASC, pred ASC) AS rk
+      FROM sym)
+    SELECT node, neighbor, pred, CAST(n_pair AS BIGINT) AS n_pair, pmi,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """
+
+
+@q("kg_sparsify_topk", _sparsify_sql())
+def kg_sparsify_topk(spark, sf_dir):
+    """PMI-ranked graph sparsification: keep each node's top-3
+    strongest edges — the GNN-prep densification control (a raw
+    co-occurrence graph approaches a clique on popular entities;
+    training on it means hub neighborhoods dominate every batch).
+    Symmetrized so BOTH endpoints count the edge; full deterministic
+    order (pmi desc, support desc, neighbor, pred). ONE node-keyed
+    window; WindowGroupLimit caps each map partition's contribution
+    at k rows per node — hub nodes cannot skew the exchange. Oracle
+    composes kg_pmi_links' SQL verbatim, so the weight and the
+    sparsifier cannot drift."""
+    pmi = kg_pmi_links(spark, sf_dir)
+    sym = pmi.select(
+        F.col("subj").alias("node"),
+        F.col("obj").alias("neighbor"),
+        "pred",
+        "n_pair",
+        "pmi",
+    ).unionAll(
+        pmi.select(
+            F.col("obj").alias("node"),
+            F.col("subj").alias("neighbor"),
+            "pred",
+            "n_pair",
+            "pmi",
+        )
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("pmi"), F.desc("n_pair"), F.asc("neighbor"), F.asc("pred")
+    )
+    return (
+        sym.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select(
+            "node",
+            "neighbor",
+            "pred",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            "pmi",
+            "rk",
+        )
+    )
