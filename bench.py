@@ -149,6 +149,7 @@ HEADLINE = [
     "events_zorder_locality",
     "kg_rule_confidence",
     "kg_sparsify_topk",
+    "transcript_turn_loops",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

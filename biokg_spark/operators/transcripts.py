@@ -298,3 +298,63 @@ def topic_segments(
         cohesion.alias("cohesion"),
         F.coalesce(cohesion < threshold, F.lit(False)).alias("is_boundary"),
     )
+
+
+def turn_loops(
+    tx: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    suspect_run: int = 3,
+) -> DataFrame:
+    """Bot-loop detection: run-lengths of IDENTICAL consecutive turns
+    (normalized-text fingerprints) per conversation, via the gap-group
+    idiom — lag-compare flags run starts, a running sum numbers the
+    runs, one aggregate sizes them. Returns per conversation
+    (n_turns, n_distinct_turns, max_run, n_looped_turns,
+    is_loop_suspect at max_run ≥ ``suspect_run``).
+
+    The consecutive form is what conversation-level MinHash cannot
+    see: near-dup finds twin conversations, this finds an agent stuck
+    repeating itself WITHIN one. Both window passes share the single
+    conversation-keyed exchange; all outputs integer-derived.
+    """
+    f = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "))
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    fp = tx.select(conv_col, order_col, f.alias("_f"))
+    flagged = fp.select(
+        conv_col,
+        order_col,
+        "_f",
+        F.when(
+            F.lag("_f").over(w).isNull() | (F.lag("_f").over(w) != F.col("_f")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new_run"),
+    )
+    runs = flagged.select(
+        conv_col, "_f", F.sum("_new_run").over(wrun).alias("_run_id")
+    )
+    run_lens = runs.groupBy(conv_col, "_run_id").agg(
+        F.count(F.lit(1)).alias("_run_len")
+    )
+    per_conv = run_lens.groupBy(conv_col).agg(
+        F.max("_run_len").cast("long").alias("max_run"),
+        F.sum(F.when(F.col("_run_len") > 1, F.col("_run_len")).otherwise(0))
+        .cast("long")
+        .alias("n_looped_turns"),
+    )
+    tot = fp.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.count_distinct("_f").cast("long").alias("n_distinct_turns"),
+    )
+    return per_conv.join(tot, conv_col).select(
+        conv_col,
+        "n_turns",
+        "n_distinct_turns",
+        "max_run",
+        "n_looped_turns",
+        (F.col("max_run") >= suspect_run).alias("is_loop_suspect"),
+    )

@@ -5864,3 +5864,54 @@ def kg_sparsify_topk(spark, sf_dir):
             "rk",
         )
     )
+
+
+@q(
+    "transcript_turn_loops",
+    f"""
+    WITH tx AS ({_TX_SQL}),
+    fp AS (
+      SELECT conv_id, turn_idx,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM tx),
+    flagged AS (
+      SELECT conv_id, turn_idx, f,
+             CASE WHEN lag(f) OVER w IS NULL OR lag(f) OVER w <> f
+                  THEN 1 ELSE 0 END AS new_run
+      FROM fp WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+    runs AS (
+      SELECT conv_id, f,
+             sum(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM flagged),
+    run_lens AS (
+      SELECT conv_id, run_id, count(*) AS run_len FROM runs
+      GROUP BY 1, 2),
+    per_conv AS (
+      SELECT conv_id, CAST(max(run_len) AS BIGINT) AS max_run,
+             CAST(sum(CASE WHEN run_len > 1 THEN run_len ELSE 0 END)
+                  AS BIGINT) AS n_looped_turns
+      FROM run_lens GROUP BY 1),
+    tot AS (SELECT conv_id, count(*) AS n_turns,
+                   count(DISTINCT f) AS n_distinct FROM fp GROUP BY 1)
+    SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+           CAST(n_distinct AS BIGINT) AS n_distinct_turns,
+           max_run, n_looped_turns,
+           (max_run >= 3) AS is_loop_suspect
+    FROM per_conv JOIN tot USING (conv_id)
+    """,
+)
+def transcript_turn_loops(spark, sf_dir):
+    """Bot-loop detection per conversation: run-lengths of IDENTICAL
+    consecutive turns (normalized-text fingerprints) via the
+    gap-group idiom — lag-compare flags run starts, a running sum
+    numbers the runs, one aggregate sizes them. An agent stuck
+    repeating itself produces max_run ≥ 3; heavy repetition anywhere
+    shows in n_looped_turns vs n_distinct_turns. The CONSECUTIVE
+    form is what conversation-level MinHash (transcript_near_dup)
+    cannot see — near-dup finds twin conversations, this finds loops
+    WITHIN one. Both windows share the conv_id exchange; integer
+    outputs, engine-exact."""
+    from biokg_spark.operators.transcripts import turn_loops
+
+    return turn_loops(doc_transcripts(spark, sf_dir))

@@ -181,3 +181,26 @@ def test_topic_segments_single_turn_conversations_emit_nothing(spark):
         "conv_id string, turn_idx int, text string",
     )
     assert topic_segments(tx).count() == 0
+
+
+def test_turn_loops_planted_loop(spark):
+    from biokg_spark.operators.transcripts import turn_loops
+
+    rows = [
+        ("loopy", 0, "start"),
+        ("loopy", 1, "Retrying  now"),   # normalizes equal to the next two
+        ("loopy", 2, "retrying now"),
+        ("loopy", 3, " retrying NOW "),
+        ("loopy", 4, "retrying now!"),   # different (punctuation)
+        ("clean", 0, "hello"),
+        ("clean", 1, "world"),
+        ("clean", 2, "hello"),           # repeat, but NOT consecutive
+    ]
+    tx = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {r["conv_id"]: r for r in turn_loops(tx).collect()}
+    lo = got["loopy"]
+    assert (lo["n_turns"], lo["max_run"], lo["n_looped_turns"]) == (5, 3, 3)
+    assert bool(lo["is_loop_suspect"])
+    cl = got["clean"]
+    assert (cl["max_run"], cl["n_looped_turns"], cl["n_distinct_turns"]) == (1, 0, 2)
+    assert not bool(cl["is_loop_suspect"])
