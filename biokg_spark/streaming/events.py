@@ -110,3 +110,37 @@ def sessionize_conversations(turns_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: left rows pair with
+    right rows of the same ``key`` whose event time falls in
+    [left_ts + lower, left_ts + upper] — the streaming form of the
+    batch as-of/range join (operators/temporal.py), e.g. enriching a
+    turn stream with the tool-result events that follow it.
+
+    Both sides carry a watermark and the join condition bounds
+    right_ts relative to left_ts on BOTH ends — exactly what Spark's
+    state store needs to evict: unbounded or one-sided conditions
+    grow state forever (the documented stream-stream join trap).
+    State per key is bounded by watermark + interval width. Inner
+    join; append mode.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    return lw.join(
+        rw,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts + F.expr(f"INTERVAL {lower}"))
+        & (rts <= lts + F.expr(f"INTERVAL {upper}")),
+    )

@@ -355,3 +355,65 @@ def test_streaming_dedup_one_keeper_per_content(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert again == sorted(got)
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from biokg_spark.streaming.events import interval_join_streams
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    turns = [("c1", ts(0), "ask"), ("c1", ts(30), "ask again"),
+             ("c2", ts(5), "solo")]
+    events = [("c1", ts(4), "search"),      # joins turn@0 (within 10m)
+              ("c1", ts(33), "lookup"),     # joins turn@30
+              ("c1", ts(20), "orphan"),     # joins nothing (>10m after 0)
+              ("c2", ts(50), "late")]       # joins nothing
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    ldf = spark.createDataFrame(turns, "conv_id string, ts timestamp, text string")
+    rdf = spark.createDataFrame(events, "conv_id string, ts timestamp, tool string")
+    ldf.write.parquet(ldir)
+    rdf.write.parquet(rdir)
+
+    ls = spark.readStream.schema(ldf.schema).parquet(ldir)
+    rs = spark.readStream.schema(rdf.schema).parquet(rdir)
+    joined = interval_join_streams(ls, rs, "conv_id").select(
+        F.col("l.conv_id").alias("conv_id"),
+        F.col("text"),
+        F.col("tool"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssij")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT conv_id, text, tool FROM ssij").collect())
+    )
+    assert got == [("c1", "ask", "search"), ("c1", "ask again", "lookup")]
+
+    # batch twin over the same frames: identical pairs
+    batch = sorted(
+        map(
+            tuple,
+            ldf.alias("l")
+            .join(
+                rdf.alias("r"),
+                (F.col("l.conv_id") == F.col("r.conv_id"))
+                & (F.col("r.ts") >= F.col("l.ts"))
+                & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 minutes")),
+            )
+            .select(F.col("l.conv_id"), "text", "tool")
+            .collect(),
+        )
+    )
+    assert got == batch
