@@ -150,6 +150,8 @@ HEADLINE = [
     "kg_rule_confidence",
     "kg_sparsify_topk",
     "transcript_turn_loops",
+    "dedup_containment",
+    "dedup_source_matrix",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

@@ -271,6 +271,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT ≥ threshold: |A∩B| / |A| per
+    ordered candidate pair — the truncation detector Jaccard misses.
+    A tail-truncated copy of a long document (the bot-session case)
+    shares nearly all of ITS shingles with the original, so its
+    containment is ~1 while Jaccard (normalized by the UNION) can sit
+    far below any near-dup threshold. Emits (id_a, id_b, n_a,
+    n_inter, containment) for the SMALLER-side direction of each
+    pair: containment of id_a's shingle set in id_b's.
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (pairs
+    exist only through shared shingles, never a cross join;
+    ``max_doc_freq`` drops boilerplate shingles before the
+    self-join); only the final metric differs, and both directions
+    come from the SAME intersection aggregate — no second join.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, width)).alias("sh"))
+    if max_doc_freq is not None:
+        ok = (
+            sh.groupBy("sh")
+            .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(ok, "sh", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    return (
+        inter.join(sz_a, "id_a")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_inter") * F.lit(1.0) / F.col("n_a"), 4),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_a", "n_inter", "containment")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str,

@@ -5915,3 +5915,104 @@ def transcript_turn_loops(spark, sf_dir):
     from biokg_spark.operators.transcripts import turn_loops
 
     return turn_loops(doc_transcripts(spark, sf_dir))
+
+
+@q(
+    "dedup_containment",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           round(n_inter * 1.0 / n_a, 4) AS containment
+    FROM inter JOIN (SELECT doc_id AS id_a, n_sh AS n_a FROM sizes) s
+         USING (id_a)
+    WHERE n_inter * 1.0 / n_a >= 0.8
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric n-gram containment pairs
+    (operators/dedup.py::ngram_containment_pairs): |A∩B|/|A| ≥ 0.8 —
+    the truncation detector Jaccard misses: a tail-truncated copy
+    shares nearly all of ITS shingles with the original (containment
+    ~1) while Jaccard, normalized by the union, sits below any
+    near-dup threshold. Same inverted-index plan as n-gram Jaccard
+    (pairs only through shared shingles, never a cross join); both
+    directions of a pair come from the SAME intersection aggregate.
+    Integer counts → 4-dp score engine-exact."""
+    from biokg_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        width=3, threshold=0.8,
+    )
+
+
+def _source_matrix_sql():
+    # reuse the LSH pairs chain from dedup_cluster_components up to
+    # `pairs`, then roll up to the (source_a, source_b) matrix
+    return f"""
+    WITH {_SHINGLES_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    sig AS (
+      SELECT doc_id, seed,
+             min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || sh),
+                                      1, 15)) AS BIGINT)) AS mh
+      FROM sh, seeds GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band_idx,
+             md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, seed // 2),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    srcd AS (
+      SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b
+      FROM pairs p
+      JOIN documents sa ON p.id_a = sa.doc_id
+      JOIN documents sb ON p.id_b = sb.doc_id)
+    SELECT source_a, source_b, count(*) AS n_pairs
+    FROM srcd GROUP BY 1, 2
+    """
+
+
+@q("dedup_source_matrix", _source_matrix_sql())
+def dedup_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix: the LSH near-dup candidate
+    pairs rolled up to unordered (source_a, source_b) counts — the
+    mirror-detection view corpus curation acts on (a hot off-diagonal
+    cell means source B scrapes source A, so one of them gets dropped
+    or down-weighted BEFORE token budgeting). The measured LSH
+    machinery unchanged + two broadcast-able doc→source joins + ONE
+    HashAggregate to the |sources|² frame."""
+    from biokg_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=4, width=3
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")),
+            "id_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+    )
+    return j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -481,3 +481,29 @@ def test_blocking_metrics_no_truth(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     r = blocking_metrics(docs, empty, empty, "doc_id").collect()[0]
     assert r.pair_completeness is None and r.n_matched == 0
+
+
+def test_containment_catches_truncated_twin_jaccard_misses(spark):
+    from biokg_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    full = " ".join(f"w{i}" for i in range(40))
+    head = " ".join(f"w{i}" for i in range(10))  # 25% prefix of full
+    df = spark.createDataFrame(
+        [(1, full), (2, head), (3, "totally different text entirely")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(
+            df, "text", "doc_id", width=3, threshold=0.8
+        ).collect()
+    }
+    # the truncated copy's shingles (8 of them) are ALL inside full's 38
+    assert cont[(2, 1)] == 1.0
+    assert (1, 2) not in cont  # full is NOT contained in its prefix
+    jac = ngram_jaccard_pairs(df, "text", "doc_id", width=3, threshold=0.5)
+    # Jaccard = 8/38 ~ 0.21: below any near-dup threshold
+    assert jac.count() == 0
