@@ -152,6 +152,7 @@ HEADLINE = [
     "transcript_turn_loops",
     "dedup_containment",
     "dedup_source_matrix",
+    "kg_predicate_profile",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

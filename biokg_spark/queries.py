@@ -6016,3 +6016,40 @@ def dedup_source_matrix(spark, sf_dir):
     return j.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+@q(
+    "kg_predicate_profile",
+    f"""
+    WITH {_KG_LINKS_CTE}
+    SELECT pred, count(*) AS n_triples,
+           count(DISTINCT subj) AS n_subj,
+           count(DISTINCT obj) AS n_obj,
+           round(count(DISTINCT subj) * 1.0 / count(*), 4) AS functionality,
+           round(count(DISTINCT obj) * 1.0 / count(*), 4)
+             AS inv_functionality
+    FROM links GROUP BY pred
+    """,
+)
+def kg_predicate_profile(spark, sf_dir):
+    """Per-predicate cardinality profile: triple/subject/object counts
+    plus AMIE's functionality (#distinct subjects / #triples) and its
+    inverse — the scores that orient rule mining (kg_rule_confidence
+    uses standard confidence; functionality says which DIRECTION of a
+    predicate is near-functional and therefore which PCA denominator
+    is sound) and that pick 1:1 vs 1:N join strategies downstream.
+    ONE HashAggregate on pred (distinct-counts expand to two extra
+    partial aggregates under the hood — still map-side-combining);
+    integer-derived ratios → engine-exact at 4 dp."""
+    links = _kg_links(spark, sf_dir)
+    return links.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.count_distinct("subj").cast("long").alias("n_subj"),
+        F.count_distinct("obj").cast("long").alias("n_obj"),
+        F.round(
+            F.count_distinct("subj") * F.lit(1.0) / F.count(F.lit(1)), 4
+        ).alias("functionality"),
+        F.round(
+            F.count_distinct("obj") * F.lit(1.0) / F.count(F.lit(1)), 4
+        ).alias("inv_functionality"),
+    )
