@@ -153,6 +153,7 @@ HEADLINE = [
     "dedup_containment",
     "dedup_source_matrix",
     "kg_predicate_profile",
+    "events_top_paths",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

@@ -6053,3 +6053,73 @@ def kg_predicate_profile(spark, sf_dir):
             F.count_distinct("obj") * F.lit(1.0) / F.count(F.lit(1)), 4
         ).alias("inv_functionality"),
     )
+
+
+@q(
+    "events_top_paths",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ordered),
+    rk AS (
+      SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS step
+      FROM sess),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY step) AS path
+      FROM rk WHERE step <= 3 GROUP BY 1, 2)
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    """,
+)
+def events_top_paths(spark, sf_dir):
+    """Session-opening path analysis: sessionize (30-min idle gap),
+    take each session's first 3 event types in order, count every
+    distinct opening path — the "what do users do first" view product
+    analytics builds funnels FROM (the funnel query checks one
+    hypothesized order; this surfaces the orders that actually
+    happen). The session window, the step rank, and the path assembly
+    all share the user-keyed exchange; the path aggregate's ordered
+    collect buffers ≤3 strings per session (ObjectHashAggregate, not
+    the flagged string-min SortAggregate shape); the final count is
+    one HashAggregate on the path string."""
+    from biokg_spark.operators.temporal import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        key="user_id",
+        ts_col="ts",
+        gap_seconds=1800,
+        order_cols=["event_id"],
+    )
+    w = Window.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
+    rk = sess.select(
+        "user_id",
+        "session_idx",
+        "event_type",
+        F.row_number().over(w).alias("step"),
+    ).where(F.col("step") <= 3)
+    paths = rk.groupBy("user_id", "session_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("step", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
