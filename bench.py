@@ -154,6 +154,7 @@ HEADLINE = [
     "dedup_source_matrix",
     "kg_predicate_profile",
     "events_top_paths",
+    "kg_ktruss",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

@@ -6123,3 +6123,30 @@ def events_top_paths(spark, sf_dir):
         ).alias("path")
     )
     return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+def _ktruss_sql():
+    from biokg_spark.operators.ktruss import ktruss_oracle_ctes
+
+    return ktruss_oracle_ctes(_KG_LINKS_CTE, k=4, peels=6)
+
+
+@q("kg_ktruss", _ktruss_sql())
+def kg_ktruss(spark, sf_dir):
+    """4-truss of the KG (operators/ktruss.py): maximal subgraph where
+    every EDGE sits in ≥ 2 triangles — the edge-level tightening of
+    the k-core (two hub entities co-occurring once survive any
+    reasonable core; they never survive a truss), isolating the
+    mutually-corroborated clusters a KG audit wants. Unique fixpoint
+    → engine-reproducible; the DuckDB twin unrolls the peels as
+    MATERIALIZED CTEs with kcore's convergence guard. Per round: the
+    degree-ordered triangle enumeration (triangles.py's measured
+    orientation), one support HashAggregate, one keep join,
+    localCheckpoint lineage discipline."""
+    from biokg_spark.operators.ktruss import ktruss
+
+    links = _kg_links(spark, sf_dir)
+    return ktruss(
+        links.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        k=4,
+    )

@@ -103,3 +103,56 @@ def test_oracle_convergence_guard(spark):
     ) + ")"
     got = dict(con.execute(kcore_oracle_ctes(links_cte2, k=2, peels=8)).fetchall())
     assert got == {"x": 2, "y": 2, "z": 2}
+
+
+# --- k-truss ----------------------------------------------------------------
+
+CLIQUE4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+           ("c", "d")]
+TRI_DEF = [("d", "e"), ("d", "f"), ("e", "f")]
+
+
+def test_ktruss_peels_to_the_clique(spark):
+    from biokg_spark.operators.ktruss import ktruss
+
+    edges = spark.createDataFrame(
+        CLIQUE4 + TRI_DEF + [("f", "g")], "src string, dst string"
+    )
+    # 3-truss: every edge in >=1 triangle -> clique + the def triangle;
+    # the pendant f-g drops
+    t3 = {(r.a, r.b): r.support for r in ktruss(edges, 3).collect()}
+    assert set(t3) == set(CLIQUE4 + TRI_DEF)
+    assert t3[("e", "f")] == 1 and t3[("a", "b")] == 2
+    # 4-truss: support >= 2 -> only the 4-clique survives
+    t4 = {(r.a, r.b): r.support for r in ktruss(edges, 4).collect()}
+    assert set(t4) == set(CLIQUE4)
+    assert all(s == 2 for s in t4.values())
+    # 5-truss: nothing (a 5-truss needs every edge in 3 triangles)
+    assert ktruss(edges, 5).count() == 0
+
+
+def test_ktruss_cascading_peel(spark):
+    from biokg_spark.operators.ktruss import ktruss
+
+    # triangle chain: each triangle shares one edge with the next;
+    # every edge is in >=1 triangle initially, but a 4-truss peels the
+    # whole chain away round by round (no edge ever reaches support 2
+    # once its neighbor triangle dies)
+    chain = [("a", "b"), ("a", "c"), ("b", "c"),
+             ("b", "d"), ("c", "d"),
+             ("c", "e"), ("d", "e")]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    assert ktruss(edges, 4).count() == 0
+    t3 = {(r.a, r.b) for r in ktruss(edges, 3).collect()}
+    assert t3 == set(chain)
+
+
+def test_ktruss_direction_and_dup_insensitive(spark):
+    from biokg_spark.operators.ktruss import ktruss
+
+    edges = spark.createDataFrame(
+        CLIQUE4 + [(b, a) for a, b in CLIQUE4] + CLIQUE4[:2],
+        "src string, dst string",
+    )
+    t4 = {(r.a, r.b) for r in ktruss(edges, 4).collect()}
+    assert t4 == set(CLIQUE4)
