@@ -155,6 +155,8 @@ HEADLINE = [
     "kg_predicate_profile",
     "events_top_paths",
     "kg_ktruss",
+    "corpus_rater_agreement",
+    "corpus_simpson_diversity",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

@@ -6150,3 +6150,147 @@ def kg_ktruss(spark, sf_dir):
         links.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
         k=4,
     )
+
+
+@q(
+    "corpus_rater_agreement",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS ts
+      FROM documents),
+    m AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len(ts) END AS n_tokens,
+             len(list_filter(ts, w -> w IN {{stop}})) AS n_stop
+      FROM t),
+    r AS (
+      SELECT round(0.4 * (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+            + 0.3 * least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 5, 1.0)
+            + 0.3 * (CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                     / greatest(len(text), 1)), 4) >= 0.7 AS ka,
+             (n_tokens > 0 AND CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)
+              >= 0.10) AS kb
+      FROM m),
+    c AS (
+      SELECT count(*) AS n,
+             count(*) FILTER (WHERE ka AND kb) AS n11,
+             count(*) FILTER (WHERE ka AND NOT kb) AS n10,
+             count(*) FILTER (WHERE NOT ka AND kb) AS n01,
+             count(*) FILTER (WHERE NOT ka AND NOT kb) AS n00
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+           CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+           CAST(n00 AS BIGINT) AS n00,
+           round((n11 + n00) * 1.0 / n, 4) AS po,
+           round(((n11 + n10) * 1.0 * (n11 + n01)
+                + (n01 + n00) * 1.0 * (n10 + n00)) / (n * 1.0 * n), 4) AS pe,
+           round(((n11 + n00) * 1.0 / n
+                 - ((n11 + n10) * 1.0 * (n11 + n01)
+                    + (n01 + n00) * 1.0 * (n10 + n00)) / (n * 1.0 * n))
+                / (1.0 - ((n11 + n10) * 1.0 * (n11 + n01)
+                    + (n01 + n00) * 1.0 * (n10 + n00)) / (n * 1.0 * n)), 4)
+             AS kappa
+    FROM c
+    """.replace("{stop}", "{_STOP_SQL}").format(_STOP_SQL=_STOP_SQL),
+)
+def corpus_rater_agreement(spark, sf_dir):
+    """Cohen's kappa between two keep/drop raters — the
+    chance-corrected agreement check run before trusting any single
+    quality gate (two gates that agree no better than chance are
+    measuring different things; blending them then needs calibration,
+    not a vote). Rater A: heuristic quality_score ≥ 0.7; rater B: the
+    stopword-ratio language gate. The 2×2 confusion cells are integer
+    counts (ONE map-side-partial aggregate over per-row fixed-shape
+    float comparisons — deterministic, no aggregate float sums), and
+    po/pe/kappa are fixed scalar expressions — engine-exact at 4
+    dp."""
+    from biokg_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    n_tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*sorted(STOPWORDS))))
+    ka = quality_score("text") >= 0.7
+    kb = (n_tokens > 0) & (
+        n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)) >= 0.10
+    )
+    r = docs.select(ka.alias("ka"), kb.alias("kb"))
+    c = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("ka") & F.col("kb"), 1)).alias("n11"),
+        F.count(F.when(F.col("ka") & ~F.col("kb"), 1)).alias("n10"),
+        F.count(F.when(~F.col("ka") & F.col("kb"), 1)).alias("n01"),
+        F.count(F.when(~F.col("ka") & ~F.col("kb"), 1)).alias("n00"),
+    )
+    n = F.col("n")
+    po = (F.col("n11") + F.col("n00")) * F.lit(1.0) / n
+    pe = (
+        (F.col("n11") + F.col("n10")) * F.lit(1.0) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00"))
+        * F.lit(1.0)
+        * (F.col("n10") + F.col("n00"))
+    ) / (n * F.lit(1.0) * n)
+    return c.select(
+        n.cast("long").alias("n"),
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        F.round(po, 4).alias("po"),
+        F.round(pe, 4).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 4).alias("kappa"),
+    )
+
+
+@q(
+    "corpus_simpson_diversity",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS w
+      FROM documents),
+    tc AS (SELECT source, w, count(*) AS n_i FROM tok GROUP BY 1, 2),
+    per AS (
+      SELECT source, CAST(sum(n_i) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(n_i * n_i) AS BIGINT) AS sq
+      FROM tc GROUP BY 1)
+    SELECT source, n_tokens, n_distinct,
+           round(sq * 1.0 / (n_tokens * 1.0 * n_tokens), 6) AS simpson,
+           round(1.0 - sq * 1.0 / (n_tokens * 1.0 * n_tokens), 6)
+             AS gini_simpson
+    FROM per
+    """,
+)
+def corpus_simpson_diversity(spark, sf_dir):
+    """Lexical diversity per source: Simpson concentration Σp_i² and
+    its Gini-Simpson complement over the token distribution — the
+    templated-source detector (a source whose probability mass sits
+    on few tokens is boilerplate/spam; entropy needs ln, Simpson is
+    PURE integer arithmetic). Σn_i and Σn_i² are integer aggregates —
+    order-free — and the index is one fixed division, engine-exact at
+    6 dp. TWO map-side-partial HashAggregates (token counts → per-
+    source sums). At 10^12 tokens Σn_i² wants a 128-bit or double
+    accumulator — the documented long-overflow bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("w"),
+    )
+    tc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n_i"))
+    per = tc.groupBy("source").agg(
+        F.sum("n_i").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("n_i") * F.col("n_i")).cast("long").alias("sq"),
+    )
+    simpson = F.col("sq") * F.lit(1.0) / (
+        F.col("n_tokens") * F.lit(1.0) * F.col("n_tokens")
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_distinct",
+        F.round(simpson, 6).alias("simpson"),
+        F.round(F.lit(1.0) - simpson, 6).alias("gini_simpson"),
+    )
