@@ -157,6 +157,7 @@ HEADLINE = [
     "kg_ktruss",
     "corpus_rater_agreement",
     "corpus_simpson_diversity",
+    "kg_distmult_embeddings",
 ]
 
 # Synthetic-transcript sizing per scale factor for the flagship pipeline

@@ -464,3 +464,235 @@ def transe_eval_oracle(links_cte: str, dim: int = 4, epochs: int = 2) -> str:
            round(sum(1.0 / rank) / count(*), 4) AS mrr
     FROM rk
     """
+
+
+def _quantize(v, den: int = INIT_DEN):
+    """Floor-quantize to the 1/den grid — floor is toward −inf in both
+    engines, so the result is deterministic AND keeps every embedding a
+    dyadic rational with denominator 2^8 forever (see distmult_train)."""
+    return F.floor(v * F.lit(float(den))) / F.lit(float(den))
+
+
+def distmult_train(
+    triples: DataFrame,
+    dim: int = 4,
+    epochs: int = 2,
+    margin: float = 1.0,
+) -> DataFrame:
+    """DistMult KG embeddings (Yang et al. 2015): score(s,p,o) =
+    Σ_j h_j·r_j·t_j — the multiplicative bilinear-diagonal family next
+    to TransE's additive one; same margin-ranking loss, corrupted-tail
+    negatives, full-batch subgradient epochs, long-form output
+    (kind, id, j, val).
+
+    Exactness needs one more trick than TransE: DistMult gradients are
+    PRODUCTS of embedding values, so exact dyadic denominators would
+    square every epoch (2^8 → 2^16 → 2^32 …) and fall off the 52-bit
+    float cliff. The fix is QUANTIZED SGD: after each update the
+    embedding is floor-quantized back to the 1/2^8 grid, so products
+    stay at denominator 2^16, gradient sums stay exactly representable
+    (order-free) at any epoch count and corpus size, and the DuckDB
+    twin reproduces training bit-for-bit. Same scale shape as
+    :func:`transe_train` (four (id, dim)-keyed joins, one margin
+    aggregate, one gradient HashAggregate, localCheckpoint per epoch).
+    """
+    dims = F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("j")
+    ents = (
+        triples.select(F.col("subj").alias("id"))
+        .union(triples.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    vocab = ents.select(
+        "id", (F.row_number().over(Window.orderBy("id")) - 1).alias("idx")
+    )
+    n_ents = vocab.agg(F.count(F.lit(1)).alias("n"))
+    trip = (
+        triples.select("subj", "pred", "obj")
+        .distinct()
+        .crossJoin(n_ents)
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.pmod(
+                _hash60(F.concat_ws("|", F.lit("N"), "subj", "pred", "obj")),
+                F.col("n"),
+            ).alias("_nidx"),
+        )
+        .join(vocab, F.col("_nidx") == F.col("idx"))
+        .select("subj", "pred", "obj", F.col("id").alias("neg"))
+        .localCheckpoint()
+    )
+    e_emb = ents.select("id", dims).select(
+        "id", "j", _init_val("E", F.col("id"), F.col("j")).alias("val")
+    )
+    r_emb = (
+        triples.select(F.col("pred").alias("id"))
+        .distinct()
+        .select("id", dims)
+        .select("id", "j", _init_val("R", F.col("id"), F.col("j")).alias("val"))
+    )
+    clip = lambda v: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), v))  # noqa: E731
+    for _ in range(epochs):
+        td = trip.select("subj", "pred", "obj", "neg", dims)
+        pd = (
+            td.join(
+                e_emb.select(F.col("id").alias("subj"), "j", F.col("val").alias("_h")),
+                ["subj", "j"],
+            )
+            .join(
+                r_emb.select(F.col("id").alias("pred"), "j", F.col("val").alias("_r")),
+                ["pred", "j"],
+            )
+            .join(
+                e_emb.select(F.col("id").alias("obj"), "j", F.col("val").alias("_t")),
+                ["obj", "j"],
+            )
+            .join(
+                e_emb.select(F.col("id").alias("neg"), "j", F.col("val").alias("_tn")),
+                ["neg", "j"],
+            )
+        )
+        act = (
+            pd.groupBy("subj", "pred", "obj", "neg")
+            .agg(
+                F.sum(F.col("_h") * F.col("_r") * F.col("_t")).alias("_sp"),
+                F.sum(F.col("_h") * F.col("_r") * F.col("_tn")).alias("_sn"),
+            )
+            .where(F.lit(margin) - F.col("_sp") + F.col("_sn") > 0)
+            .select("subj", "pred", "obj", "neg")
+        )
+        ct = pd.join(act, ["subj", "pred", "obj", "neg"], "left_semi")
+        ge = (
+            ct.select(
+                F.col("subj").alias("id"),
+                "j",
+                (F.col("_r") * F.col("_t") - F.col("_r") * F.col("_tn")).alias("c"),
+            )
+            .union(
+                ct.select(
+                    F.col("obj").alias("id"), "j", (F.col("_h") * F.col("_r")).alias("c")
+                )
+            )
+            .union(
+                ct.select(
+                    F.col("neg").alias("id"),
+                    "j",
+                    (-(F.col("_h") * F.col("_r"))).alias("c"),
+                )
+            )
+            .groupBy("id", "j")
+            .agg(F.sum("c").alias("g"))
+        )
+        gr = (
+            ct.select(
+                F.col("pred").alias("id"),
+                "j",
+                (F.col("_h") * F.col("_t") - F.col("_h") * F.col("_tn")).alias("c"),
+            )
+            .groupBy("id", "j")
+            .agg(F.sum("c").alias("g"))
+        )
+        upd = lambda emb, g: (  # noqa: E731
+            emb.join(g, ["id", "j"], "left")
+            .select(
+                "id",
+                "j",
+                _quantize(
+                    clip(
+                        F.col("val")
+                        + F.coalesce("g", F.lit(0.0)) / F.lit(float(LR_DEN))
+                    )
+                ).alias("val"),
+            )
+            .localCheckpoint()
+        )
+        e_emb = upd(e_emb, ge)
+        r_emb = upd(r_emb, gr)
+    return e_emb.select(F.lit("E").alias("kind"), "id", "j", "val").union(
+        r_emb.select(F.lit("R").alias("kind"), "id", "j", "val")
+    )
+
+
+def distmult_oracle_ctes(
+    links_cte: str, dim: int = 4, epochs: int = 2
+) -> str:
+    """DuckDB twin of :func:`distmult_train` — unrolled MATERIALIZED
+    epochs with the identical product gradients and floor
+    quantization. Bit-exact, no rounding in the SELECT."""
+
+    def h60(expr: str) -> str:
+        return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+    def init(kind: str, idc: str) -> str:
+        key = f"'{kind}|' || {idc} || '|' || CAST(j AS VARCHAR)"
+        return (
+            f"(({h60(key)} % {INIT_DEN + 1}) - {INIT_DEN // 2})"
+            f" / {float(INIT_DEN)!r}"
+        )
+
+    qz = (
+        lambda expr: f"floor(({expr}) * {float(INIT_DEN)!r}) / {float(INIT_DEN)!r}"
+    )
+    steps = []
+    pe, pr = "de0", "dr0"
+    for t in range(1, epochs + 1):
+        steps.append(
+            f"""dpd{t} AS MATERIALIZED (
+      SELECT tr.subj, tr.pred, tr.obj, tr.neg, d.j,
+             h.val AS hv, r.val AS rv, tt.val AS tv, tn.val AS nv
+      FROM dtrip tr CROSS JOIN dims d
+      JOIN {pe} h ON h.id = tr.subj AND h.j = d.j
+      JOIN {pr} r ON r.id = tr.pred AND r.j = d.j
+      JOIN {pe} tt ON tt.id = tr.obj AND tt.j = d.j
+      JOIN {pe} tn ON tn.id = tr.neg AND tn.j = d.j),
+    dct{t} AS MATERIALIZED (
+      SELECT p.* FROM dpd{t} p SEMI JOIN (
+        SELECT subj, pred, obj, neg FROM dpd{t}
+        GROUP BY 1, 2, 3, 4
+        HAVING 1.0 - sum(hv * rv * tv) + sum(hv * rv * nv) > 0) a
+      ON p.subj = a.subj AND p.pred = a.pred
+         AND p.obj = a.obj AND p.neg = a.neg),
+    dge{t} AS MATERIALIZED (
+      SELECT id, j, sum(c) AS g FROM (
+        SELECT subj AS id, j, rv * tv - rv * nv AS c FROM dct{t}
+        UNION ALL SELECT obj AS id, j, hv * rv AS c FROM dct{t}
+        UNION ALL SELECT neg AS id, j, -(hv * rv) AS c FROM dct{t}) u
+      GROUP BY 1, 2),
+    dgr{t} AS MATERIALIZED (
+      SELECT pred AS id, j, sum(hv * tv - hv * nv) AS g FROM dct{t}
+      GROUP BY 1, 2),
+    de{t} AS MATERIALIZED (
+      SELECT e.id, e.j,
+             {qz(f"greatest(-1.0, least(1.0, e.val + coalesce(g, 0.0) / {float(LR_DEN)!r}))")} AS val
+      FROM {pe} e LEFT JOIN dge{t} ON e.id = dge{t}.id AND e.j = dge{t}.j),
+    dr{t} AS MATERIALIZED (
+      SELECT r.id, r.j,
+             {qz(f"greatest(-1.0, least(1.0, r.val + coalesce(g, 0.0) / {float(LR_DEN)!r}))")} AS val
+      FROM {pr} r LEFT JOIN dgr{t} ON r.id = dgr{t}.id AND r.j = dgr{t}.j)"""
+        )
+        pe, pr = f"de{t}", f"dr{t}"
+    return f"""
+    WITH {links_cte},
+    dents AS MATERIALIZED (SELECT DISTINCT id FROM (
+      SELECT subj AS id FROM links UNION SELECT obj FROM links) u),
+    dvocab AS MATERIALIZED (
+      SELECT id, row_number() OVER (ORDER BY id) - 1 AS idx FROM dents),
+    dnent AS MATERIALIZED (SELECT count(*) AS n FROM dents),
+    dims AS (SELECT unnest(range(0, {dim})) AS j),
+    dtripidx AS MATERIALIZED (
+      SELECT subj, pred, obj,
+             {h60("'N|' || subj || '|' || pred || '|' || obj")}
+               % (SELECT n FROM dnent) AS nidx
+      FROM (SELECT DISTINCT subj, pred, obj FROM links) l),
+    dtrip AS MATERIALIZED (SELECT subj, pred, obj, v.id AS neg
+             FROM dtripidx v2 JOIN dvocab v ON v.idx = v2.nidx),
+    de0 AS MATERIALIZED (SELECT id, j, {init('E', 'id')} AS val
+           FROM dents CROSS JOIN dims),
+    dr0 AS MATERIALIZED (SELECT id, j, {init('R', 'id')} AS val
+           FROM (SELECT DISTINCT pred AS id FROM links) p CROSS JOIN dims),
+    {','.join(steps)}
+    SELECT kind, id, CAST(j AS INTEGER) AS j, val FROM (
+      SELECT 'E' AS kind, id, j, val FROM de{epochs}
+      UNION ALL SELECT 'R' AS kind, id, j, val FROM dr{epochs}) z
+    """

@@ -6294,3 +6294,27 @@ def corpus_simpson_diversity(spark, sf_dir):
         F.round(simpson, 6).alias("simpson"),
         F.round(F.lit(1.0) - simpson, 6).alias("gini_simpson"),
     )
+
+
+def _distmult_sql():
+    from biokg_spark.operators.kgembed import distmult_oracle_ctes
+
+    return distmult_oracle_ctes(_KG_LINKS_CTE, dim=4, epochs=2)
+
+
+@q("kg_distmult_embeddings", _distmult_sql())
+def kg_distmult_embeddings(spark, sf_dir):
+    """DistMult KG embeddings trained IN THE ENGINE
+    (operators/kgembed.py::distmult_train) — the multiplicative
+    bilinear-diagonal family next to kg_transe_embeddings' additive
+    one, so the engine trains a FAMILY of KG-embedding models, not
+    one. Exactness needs quantized SGD: product gradients would
+    square the dyadic denominators every epoch, so each update
+    floor-quantizes back to the 1/2^8 grid — gradient sums stay
+    exactly representable and order-free at any epoch count, and the
+    unrolled-epoch DuckDB twin matches BIT-FOR-BIT with no
+    rounding."""
+    from biokg_spark.operators.kgembed import distmult_train
+
+    links = _kg_links(spark, sf_dir)
+    return distmult_train(links, dim=4, epochs=2)

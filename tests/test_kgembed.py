@@ -157,3 +157,67 @@ def test_transe_eval_filtered_setting_excludes_train_candidates(spark):
     )
     row = transe_eval(emb, train, test, dim=1).collect()[0]
     assert (row["n_test"], row["hits_at_1"]) == (1, 1)
+
+
+def _python_distmult(triples, dim=4, epochs=2, margin=1.0):
+    import math
+
+    ents = sorted({t[0] for t in triples} | {t[2] for t in triples})
+    preds = sorted({t[1] for t in triples})
+    e = {
+        (x, j): (_h60(f"E|{x}|{j}") % (INIT_DEN + 1) - INIT_DEN // 2) / INIT_DEN
+        for x in ents
+        for j in range(dim)
+    }
+    r = {
+        (p, j): (_h60(f"R|{p}|{j}") % (INIT_DEN + 1) - INIT_DEN // 2) / INIT_DEN
+        for p in preds
+        for j in range(dim)
+    }
+    trip = [
+        (s, p, o, ents[_h60(f"N|{s}|{p}|{o}") % len(ents)]) for s, p, o in triples
+    ]
+    clip = lambda x: max(-1.0, min(1.0, x))  # noqa: E731
+    qz = lambda x: math.floor(x * INIT_DEN) / INIT_DEN  # noqa: E731
+    for _ in range(epochs):
+        ge: dict = {}
+        gr: dict = {}
+        for s, p, o, n in trip:
+            sp = sum(e[s, j] * r[p, j] * e[o, j] for j in range(dim))
+            sn = sum(e[s, j] * r[p, j] * e[n, j] for j in range(dim))
+            if margin - sp + sn <= 0:
+                continue
+            for j in range(dim):
+                hv, rv, tv, nv = e[s, j], r[p, j], e[o, j], e[n, j]
+                ge[s, j] = ge.get((s, j), 0.0) + (rv * tv - rv * nv)
+                ge[o, j] = ge.get((o, j), 0.0) + hv * rv
+                ge[n, j] = ge.get((n, j), 0.0) - hv * rv
+                gr[p, j] = gr.get((p, j), 0.0) + (hv * tv - hv * nv)
+        e = {k: qz(clip(v + ge.get(k, 0.0) / LR_DEN)) for k, v in e.items()}
+        r = {k: qz(clip(v + gr.get(k, 0.0) / LR_DEN)) for k, v in r.items()}
+    return e, r
+
+
+def test_distmult_matches_python_twin_exactly(spark):
+    from biokg_spark.operators.kgembed import distmult_train
+
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    out = distmult_train(df, dim=4, epochs=2).collect()
+    got_e = {(r["id"], r["j"]): r["val"] for r in out if r["kind"] == "E"}
+    got_r = {(r["id"], r["j"]): r["val"] for r in out if r["kind"] == "R"}
+    exp_e, exp_r = _python_distmult(TRIPLES)
+    assert got_e == exp_e  # bit-exact: quantized-SGD grid arithmetic
+    assert got_r == exp_r
+    # quantization invariant: every value sits on the 1/256 grid
+    assert all(v * 256 == int(v * 256) for v in got_e.values())
+
+
+def test_distmult_deterministic_across_partitioning(spark):
+    from biokg_spark.operators.kgembed import distmult_train
+
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    a = sorted(map(tuple, distmult_train(df, dim=4, epochs=1).collect()))
+    b = sorted(
+        map(tuple, distmult_train(df.repartition(5), dim=4, epochs=1).collect())
+    )
+    assert a == b
