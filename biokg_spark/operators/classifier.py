@@ -120,7 +120,10 @@ def train_quality_classifier(
     y = docs.select(F.col(id_col), label.cast("double").alias("y"))
     xy = x.join(y, id_col).localCheckpoint()
     n_docs = docs.count()
-    w = spark.range(-1, buckets).select(
+    # numPartitions=1: the weight vector is a (buckets+1)-row dim; the
+    # default defaultParallelism slices made every GD-step checkpoint a
+    # 32-task stage over ~8 rows each.
+    w = spark.range(-1, buckets, 1, 1).select(
         F.col("id").alias("bucket"), F.lit(0.0).alias("w")
     )
     for _ in range(iters):

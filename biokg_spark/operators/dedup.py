@@ -191,6 +191,14 @@ def minhash_lsh_candidates(
     bucketed = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_key")
+    # Materialize the (doc x bands) bucket table ONCE: the plan below
+    # references it up to three times (hot-bucket count, both sides of
+    # the candidate self-join), and Catalyst does no cross-branch CSE —
+    # without this the shingle explode + k-hash signature aggregate (the
+    # query's dominant cost) executed once PER REFERENCE (measured 3x at
+    # sf0.1). The checkpointed frame is |docs|·bands small rows; the
+    # expensive signature stage above it runs exactly once per call.
+    bucketed = bucketed.localCheckpoint(eager=True)
     if max_bucket_size is not None:
         ok = (
             bucketed.groupBy("band_idx", "band_key")
@@ -238,7 +246,13 @@ def ngram_jaccard_pairs(
     jaccard is then computed over the surviving shingle sets (sizes and
     intersections consistently exclude the dropped shingles).
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, width)).alias("sh"))
+    # the exploded (id, shingle) frame is referenced by the df-guard, the
+    # per-doc sizes, and BOTH sides of the inverted-index self-join;
+    # materialize it once (no cross-branch CSE) so the tokenize+shingle
+    # explode runs one time instead of up to four.
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, width)).alias("sh")
+    ).localCheckpoint(eager=True)
     if max_doc_freq is not None:
         ok = (
             sh.groupBy("sh")
@@ -294,7 +308,13 @@ def ngram_containment_pairs(
     self-join); only the final metric differs, and both directions
     come from the SAME intersection aggregate — no second join.
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, width)).alias("sh"))
+    # the exploded (id, shingle) frame is referenced by the df-guard, the
+    # per-doc sizes, and BOTH sides of the inverted-index self-join;
+    # materialize it once (no cross-branch CSE) so the tokenize+shingle
+    # explode runs one time instead of up to four.
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, width)).alias("sh")
+    ).localCheckpoint(eager=True)
     if max_doc_freq is not None:
         ok = (
             sh.groupBy("sh")
@@ -398,11 +418,13 @@ def embedding_near_dup_pairs(
     """
     from biokg_spark.operators.similarity import cosine_similarity, sign_bucket
 
+    # b is referenced by the hot-bucket guard and both join sides;
+    # materialize once so the bucket computation + scan runs one time.
     b = df.select(
         F.col(id_col),
         F.col(vec_col),
         sign_bucket(F.col(vec_col), sign_bits).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
     if max_bucket_size is not None:
         ok = (
             b.groupBy("bucket")
@@ -517,7 +539,11 @@ def chunk_dup_stats(
         )
 
     chunks = F.element_at(F.transform(F.array(toks_expr), build), 1)
-    exploded = df.select(F.col(id_col), F.explode(chunks).alias("chunk_hash"))
+    # exploded feeds both the corpus-wide count and the join back;
+    # materialize once so the chunk explode + md5 runs one time.
+    exploded = df.select(
+        F.col(id_col), F.explode(chunks).alias("chunk_hash")
+    ).localCheckpoint(eager=True)
     counts = exploded.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("occ"))
     return (
         exploded.join(counts, "chunk_hash")
@@ -643,6 +669,10 @@ def slice_overlap(
     long_form = sigs.select("slice", F.explode(seeded).alias("x")).select(
         "slice", F.col("x.seed").alias("seed"), F.col("x.mh").alias("mh")
     )
+    # both sides of the pairwise seed-join read this (#slices x k)-row
+    # frame; materialize it once so the corpus-wide shingle explode +
+    # signature aggregate above does not run twice (no cross-branch CSE).
+    long_form = long_form.localCheckpoint(eager=True)
     a = long_form.select(
         F.col("slice").alias("slice_a"), "seed", F.col("mh").alias("mh_a")
     )
@@ -947,6 +977,10 @@ def blocking_metrics(
     reduces map-side: two counts, one broadcast-able semi-join for the
     intersection, one scalar n from the corpus.
     """
+    # each frame feeds two of the counts below; materialize once so the
+    # candidate generator / truth join runs once, not per count.
+    candidates = candidates.localCheckpoint(eager=True)
+    truth_pairs = truth_pairs.localCheckpoint(eager=True)
     n = df.select(F.col(id_col)).distinct().count()
     total_pairs = n * (n - 1) // 2
     n_cand = candidates.count()

@@ -106,14 +106,19 @@ def transe_train(
         .localCheckpoint()
     )
 
+    # init embeddings materialized once: epoch 1's plan references e_emb
+    # FOUR times (subj/obj/neg lookups + the update join) and r_emb twice;
+    # un-checkpointed, each reference re-derived ents (and its whole
+    # upstream lineage) inside the first epoch's checkpoint job.
     e_emb = ents.select("id", dims).select(
         "id", "j", _init_val("E", F.col("id"), F.col("j")).alias("val")
-    )
+    ).localCheckpoint(eager=True)
     r_emb = (
         triples.select(F.col("pred").alias("id"))
         .distinct()
         .select("id", dims)
         .select("id", "j", _init_val("R", F.col("id"), F.col("j")).alias("val"))
+        .localCheckpoint(eager=True)
     )
 
     for _ in range(epochs):
@@ -152,6 +157,10 @@ def transe_train(
                 (F.col("_h") + F.col("_r") - F.col("_t")).alias("pdiff"),
                 (F.col("_h") + F.col("_r") - F.col("_tn")).alias("ndiff"),
             )
+            # pd (triple x dim with both score differences) feeds the margin
+            # aggregate AND the subgradient projection; materialize once per
+            # epoch so the four embedding joins above run once, not twice.
+            .localCheckpoint(eager=True)
         )
         act = (
             pd.groupBy("subj", "pred", "obj", "neg")
@@ -170,7 +179,10 @@ def transe_train(
             "j",
             F.signum("pdiff").cast("int").alias("sp"),
             F.signum("ndiff").cast("int").alias("sn"),
-        )
+        ).localCheckpoint(eager=True)
+        # ct is referenced four times (three gradient-union legs + the
+        # relation gradient); checkpointed so the margin semi-join runs
+        # once per epoch instead of once per leg.
         ge = (
             ct.select(F.col("subj").alias("id"), "j", (-(F.col("sp") - F.col("sn"))).alias("c"))
             .union(ct.select(F.col("obj").alias("id"), "j", F.col("sp").alias("c")))
@@ -273,6 +285,11 @@ def transe_eval(
         .groupBy("subj", "pred", "obj", "c")
         .agg(F.sum(F.abs(F.col("_h") + F.col("_r") - F.col("_c"))).alias("d"))
     )
+    # cd (the |test|x|E| candidate-distance frame — the eval's documented
+    # dominant cost) is referenced twice below (true-tail slice + rank
+    # join); materialize it once instead of computing the candidate
+    # cross + three embedding joins twice.
+    cd = cd.localCheckpoint(eager=True)
     td = cd.where(F.col("c") == F.col("obj")).select(
         "subj", "pred", "obj", F.col("d").alias("dtrue")
     )
@@ -523,14 +540,18 @@ def distmult_train(
         .select("subj", "pred", "obj", F.col("id").alias("neg"))
         .localCheckpoint()
     )
+    # init materialized once — same rationale as transe_train: epoch 1
+    # references e_emb four times and r_emb twice, and Catalyst does no
+    # cross-branch CSE.
     e_emb = ents.select("id", dims).select(
         "id", "j", _init_val("E", F.col("id"), F.col("j")).alias("val")
-    )
+    ).localCheckpoint(eager=True)
     r_emb = (
         triples.select(F.col("pred").alias("id"))
         .distinct()
         .select("id", dims)
         .select("id", "j", _init_val("R", F.col("id"), F.col("j")).alias("val"))
+        .localCheckpoint(eager=True)
     )
     clip = lambda v: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), v))  # noqa: E731
     for _ in range(epochs):
@@ -552,6 +573,10 @@ def distmult_train(
                 e_emb.select(F.col("id").alias("neg"), "j", F.col("val").alias("_tn")),
                 ["neg", "j"],
             )
+            # pd feeds the margin aggregate and the gradient projection;
+            # ct feeds four gradient legs — materialized once per epoch
+            # (same rationale as transe_train).
+            .localCheckpoint(eager=True)
         )
         act = (
             pd.groupBy("subj", "pred", "obj", "neg")
@@ -562,7 +587,9 @@ def distmult_train(
             .where(F.lit(margin) - F.col("_sp") + F.col("_sn") > 0)
             .select("subj", "pred", "obj", "neg")
         )
-        ct = pd.join(act, ["subj", "pred", "obj", "neg"], "left_semi")
+        ct = pd.join(act, ["subj", "pred", "obj", "neg"], "left_semi").localCheckpoint(
+            eager=True
+        )
         ge = (
             ct.select(
                 F.col("subj").alias("id"),

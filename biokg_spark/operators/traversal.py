@@ -79,7 +79,10 @@ def bfs_distances(
         )
         if nxt.isEmpty():
             break
-        dist = dist.union(nxt).localCheckpoint()
+        # plain union of already-checkpointed legs: re-checkpointing the
+        # union copied the whole state every round (one extra job + one
+        # extra materialization per hop) for no lineage benefit.
+        dist = dist.union(nxt)
         frontier = nxt.select("id")
     return dist
 
@@ -151,7 +154,8 @@ def bfs_distances_per_seed(
         )
         if nxt.isEmpty():
             break
-        dist = dist.union(nxt).localCheckpoint()
+        # plain union of checkpointed legs (see bfs_distances)
+        dist = dist.union(nxt)
         frontier = nxt.select("seed", "id")
     return dist
 
@@ -281,7 +285,8 @@ def betweenness_sampled(
         )
         if nxt.isEmpty():
             break
-        state = state.union(nxt).localCheckpoint()
+        # plain union of checkpointed legs (see bfs_distances)
+        state = state.union(nxt)
         frontier = nxt.select("seed", "id", "sigma")
     # shortest-path DAG slice: edge (v, w) is on a shortest path for
     # `seed` iff dist_w = dist_v + 1 (both reached)

@@ -108,8 +108,22 @@ def random_walks(
     DuckDB oracle (``walk_oracle_ctes``) mirrors the DEFAULT form.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
-    ranked = _dense_neighbor_ranks(e, salt_partitions)
-    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    # ranked/deg are referenced once per step; materialize them so the
+    # neighbor-rank window and degree aggregate run once, not ``length``
+    # times (no cross-branch CSE in Catalyst). The toDF re-alias gives
+    # each frame fresh attribute ids: both inherit e's ``_s`` otherwise,
+    # and joining them into the same step plan is then ambiguous.
+    ranked = (
+        _dense_neighbor_ranks(e, salt_partitions)
+        .localCheckpoint(eager=True)
+        .toDF("_s", "_d", "_r")
+    )
+    deg = (
+        e.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .localCheckpoint(eager=True)
+        .toDF("_s", "_deg")
+    )
 
     frontier = (
         e.select(F.col("_s").alias("start"))
@@ -140,6 +154,11 @@ def random_walks(
                 (F.col("node") == ranked["_s"]) & (F.col("_pick") == ranked["_r"]),
             )
             .select("start", "walk_ix", F.col("_d").alias("node"))
+            # step t's frontier is referenced by every later step AND by
+            # the output union; without the checkpoint the join chain
+            # re-evaluates from step 0 once per union branch — O(length²)
+            # joins for O(length) useful work.
+            .localCheckpoint(eager=True)
         )
         out = out.unionByName(
             frontier.withColumn("step", F.lit(t)).select(
@@ -312,6 +331,10 @@ def node2vec_walks(
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
     if cap_k is not None:
         e = sample_neighbors(e, cap_k, src="_s", dst="_d").select("_s", "_d")
+    # e is referenced twice per step (candidate fan-out + adjacency
+    # probe) plus by ranked/deg; materialize the distinct edge set once
+    # so its shuffle does not re-run per reference (no cross-branch CSE).
+    e = e.localCheckpoint(eager=True)
     ranked = _dense_neighbor_ranks(e, None)
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
 
@@ -347,6 +370,9 @@ def node2vec_walks(
             "start", "walk_ix",
             F.col("node").alias("prev"), F.col("_d").alias("node"),
         )
+        # per-step frontier checkpoint: see random_walks — the union of
+        # steps otherwise re-evaluates the whole chain per branch.
+        .localCheckpoint(eager=True)
     )
     out = out.unionByName(
         frontier.withColumn("step", F.lit(1)).select(
@@ -401,7 +427,7 @@ def node2vec_walks(
         frontier = picked.select(
             "start", "walk_ix",
             F.col("node").alias("prev"), F.col("cand").alias("node"),
-        )
+        ).localCheckpoint(eager=True)
         out = out.unionByName(
             frontier.withColumn("step", F.lit(t)).select(
                 "start", "walk_ix", "step", "node"

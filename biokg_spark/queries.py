@@ -94,6 +94,10 @@ def doc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_lexicon_df(spark: SparkSession) -> DataFrame:
+    # NOTE: deliberately NOT coalesce(1): coalescing a parallelized local
+    # collection gives the single task locality preferences on all parent
+    # slices and the scheduler stalls spark.locality.wait (3 s) before
+    # running it — measured 0.29 s -> 3.27 s for the 11-row collect.
     return spark.createDataFrame(
         [(s, e, t, 0) for s, e, t in KG_LEXICON],
         "surface string, entity_id string, entity_type string, priority int",
@@ -101,7 +105,16 @@ def kg_lexicon_df(spark: SparkSession) -> DataFrame:
 
 
 def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched dictionary scan over the derived transcripts."""
+    """Arrow-batched dictionary scan over the derived transcripts.
+
+    Deliberately NOT checkpointed here: single-use consumers would pay
+    an extra eager job (~0.3 s fixed cost), and multi-reference plans
+    evaluate their duplicated scan subtrees as PARALLEL stages inside
+    one job, so the duplicated work is nearly free in wall-clock at
+    this fan-out (measured: kg_entity_tfidf with three references,
+    1.19 s un-checkpointed vs 1.30 s checkpointed). The place where a
+    single materialization DOES pay is ``_kg_links`` — its result is
+    referenced many times SEQUENTIALLY across iterative jobs."""
     return scan_mentions(
         doc_transcripts(spark, sf_dir), kg_lexicon_df(spark)
     )
@@ -112,6 +125,22 @@ def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+
+def _fanout(spark: SparkSession) -> int:
+    """Fan-out width for compute-heavy explodes over few-partition scans.
+
+    The documents table at bench scale is ONE small parquet file, so the
+    per-shingle hash evaluation of the MinHash family (k md5 calls per
+    exploded shingle, evaluated in the partial-aggregate stage) would run
+    at input parallelism = 1 regardless of cluster width. Repartitioning
+    the exploded rows to the cluster's parallelism first (guide §2.2:
+    scale-adaptive partitioning, not a constant) spreads the hash work;
+    the partial min still reduces each partition map-side. Results are
+    invariant to the fan-out (min/count aggregates are order-free).
+    """
+    return spark.sparkContext.defaultParallelism
 
 
 def q(name: str, sql: str | None):
@@ -784,7 +813,14 @@ def _kg_links(spark, sf_dir):
     ents = kg_mentions(spark, sf_dir).select(
         "conv_id", "turn_idx", F.col("entity_id").alias("eid"), "entity_type"
     )
-    return cooccurrence_links(ents, keys=["conv_id", "turn_idx"])
+    # Materialized once: every iterative consumer (pagerank, HITS, the
+    # embedding trainers, walks, traversal) references the edge list
+    # many times across its rounds; without the checkpoint each
+    # reference re-ran the groupBy+explode+distinct derivation (and,
+    # before kg_mentions checkpointed, the Arrow scan under it).
+    return cooccurrence_links(ents, keys=["conv_id", "turn_idx"]).localCheckpoint(
+        eager=True
+    )
 
 
 def _pagerank_sql():
@@ -1337,6 +1373,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_candidates(
         load_table(spark, sf_dir, "documents"), "text", "doc_id",
         num_hashes=8, bands=4, width=3, max_bucket_size=20,
+        shingle_partitions=_fanout(spark),
     )
 
 
@@ -1377,7 +1414,7 @@ def dedup_cluster_components(spark, sf_dir):
 
     pairs = minhash_lsh_candidates(
         load_table(spark, sf_dir, "documents"), "text", "doc_id",
-        num_hashes=8, bands=4, width=3,
+        num_hashes=8, bands=4, width=3, shingle_partitions=_fanout(spark),
     )
     return connected_components(pairs)
 
@@ -1398,7 +1435,8 @@ def dedup_cluster_components(spark, sf_dir):
 )
 def dedup_minhash_signature(spark, sf_dir):
     sigs = minhash_signatures(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=8
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=8,
+        shingle_partitions=_fanout(spark),
     )
     sig_str = F.array_join(
         F.transform("sig", lambda h: h.cast("string")), "|"
@@ -2091,7 +2129,10 @@ def corpus_slice_overlap(spark, sf_dir):
     from biokg_spark.operators.dedup import slice_overlap
 
     docs = load_table(spark, sf_dir, "documents")
-    return slice_overlap(docs, "source", "text", num_hashes=32, width=3)
+    return slice_overlap(
+        docs, "source", "text", num_hashes=32, width=3,
+        shingle_partitions=_fanout(spark),
+    )
 
 
 @q(
@@ -2192,7 +2233,8 @@ def corpus_leakage_safe_split(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(
-        docs, "text", "doc_id", num_hashes=8, bands=4, width=3
+        docs, "text", "doc_id", num_hashes=8, bands=4, width=3,
+        shingle_partitions=_fanout(spark),
     )
     comp = connected_components(pairs)
     return (
@@ -3076,10 +3118,12 @@ def kg_snapshot_diff(spark, sf_dir):
     from biokg_spark.operators.versioning import snapshot_diff
 
     conv_no = F.substring("conv_id", 5, 16).cast("int")
+    # kg_mentions is already materialized once (localCheckpoint there);
+    # this narrow projection over it is cheap per branch.
     ents = kg_mentions(spark, sf_dir).select(
         "conv_id", "turn_idx", F.col("entity_id").alias("eid"),
         "entity_type", conv_no.alias("conv_no"),
-    ).localCheckpoint()
+    )
     old = cooccurrence_links(
         ents.where(F.col("conv_no") < 20), keys=["conv_id", "turn_idx"]
     )
@@ -4593,7 +4637,8 @@ def dedup_blocking_metrics(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     cand = minhash_lsh_candidates(
-        docs, "text", "doc_id", num_hashes=8, bands=4, width=3, max_bucket_size=20
+        docs, "text", "doc_id", num_hashes=8, bands=4, width=3,
+        max_bucket_size=20, shingle_partitions=_fanout(spark),
     )
     fp = docs.select(F.col("doc_id"), doc_fingerprint("text").alias("f"))
     a, b = fp.alias("a"), fp.alias("b")
@@ -5625,7 +5670,8 @@ def dedup_keep_best(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(
-        docs, "text", "doc_id", num_hashes=8, bands=4, width=3
+        docs, "text", "doc_id", num_hashes=8, bands=4, width=3,
+        shingle_partitions=_fanout(spark),
     )
     comp = connected_components(pairs)
     toks = docs.select(
@@ -5996,7 +6042,8 @@ def dedup_source_matrix(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(
-        docs, "text", "doc_id", num_hashes=8, bands=4, width=3
+        docs, "text", "doc_id", num_hashes=8, bands=4, width=3,
+        shingle_partitions=_fanout(spark),
     )
     src = docs.select("doc_id", "source")
     j = (
