@@ -27,16 +27,21 @@ with NO rounding anywhere (a stronger contract than the classifier's
   (neg == obj) is a provable no-op (both sign terms cancel), so it
   needs no special-casing.
 
-Scale shape (10^12 triples): per epoch, the triple×dim frame joins the
-entity/relation embedding tables on (id, j) — four equi-joins keyed by
-entity id (AQE-splittable; a hub entity is a hot JOIN key, not a
-window); the margin activity is ONE per-triple aggregate; gradients are
-ONE partial+final HashAggregate down to the (|E|·d)-sized embedding
-frame; the update is a |E|·d-sized left join. Embeddings are
-localCheckpointed per epoch (the iterative-plan discipline of
-pagerank/components). The vocab window for negative indexing is the
-same |V|-sized global rank as pipeline/kg.py::entity_vocab, with the
-same documented bound.
+Scale shape (10^12 triples): embeddings live WIDE internally — one row
+per id with d value columns — so each epoch joins the TRIPLE table (not
+triple×dim) against the embedding dim four times, keyed by entity id
+(AQE-splittable; a hub entity is a hot JOIN key, not a window). That is
+d× fewer shuffled rows than the long-form (id, j) joins (guide §2.3),
+and the margin activity becomes a per-ROW expression — the per-triple
+aggregate and its semi-join disappear outright (guide §2.4). Gradients
+are ONE partial+final HashAggregate down to the |E|-sized wide frame;
+the update is an |E|-sized left join. Embeddings are localCheckpointed
+per epoch (the iterative-plan discipline of pagerank/components); the
+PUBLIC output stays the long (kind, id, j, val) table — a stack()
+projection over the wide checkpoint — so the oracle contract is
+unchanged. The vocab window for negative indexing is the same
+|V|-sized global rank as pipeline/kg.py::entity_vocab, with the same
+documented bound.
 """
 
 from __future__ import annotations
@@ -52,33 +57,46 @@ def _hash60(value):
     return F.conv(F.substring(F.md5(value), 1, 15), 16, 10).cast("long")
 
 
-def _init_val(kind: str, id_col, j_col):
-    """Deterministic dyadic init in [−0.5, 0.5]: (md5 % 257 − 128)/256."""
+def _init_val(kind, id_col, j_col):
+    """Deterministic dyadic init in [−0.5, 0.5]: (md5 % 257 − 128)/256.
+    ``kind`` is a literal string or a Column ('E'/'R')."""
+    kind_col = F.lit(kind) if isinstance(kind, str) else kind
     h = _hash60(
-        F.concat(F.lit(kind), F.lit("|"), id_col, F.lit("|"), j_col.cast("string"))
+        F.concat(kind_col, F.lit("|"), id_col, F.lit("|"), j_col.cast("string"))
     )
     return (F.pmod(h, F.lit(INIT_DEN + 1)) - F.lit(INIT_DEN // 2)) / F.lit(
         float(INIT_DEN)
     )
 
 
-def transe_train(
-    triples: DataFrame,
-    dim: int = 4,
-    epochs: int = 2,
-    margin: float = 1.0,
-) -> DataFrame:
-    """Train TransE embeddings over ``triples(subj, pred, obj)``.
+def _vcols(dim: int) -> list[str]:
+    return [f"v{j}" for j in range(dim)]
 
-    Returns the long-form embedding table after ``epochs`` full-batch
-    subgradient epochs: (kind 'E'|'R', id, j, val) — entities AND
-    relations, every ``val`` an exact dyadic rational (see module
-    docstring). Long form (one row per coordinate) is deliberate: the
-    gradient aggregate and the update join are plain (id, j)-keyed
-    HashAggregate/joins, and the oracle can reproduce them row-for-row.
-    """
-    dims = F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("j")
 
+def _stack_long(wide: DataFrame, dim: int) -> DataFrame:
+    """(kind, id, v0..v{dim-1}) → the public long form (kind, id, j, val)."""
+    stack = "stack({}, {}) as (j, val)".format(
+        dim, ", ".join(f"{j}, v{j}" for j in range(dim))
+    )
+    return wide.select("kind", "id", F.expr(stack))
+
+
+def _init_wide(ids: DataFrame, dim: int) -> DataFrame:
+    """Deterministic dyadic init for a (kind, id) frame, wide form.
+    Hash input is identical to the long form's _init_val — 'E|id|j'."""
+    return ids.select(
+        "kind",
+        "id",
+        *[
+            _init_val(F.col("kind"), F.col("id"), F.lit(j)).alias(f"v{j}")
+            for j in range(dim)
+        ],
+    )
+
+
+def _trip_with_negatives(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj, neg): corrupted tail = vocab[md5 % |E|],
+    checkpointed once (referenced every epoch)."""
     ents = (
         triples.select(F.col("subj").alias("id"))
         .union(triples.select(F.col("obj").alias("id")))
@@ -88,7 +106,7 @@ def transe_train(
         "id", (F.row_number().over(Window.orderBy("id")) - 1).alias("idx")
     )
     n_ents = vocab.agg(F.count(F.lit(1)).alias("n"))
-    trip = (
+    return (
         triples.select("subj", "pred", "obj")
         .distinct()
         .crossJoin(n_ents)
@@ -106,122 +124,136 @@ def transe_train(
         .localCheckpoint()
     )
 
-    # init embeddings materialized once: epoch 1's plan references e_emb
-    # FOUR times (subj/obj/neg lookups + the update join) and r_emb twice;
-    # un-checkpointed, each reference re-derived ents (and its whole
-    # upstream lineage) inside the first epoch's checkpoint job.
-    e_emb = ents.select("id", dims).select(
-        "id", "j", _init_val("E", F.col("id"), F.col("j")).alias("val")
-    ).localCheckpoint(eager=True)
-    r_emb = (
+
+def _emb0_wide(triples: DataFrame, dim: int) -> DataFrame:
+    """One (kind, id, v0..v{dim-1}) init table for entities AND
+    relations, materialized in ONE eager job (the separate e/r frames
+    cost two)."""
+    ents = (
+        triples.select(F.col("subj").alias("id"))
+        .union(triples.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    ids = ents.select(F.lit("E").alias("kind"), "id").union(
         triples.select(F.col("pred").alias("id"))
         .distinct()
-        .select("id", dims)
-        .select("id", "j", _init_val("R", F.col("id"), F.col("j")).alias("val"))
-        .localCheckpoint(eager=True)
+        .select(F.lit("R").alias("kind"), "id")
+    )
+    return _init_wide(ids, dim).localCheckpoint(eager=True)
+
+
+def _join_embeddings_wide(
+    trip: DataFrame, emb: DataFrame, dim: int
+) -> DataFrame:
+    """Attach h/r/t/tn vectors to each (subj, pred, obj, neg) row via
+    four id-keyed equi-joins of the WIDE embedding table."""
+    eW = emb.where(F.col("kind") == "E").drop("kind")
+    rW = emb.where(F.col("kind") == "R").drop("kind")
+
+    def side(src: DataFrame, key: str, pref: str) -> DataFrame:
+        return src.select(
+            F.col("id").alias(key),
+            *[F.col(f"v{j}").alias(f"{pref}{j}") for j in range(dim)],
+        )
+
+    return (
+        trip.join(side(eW, "subj", "_h"), "subj")
+        .join(side(rW, "pred", "_r"), "pred")
+        .join(side(eW, "obj", "_t"), "obj")
+        .join(side(eW, "neg", "_tn"), "neg")
     )
 
+
+def _sum_terms(terms):
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def transe_train(
+    triples: DataFrame,
+    dim: int = 4,
+    epochs: int = 2,
+    margin: float = 1.0,
+) -> DataFrame:
+    """Train TransE embeddings over ``triples(subj, pred, obj)``.
+
+    Returns the long-form embedding table after ``epochs`` full-batch
+    subgradient epochs: (kind 'E'|'R', id, j, val) — entities AND
+    relations, every ``val`` an exact dyadic rational (see module
+    docstring). Internally the embeddings are WIDE (one row per id,
+    d value columns): the four lookup joins shuffle triple rows, not
+    triple×dim rows, and the margin test is a per-row expression —
+    exactness is unchanged because dyadic addition is order-free, so
+    the explicit per-row sum equals the old per-triple aggregate
+    bit-for-bit.
+    """
+    trip = _trip_with_negatives(triples)
+    emb = _emb0_wide(triples, dim)
+    clip = lambda v: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), v))  # noqa: E731
+
     for _ in range(epochs):
-        td = trip.select("subj", "pred", "obj", "neg", dims)
-        pd = (
-            td.join(
-                e_emb.select(
-                    F.col("id").alias("subj"), "j", F.col("val").alias("_h")
-                ),
-                ["subj", "j"],
-            )
-            .join(
-                r_emb.select(
-                    F.col("id").alias("pred"), "j", F.col("val").alias("_r")
-                ),
-                ["pred", "j"],
-            )
-            .join(
-                e_emb.select(
-                    F.col("id").alias("obj"), "j", F.col("val").alias("_t")
-                ),
-                ["obj", "j"],
-            )
-            .join(
-                e_emb.select(
-                    F.col("id").alias("neg"), "j", F.col("val").alias("_tn")
-                ),
-                ["neg", "j"],
-            )
+        joined = _join_embeddings_wide(trip, emb, dim)
+        pdiff = [
+            F.col(f"_h{j}") + F.col(f"_r{j}") - F.col(f"_t{j}")
+            for j in range(dim)
+        ]
+        ndiff = [
+            F.col(f"_h{j}") + F.col(f"_r{j}") - F.col(f"_tn{j}")
+            for j in range(dim)
+        ]
+        dp = _sum_terms([F.abs(p) for p in pdiff])
+        dn = _sum_terms([F.abs(n) for n in ndiff])
+        # ct: the margin-active triples with per-dim subgradient signs.
+        # Referenced by all four gradient legs — ONE checkpoint per epoch
+        # (the old long form needed pd + ct checkpoints AND a per-triple
+        # aggregate + semi-join to evaluate the margin).
+        ct = (
+            joined.where(F.lit(margin) + dp - dn > 0)
             .select(
                 "subj",
                 "pred",
                 "obj",
                 "neg",
-                "j",
-                (F.col("_h") + F.col("_r") - F.col("_t")).alias("pdiff"),
-                (F.col("_h") + F.col("_r") - F.col("_tn")).alias("ndiff"),
+                *[F.signum(pdiff[j]).cast("int").alias(f"sp{j}") for j in range(dim)],
+                *[F.signum(ndiff[j]).cast("int").alias(f"sn{j}") for j in range(dim)],
             )
-            # pd (triple x dim with both score differences) feeds the margin
-            # aggregate AND the subgradient projection; materialize once per
-            # epoch so the four embedding joins above run once, not twice.
             .localCheckpoint(eager=True)
         )
-        act = (
-            pd.groupBy("subj", "pred", "obj", "neg")
-            .agg(
-                F.sum(F.abs("pdiff")).alias("_dp"),
-                F.sum(F.abs("ndiff")).alias("_dn"),
+
+        def leg(kind: str, key: str, cexprs) -> DataFrame:
+            return ct.select(
+                F.lit(kind).alias("kind"),
+                F.col(key).alias("id"),
+                *[cexprs(j).alias(f"c{j}") for j in range(dim)],
             )
-            .where(F.lit(margin) + F.col("_dp") - F.col("_dn") > 0)
-            .select("subj", "pred", "obj", "neg")
+
+        grad = (
+            leg("E", "subj", lambda j: -(F.col(f"sp{j}") - F.col(f"sn{j}")))
+            .union(leg("E", "obj", lambda j: F.col(f"sp{j}")))
+            .union(leg("E", "neg", lambda j: -F.col(f"sn{j}")))
+            .union(leg("R", "pred", lambda j: -(F.col(f"sp{j}") - F.col(f"sn{j}"))))
+            .groupBy("kind", "id")
+            .agg(*[F.sum(f"c{j}").alias(f"g{j}") for j in range(dim)])
         )
-        ct = pd.join(act, ["subj", "pred", "obj", "neg"], "left_semi").select(
-            "subj",
-            "pred",
-            "obj",
-            "neg",
-            "j",
-            F.signum("pdiff").cast("int").alias("sp"),
-            F.signum("ndiff").cast("int").alias("sn"),
-        ).localCheckpoint(eager=True)
-        # ct is referenced four times (three gradient-union legs + the
-        # relation gradient); checkpointed so the margin semi-join runs
-        # once per epoch instead of once per leg.
-        ge = (
-            ct.select(F.col("subj").alias("id"), "j", (-(F.col("sp") - F.col("sn"))).alias("c"))
-            .union(ct.select(F.col("obj").alias("id"), "j", F.col("sp").alias("c")))
-            .union(ct.select(F.col("neg").alias("id"), "j", (-F.col("sn")).alias("c")))
-            .groupBy("id", "j")
-            .agg(F.sum("c").alias("g"))
-        )
-        gr = (
-            ct.select(F.col("pred").alias("id"), "j", (-(F.col("sp") - F.col("sn"))).alias("c"))
-            .groupBy("id", "j")
-            .agg(F.sum("c").alias("g"))
-        )
-        clip = lambda v: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), v))  # noqa: E731
-        e_emb = (
-            e_emb.join(ge, ["id", "j"], "left")
+        emb = (
+            emb.join(grad, ["kind", "id"], "left")
             .select(
+                "kind",
                 "id",
-                "j",
-                clip(
-                    F.col("val") + F.coalesce("g", F.lit(0)) / F.lit(float(LR_DEN))
-                ).alias("val"),
-            )
-            .localCheckpoint()
-        )
-        r_emb = (
-            r_emb.join(gr, ["id", "j"], "left")
-            .select(
-                "id",
-                "j",
-                clip(
-                    F.col("val") + F.coalesce("g", F.lit(0)) / F.lit(float(LR_DEN))
-                ).alias("val"),
+                *[
+                    clip(
+                        F.col(f"v{j}")
+                        + F.coalesce(f"g{j}", F.lit(0)) / F.lit(float(LR_DEN))
+                    ).alias(f"v{j}")
+                    for j in range(dim)
+                ],
             )
             .localCheckpoint()
         )
 
-    return e_emb.select(F.lit("E").alias("kind"), "id", "j", "val").union(
-        r_emb.select(F.lit("R").alias("kind"), "id", "j", "val")
-    )
+    return _stack_long(emb, dim)
 
 
 def transe_eval(
@@ -249,13 +281,27 @@ def transe_eval(
     Scale shape: the candidate frame is |test|×|E| rows BEFORE the
     train anti-join — candidate-based evaluation, the documented cost
     class of every published KG eval; sample the test split upstream
-    to budget it. All joins are (id, dim)-keyed equi-joins; the
-    ranking is ONE per-triple count aggregate, not a global sort.
+    to budget it. The embeddings are pivoted WIDE once (|E| rows, d
+    columns) so the three lookup joins shuffle candidate rows, not
+    candidate×dim rows, and the distance is a per-row expression (no
+    per-candidate aggregate); the true-tail distance is attached with
+    ONE window over the partitioning the rank aggregate reuses —
+    the candidate frame is built, exchanged and scanned exactly once.
     """
-    e_emb = embeddings.where(F.col("kind") == "E").select("id", "j", "val")
-    r_emb = embeddings.where(F.col("kind") == "R").select("id", "j", "val")
-    ents = e_emb.select("id").distinct()
-    rels = r_emb.select("id").distinct()
+    wide = (
+        embeddings.groupBy("kind", "id")
+        .agg(
+            *[
+                F.max(F.when(F.col("j") == j, F.col("val"))).alias(f"v{j}")
+                for j in range(dim)
+            ]
+        )
+        .localCheckpoint(eager=True)
+    )
+    eW = wide.where(F.col("kind") == "E").drop("kind")
+    rW = wide.where(F.col("kind") == "R").drop("kind")
+    ents = eW.select("id")
+    rels = rW.select("id")
     t = (
         test.join(ents.select(F.col("id").alias("subj")), "subj", "left_semi")
         .join(ents.select(F.col("id").alias("obj")), "obj", "left_semi")
@@ -267,34 +313,39 @@ def transe_eval(
         ["subj", "pred", "c"],
         "left_anti",
     )
-    dims = F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("j")
+
+    def side(src: DataFrame, key: str, pref: str) -> DataFrame:
+        return src.select(
+            F.col("id").alias(key),
+            *[F.col(f"v{j}").alias(f"{pref}{j}") for j in range(dim)],
+        )
+
     cd = (
-        cand.select("subj", "pred", "obj", "c", dims)
-        .join(
-            e_emb.select(F.col("id").alias("subj"), "j", F.col("val").alias("_h")),
-            ["subj", "j"],
+        cand.join(side(eW, "subj", "_h"), "subj")
+        .join(side(rW, "pred", "_r"), "pred")
+        .join(side(eW, "c", "_c"), "c")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "c",
+            _sum_terms(
+                [
+                    F.abs(F.col(f"_h{j}") + F.col(f"_r{j}") - F.col(f"_c{j}"))
+                    for j in range(dim)
+                ]
+            ).alias("d"),
         )
-        .join(
-            r_emb.select(F.col("id").alias("pred"), "j", F.col("val").alias("_r")),
-            ["pred", "j"],
-        )
-        .join(
-            e_emb.select(F.col("id").alias("c"), "j", F.col("val").alias("_c")),
-            ["c", "j"],
-        )
-        .groupBy("subj", "pred", "obj", "c")
-        .agg(F.sum(F.abs(F.col("_h") + F.col("_r") - F.col("_c"))).alias("d"))
     )
-    # cd (the |test|x|E| candidate-distance frame — the eval's documented
-    # dominant cost) is referenced twice below (true-tail slice + rank
-    # join); materialize it once instead of computing the candidate
-    # cross + three embedding joins twice.
-    cd = cd.localCheckpoint(eager=True)
-    td = cd.where(F.col("c") == F.col("obj")).select(
-        "subj", "pred", "obj", F.col("d").alias("dtrue")
-    )
+    wnd = Window.partitionBy("subj", "pred", "obj")
     rk = (
-        td.join(cd, ["subj", "pred", "obj"])
+        cd.withColumn(
+            "dtrue",
+            F.max(F.when(F.col("c") == F.col("obj"), F.col("d"))).over(wnd),
+        )
+        # inner-join semantics of the old true-tail slice: a test triple
+        # with no candidate row for its true tail contributes no rank
+        .where(F.col("dtrue").isNotNull())
         .groupBy("subj", "pred", "obj")
         .agg(
             (
@@ -497,148 +548,85 @@ def distmult_train(
     margin: float = 1.0,
 ) -> DataFrame:
     """DistMult KG embeddings (Yang et al. 2015): score(s,p,o) =
-    Σ_j h_j·r_j·t_j — the multiplicative bilinear-diagonal family next
+    S_j h_j*r_j*t_j - the multiplicative bilinear-diagonal family next
     to TransE's additive one; same margin-ranking loss, corrupted-tail
     negatives, full-batch subgradient epochs, long-form output
     (kind, id, j, val).
 
     Exactness needs one more trick than TransE: DistMult gradients are
     PRODUCTS of embedding values, so exact dyadic denominators would
-    square every epoch (2^8 → 2^16 → 2^32 …) and fall off the 52-bit
-    float cliff. The fix is QUANTIZED SGD: after each update the
+    square every epoch (2^8 -> 2^16 -> 2^32 ...) and fall off the
+    52-bit float cliff. The fix is QUANTIZED SGD: after each update the
     embedding is floor-quantized back to the 1/2^8 grid, so products
     stay at denominator 2^16, gradient sums stay exactly representable
     (order-free) at any epoch count and corpus size, and the DuckDB
-    twin reproduces training bit-for-bit. Same scale shape as
-    :func:`transe_train` (four (id, dim)-keyed joins, one margin
-    aggregate, one gradient HashAggregate, localCheckpoint per epoch).
+    twin reproduces training bit-for-bit. Same WIDE internal scale
+    shape as :func:`transe_train` (four id-keyed joins of the triple
+    table, a per-row margin expression, one gradient HashAggregate
+    down to |E| rows, localCheckpoint per epoch; public output stays
+    the long form).
     """
-    dims = F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("j")
-    ents = (
-        triples.select(F.col("subj").alias("id"))
-        .union(triples.select(F.col("obj").alias("id")))
-        .distinct()
-    )
-    vocab = ents.select(
-        "id", (F.row_number().over(Window.orderBy("id")) - 1).alias("idx")
-    )
-    n_ents = vocab.agg(F.count(F.lit(1)).alias("n"))
-    trip = (
-        triples.select("subj", "pred", "obj")
-        .distinct()
-        .crossJoin(n_ents)
-        .select(
-            "subj",
-            "pred",
-            "obj",
-            F.pmod(
-                _hash60(F.concat_ws("|", F.lit("N"), "subj", "pred", "obj")),
-                F.col("n"),
-            ).alias("_nidx"),
-        )
-        .join(vocab, F.col("_nidx") == F.col("idx"))
-        .select("subj", "pred", "obj", F.col("id").alias("neg"))
-        .localCheckpoint()
-    )
-    # init materialized once — same rationale as transe_train: epoch 1
-    # references e_emb four times and r_emb twice, and Catalyst does no
-    # cross-branch CSE.
-    e_emb = ents.select("id", dims).select(
-        "id", "j", _init_val("E", F.col("id"), F.col("j")).alias("val")
-    ).localCheckpoint(eager=True)
-    r_emb = (
-        triples.select(F.col("pred").alias("id"))
-        .distinct()
-        .select("id", dims)
-        .select("id", "j", _init_val("R", F.col("id"), F.col("j")).alias("val"))
-        .localCheckpoint(eager=True)
-    )
+    trip = _trip_with_negatives(triples)
+    emb = _emb0_wide(triples, dim)
     clip = lambda v: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), v))  # noqa: E731
     for _ in range(epochs):
-        td = trip.select("subj", "pred", "obj", "neg", dims)
-        pd = (
-            td.join(
-                e_emb.select(F.col("id").alias("subj"), "j", F.col("val").alias("_h")),
-                ["subj", "j"],
-            )
-            .join(
-                r_emb.select(F.col("id").alias("pred"), "j", F.col("val").alias("_r")),
-                ["pred", "j"],
-            )
-            .join(
-                e_emb.select(F.col("id").alias("obj"), "j", F.col("val").alias("_t")),
-                ["obj", "j"],
-            )
-            .join(
-                e_emb.select(F.col("id").alias("neg"), "j", F.col("val").alias("_tn")),
-                ["neg", "j"],
-            )
-            # pd feeds the margin aggregate and the gradient projection;
-            # ct feeds four gradient legs — materialized once per epoch
-            # (same rationale as transe_train).
-            .localCheckpoint(eager=True)
+        joined = _join_embeddings_wide(trip, emb, dim)
+        sp = _sum_terms(
+            [F.col(f"_h{j}") * F.col(f"_r{j}") * F.col(f"_t{j}") for j in range(dim)]
         )
-        act = (
-            pd.groupBy("subj", "pred", "obj", "neg")
-            .agg(
-                F.sum(F.col("_h") * F.col("_r") * F.col("_t")).alias("_sp"),
-                F.sum(F.col("_h") * F.col("_r") * F.col("_tn")).alias("_sn"),
-            )
-            .where(F.lit(margin) - F.col("_sp") + F.col("_sn") > 0)
-            .select("subj", "pred", "obj", "neg")
+        sn = _sum_terms(
+            [F.col(f"_h{j}") * F.col(f"_r{j}") * F.col(f"_tn{j}") for j in range(dim)]
         )
-        ct = pd.join(act, ["subj", "pred", "obj", "neg"], "left_semi").localCheckpoint(
-            eager=True
-        )
-        ge = (
-            ct.select(
-                F.col("subj").alias("id"),
-                "j",
-                (F.col("_r") * F.col("_t") - F.col("_r") * F.col("_tn")).alias("c"),
+        # margin-active triples keep their raw h/r/t/tn vectors -- the
+        # product gradients need the values, unlike TransE's signs
+        ct = joined.where(F.lit(margin) - sp + sn > 0).localCheckpoint(eager=True)
+
+        def leg(kind: str, key: str, cexprs) -> DataFrame:
+            return ct.select(
+                F.lit(kind).alias("kind"),
+                F.col(key).alias("id"),
+                *[cexprs(j).alias(f"c{j}") for j in range(dim)],
             )
+
+        grad = (
+            leg(
+                "E",
+                "subj",
+                lambda j: F.col(f"_r{j}") * F.col(f"_t{j}")
+                - F.col(f"_r{j}") * F.col(f"_tn{j}"),
+            )
+            .union(leg("E", "obj", lambda j: F.col(f"_h{j}") * F.col(f"_r{j}")))
+            .union(leg("E", "neg", lambda j: -(F.col(f"_h{j}") * F.col(f"_r{j}"))))
             .union(
-                ct.select(
-                    F.col("obj").alias("id"), "j", (F.col("_h") * F.col("_r")).alias("c")
+                leg(
+                    "R",
+                    "pred",
+                    lambda j: F.col(f"_h{j}") * F.col(f"_t{j}")
+                    - F.col(f"_h{j}") * F.col(f"_tn{j}"),
                 )
             )
-            .union(
-                ct.select(
-                    F.col("neg").alias("id"),
-                    "j",
-                    (-(F.col("_h") * F.col("_r"))).alias("c"),
-                )
-            )
-            .groupBy("id", "j")
-            .agg(F.sum("c").alias("g"))
+            .groupBy("kind", "id")
+            .agg(*[F.sum(f"c{j}").alias(f"g{j}") for j in range(dim)])
         )
-        gr = (
-            ct.select(
-                F.col("pred").alias("id"),
-                "j",
-                (F.col("_h") * F.col("_t") - F.col("_h") * F.col("_tn")).alias("c"),
-            )
-            .groupBy("id", "j")
-            .agg(F.sum("c").alias("g"))
-        )
-        upd = lambda emb, g: (  # noqa: E731
-            emb.join(g, ["id", "j"], "left")
+        emb = (
+            emb.join(grad, ["kind", "id"], "left")
             .select(
+                "kind",
                 "id",
-                "j",
-                _quantize(
-                    clip(
-                        F.col("val")
-                        + F.coalesce("g", F.lit(0.0)) / F.lit(float(LR_DEN))
-                    )
-                ).alias("val"),
+                *[
+                    _quantize(
+                        clip(
+                            F.col(f"v{j}")
+                            + F.coalesce(f"g{j}", F.lit(0.0))
+                            / F.lit(float(LR_DEN))
+                        )
+                    ).alias(f"v{j}")
+                    for j in range(dim)
+                ],
             )
             .localCheckpoint()
         )
-        e_emb = upd(e_emb, ge)
-        r_emb = upd(r_emb, gr)
-    return e_emb.select(F.lit("E").alias("kind"), "id", "j", "val").union(
-        r_emb.select(F.lit("R").alias("kind"), "id", "j", "val")
-    )
+    return _stack_long(emb, dim)
 
 
 def distmult_oracle_ctes(

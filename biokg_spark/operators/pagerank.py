@@ -111,7 +111,6 @@ def hits(
     iters: int = 8,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_every: int = 1,
 ) -> DataFrame:
     """HITS hubs/authorities over the DIRECTED edge set (subj→obj keeps
     the orientation the link vocabulary assigns, unlike the symmetrized
@@ -123,17 +122,17 @@ def hits(
     Returns (id, hub, auth) for every node, exact float64 — round at
     the consumer. Scale shape: per iteration TWO shuffle joins
     (scores × edges) + partial aggregates; the norm is a single-row
-    aggregate broadcast back via crossJoin (never a driver collect);
-    scores are localCheckpointed every ``checkpoint_every`` iterations.
+    aggregate broadcast back via crossJoin (never a driver collect).
 
-    ``checkpoint_every=1`` is deliberate and MEASURED, not the usual
-    every-2 cadence of pagerank/components: each ``_normalize``
-    crossJoins the scores' own 1-row norm aggregate, so the UNCHECKED
-    score subtree appears twice per half-step and its evaluation count
-    doubles per half-step until the next checkpoint — every-1 / every-2
-    / every-4 measured 19.2 / 30.4 / 48.1 s for the identical 8-iter
-    result (sf0.1 KG, min-of-2 warm). Pagerank has no such self-join,
-    so its every-2 cadence stays optimal.
+    Checkpoint placement (measured): the RAW half-step frame is
+    localCheckpointed BEFORE normalization, and the normalized scores
+    stay a lazy projection over that checkpoint. The norm crossJoin
+    references its input twice (the 1-row aggregate + the projection),
+    so checkpointing after normalization — the previous layout — still
+    re-evaluated each raw subtree twice per half-step and the next
+    half-step's join a third time; raw-first placement keeps the same
+    two jobs per iteration but evaluates every subtree exactly once
+    (kg_hits 9.0 → ~5 s at sf0.1, min-of-2).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
@@ -144,44 +143,43 @@ def hits(
     )
     e = e.localCheckpoint()
 
-    def _normalize(scores: DataFrame, col: str) -> DataFrame:
-        norm = scores.agg(
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        norm = raw.agg(
             F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n")
         )
-        return scores.crossJoin(norm).select(
+        return raw.crossJoin(norm).select(
             "id", (F.col(col) / F.col("_n")).alias(col)
         )
 
     h = nodes.withColumn("hub", F.lit(1.0))
     a = None
     for i in range(iters):
-        a_sum = (
-            e.join(h.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum("hub").alias("auth"))
-            .withColumnRenamed("dst", "id")
+        a_raw = (
+            nodes.join(
+                e.join(h.withColumnRenamed("id", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("auth"))
+                .withColumnRenamed("dst", "id"),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("auth", F.lit(0.0)).alias("auth"))
+            .localCheckpoint()
         )
-        a = _normalize(
-            nodes.join(a_sum, "id", "left").select(
-                "id", F.coalesce("auth", F.lit(0.0)).alias("auth")
-            ),
-            "auth",
+        a = _normalize(a_raw, "auth")
+        h_raw = (
+            nodes.join(
+                e.join(a.withColumnRenamed("id", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.sum("auth").alias("hub"))
+                .withColumnRenamed("src", "id"),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("hub", F.lit(0.0)).alias("hub"))
+            .localCheckpoint()
         )
-        h_sum = (
-            e.join(a.withColumnRenamed("id", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.sum("auth").alias("hub"))
-            .withColumnRenamed("src", "id")
-        )
-        h = _normalize(
-            nodes.join(h_sum, "id", "left").select(
-                "id", F.coalesce("hub", F.lit(0.0)).alias("hub")
-            ),
-            "hub",
-        )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            h = h.localCheckpoint()
-            a = a.localCheckpoint()
+        h = _normalize(h_raw, "hub")
     return nodes.join(h, "id", "left").join(a, "id", "left").select(
         "id",
         F.coalesce("hub", F.lit(0.0)).alias("hub"),
