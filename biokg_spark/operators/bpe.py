@@ -103,7 +103,11 @@ def bpe_train(
         work.unpersist()
         work = nxt
     work.unpersist()
-    return spark.createDataFrame(merges, "merge_rank int, pair string, merged string, n long")
+    from biokg_spark.functions.dims import local_df
+
+    return local_df(
+        spark, merges, "merge_rank int, pair string, merged string, n long"
+    )
 
 
 def bpe_oracle_sql(n_merges: int, source_sql: str = "documents") -> str:

@@ -987,7 +987,10 @@ def blocking_metrics(
     n_truth = truth_pairs.count()
     n_hit = candidates.join(truth_pairs, ["id_a", "id_b"], "left_semi").count()
     spark = df.sparkSession
-    return spark.createDataFrame(
+    from biokg_spark.functions.dims import local_df
+
+    return local_df(
+        spark,
         [
             (
                 n,

@@ -27,6 +27,8 @@ from typing import NamedTuple
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from biokg_spark.functions.dims import local_df
 from pyspark.sql.types import (
     IntegerType,
     StringType,
@@ -224,7 +226,7 @@ class MentionScanner:
 
 def scan_mentions_sql(
     df: DataFrame,
-    lexicon: DataFrame,
+    lexicon: DataFrame | list,
     text_col: str = "text",
     keys: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
@@ -239,15 +241,23 @@ def scan_mentions_sql(
     ``span_start`` is NULL on this backend (character offsets are a
     regex/AC extra that nothing downstream consumes).
 
+    ``lexicon`` may be a DataFrame (collected driver-side, one job) or a
+    plain list of (surface, entity_id, entity_type, priority) tuples —
+    callers whose lexicon already lives in the driver (module-literal
+    dims) pass the list and skip the collect job entirely.
+
     Raises if the lexicon contains multi-token surfaces — those need the
     regex/AC backend (use backend='regex' in ``scan_mentions``).
     """
-    lex_rows = [
-        (r["surface"], r["entity_id"], r["entity_type"], r["priority"])
-        for r in lexicon.select(
-            "surface", "entity_id", "entity_type", "priority"
-        ).collect()
-    ]
+    if isinstance(lexicon, list):
+        lex_rows = list(lexicon)
+    else:
+        lex_rows = [
+            (r["surface"], r["entity_id"], r["entity_type"], r["priority"])
+            for r in lexicon.select(
+                "surface", "entity_id", "entity_type", "priority"
+            ).collect()
+        ]
     resolved = MentionScanner(lex_rows).surface_map  # priority pre-resolved
     if any(_SPLIT_RX.search(s) for s in resolved):
         raise ValueError(
@@ -256,7 +266,8 @@ def scan_mentions_sql(
         )
     spark = df.sparkSession
     lex_df = F.broadcast(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(s, e.entity_id, e.entity_type) for s, e in resolved.items()],
             "surface string, entity_id string, entity_type string",
         )

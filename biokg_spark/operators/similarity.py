@@ -143,8 +143,10 @@ def ivf_topk(
     centroids = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    cent_df = corpus.sparkSession.createDataFrame(
-        centroids, "cell int, centroid array<double>"
+    from biokg_spark.functions.dims import local_df
+
+    cent_df = local_df(
+        corpus.sparkSession, centroids, "cell int, centroid array<double>"
     )
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     # rank this query's cells by centroid cosine, keep n_probe

@@ -138,8 +138,10 @@ def hll_estimate(
         ),
     )
     spark = registers.sparkSession
+    from biokg_spark.functions.dims import local_df
+
     lc = F.broadcast(
-        spark.createDataFrame(_lc_table(m), "_vz int, _lc_est double")
+        local_df(spark, _lc_table(m), "_vz int, _lc_est double")
     )
     v = F.lit(m) - F.col("_present")
     per = per.join(lc, v.cast("int") == F.col("_vz"), "left")

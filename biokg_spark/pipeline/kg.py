@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from biokg_spark.functions.cascade import cascade_column, ddi_effects_column
+from biokg_spark.functions.dims import local_df
 from biokg_spark.operators.mentions import scan_mentions
 from biokg_spark.operators.skew import salted_collect_set
 from biokg_spark.plans.checkpoint import CheckpointManager, fingerprint
@@ -234,8 +235,12 @@ def links_from_entity_sets(
         dim_rows.append((ta, tb, pname, und, True))
         if ta != tb:
             dim_rows.append((tb, ta, pname, und, False))
-    type_dim = per_group.sparkSession.createDataFrame(
-        dim_rows, "t1 string, t2 string, pred string, und boolean, ab_first boolean"
+    # LocalTableScan literal (functions/dims.py): the broadcast build of
+    # this dim is driver-local, no 32-task parallelize job per query
+    type_dim = local_df(
+        per_group.sparkSession,
+        dim_rows,
+        "t1 string, t2 string, pred string, und boolean, ab_first boolean",
     )
     typed = pairs.join(F.broadcast(type_dim), ["t1", "t2"])  # untyped pairs drop
     subj = F.when(F.col("und"), F.least("e1", "e2")).otherwise(

@@ -93,19 +93,34 @@ def doc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from biokg_spark.functions.dims import local_df  # noqa: E402
+
+
 def kg_lexicon_df(spark: SparkSession) -> DataFrame:
-    # NOTE: deliberately NOT coalesce(1): coalescing a parallelized local
-    # collection gives the single task locality preferences on all parent
-    # slices and the scheduler stalls spark.locality.wait (3 s) before
-    # running it — measured 0.29 s -> 3.27 s for the 11-row collect.
-    return spark.createDataFrame(
+    # LocalTableScan form: driver-side collects (the Arrow scanner's
+    # lexicon pull) and broadcast builds run zero tasks — the previous
+    # parallelized-RDD form cost a 32-task job per use, and coalesce(1)
+    # was worse still (locality-wait stall, 0.29 s -> 3.27 s).
+    return local_df(
+        spark,
         [(s, e, t, 0) for s, e, t in KG_LEXICON],
         "surface string, entity_id string, entity_type string, priority int",
     )
 
 
 def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched dictionary scan over the derived transcripts.
+    """Dictionary scan over the derived transcripts — JVM-only backend.
+
+    The KG lexicon is 11 single-token surfaces, for which the scanner's
+    word-boundary semantics reduce EXACTLY to tokenize + broadcast hash
+    join (operators/mentions.py::scan_mentions_sql, parity documented
+    there); every downstream consumer reads only (conv_id, turn_idx,
+    entity_id, entity_type). This helper feeds ~40 graph/embedding
+    queries, so using the codegen'd JVM path here removes the
+    JVM→Python→JVM Arrow boundary from all of them (guide §4.1) — the
+    Arrow kernel itself stays oracle-exercised by kg_mention_scan,
+    which invokes it explicitly. The lexicon is passed as the local
+    literal list, skipping the collect job the DataFrame form pays.
 
     Deliberately NOT checkpointed here: single-use consumers would pay
     an extra eager job (~0.3 s fixed cost), and multi-reference plans
@@ -115,8 +130,11 @@ def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.19 s un-checkpointed vs 1.30 s checkpointed). The place where a
     single materialization DOES pay is ``_kg_links`` — its result is
     referenced many times SEQUENTIALLY across iterative jobs."""
-    return scan_mentions(
-        doc_transcripts(spark, sf_dir), kg_lexicon_df(spark)
+    from biokg_spark.operators.mentions import scan_mentions_sql
+
+    return scan_mentions_sql(
+        doc_transcripts(spark, sf_dir),
+        [(s, e, t, 0) for s, e, t in KG_LEXICON],
     )
 
 
@@ -637,8 +655,13 @@ def stanza_prefix_multiplex(spark, sf_dir):
     f"WITH {_MENTIONS_SQL} SELECT conv_id, turn_idx, entity_id, entity_type FROM m",
 )
 def kg_mention_scan(spark, sf_dir):
-    """Dictionary mention detection (Arrow pandas UDF) — the parse stage."""
-    return kg_mentions(spark, sf_dir).select(
+    """Dictionary mention detection (Arrow pandas UDF) — the parse stage.
+    Invokes the Arrow mapInPandas kernel EXPLICITLY (kg_mentions itself
+    now routes through the JVM single-token backend for the ~40 shared
+    consumers); this query keeps the Python kernel oracle-verified."""
+    return scan_mentions(
+        doc_transcripts(spark, sf_dir), kg_lexicon_df(spark)
+    ).select(
         "conv_id", "turn_idx", "entity_id", "entity_type"
     ).dropDuplicates()
 
@@ -1298,7 +1321,8 @@ def kg_candidate_link_scoring(spark, sf_dir):
     resolve by per-turn type context, falling back to lexicon priority."""
     from biokg_spark.operators.linking import candidate_links
 
-    lex = spark.createDataFrame(
+    lex = local_df(
+        spark,
         [(s, e, t, _AMBIG_PRIO.get((s, e), 0)) for s, e, t in _AMBIG_LEX],
         "surface string, entity_id string, entity_type string, priority int",
     )
@@ -1711,8 +1735,8 @@ def corpus_bm25_search(spark, sf_dir):
     from biokg_spark.operators.retrieval import bm25_search
 
     docs = load_table(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
-        _BM25_QUERIES, "query_id int, query_text string"
+    queries = local_df(
+        spark, _BM25_QUERIES, "query_id int, query_text string"
     )
     return bm25_search(docs, queries, topk=5)
 
@@ -3328,7 +3352,8 @@ def kg_verbalize(spark, sf_dir):
     from biokg_spark.operators.verbalize import verbalize_triples
 
     links = _kg_links(spark, sf_dir)
-    tpl = spark.createDataFrame(
+    tpl = local_df(
+        spark,
         [
             ("DRUG_DISEASE_ASSOCIATION", "{subj} is indicated for {obj}"),
             ("DDI", "{subj} interacts with {obj}"),
@@ -3774,7 +3799,8 @@ def kg_schema_audit(spark, sf_dir):
     links = _kg_links(spark, sf_dir)
     m = kg_mentions(spark, sf_dir)
     types = m.select(F.col("entity_id"), "entity_type").distinct()
-    contract = spark.createDataFrame(
+    contract = local_df(
+        spark,
         [
             ("PPI", "PROTEIN", "PROTEIN", True),
             ("DDI", "DRUG", "DRUG", True),
@@ -4529,8 +4555,8 @@ def corpus_hybrid_rrf(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
-        _BM25_QUERIES, "query_id int, query_text string"
+    queries = local_df(
+        spark, _BM25_QUERIES, "query_id int, query_text string"
     )
     bm = bm25_search(docs, queries, topk=20)
     jc = jaccard_search(docs, queries, topk=20)
@@ -5212,8 +5238,8 @@ def corpus_cm_frequencies(spark, sf_dir):
         F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok")
     )
     regs = cm_registers(toks, [], "tok", depth=4, width=256)
-    items = spark.createDataFrame(
-        [(s,) for s, _, _ in KG_LEXICON], "surface string"
+    items = local_df(
+        spark, [(s,) for s, _, _ in KG_LEXICON], "surface string"
     )
     est = cm_estimate(
         F.broadcast(regs), items, [], "surface", depth=4, width=256
