@@ -53,9 +53,17 @@ def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
         cur.append(ch)
     parts.append("".join(cur))
     fields = [p.strip().split(None, 1) for p in parts]
+    cols = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in fields)
+    names = ", ".join(n for n, _t in fields)
+    rows = list(rows)
+    if not rows:
+        # VALUES needs at least one tuple: emit one all-NULL row and
+        # filter it out (still a LocalTableScan after optimization)
+        nulls = ",".join("NULL" for _ in fields)
+        return spark.sql(
+            f"SELECT {cols} FROM (VALUES ({nulls})) AS _t({names}) WHERE 1=0"
+        )
     vals = ",".join(
         "(" + ",".join(_sql_lit(v) for v in row) + ")" for row in rows
     )
-    cols = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in fields)
-    names = ", ".join(n for n, _t in fields)
     return spark.sql(f"SELECT {cols} FROM (VALUES {vals}) AS _t({names})")

@@ -44,7 +44,7 @@ def label_propagation(
     e = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = e.select(F.col("_s").alias("id")).distinct().withColumn(
         "lbl", F.col("id")
@@ -61,7 +61,7 @@ def label_propagation(
             .select("id", "lbl")
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            labels = labels.localCheckpoint()
+            labels = labels.localCheckpoint(eager=False)
     return labels.select("id", F.col("lbl").alias("community"))
 
 

@@ -56,13 +56,13 @@ def connected_components(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .dropDuplicates()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("a").alias("id"))
         .dropDuplicates()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     converged = False
     for _i in range(max_iter):
@@ -92,10 +92,13 @@ def connected_components(
                 ).alias("component"),
                 "_old",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # full count, not limit(1): ONE job materializes the lazy
+        # checkpoint and counts changes (a limit probe would partially
+        # compute, then pay the doCheckpoint catch-up job)
         n_changed = (
-            updated.where(F.col("component") != F.col("_old")).limit(1).count()
+            updated.where(F.col("component") != F.col("_old")).count()
         )
         labels = updated.drop("_old")
         if n_changed == 0:
@@ -165,7 +168,7 @@ def strongly_connected_components(
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .where(F.col("_s") != F.col("_d"))
         .dropDuplicates()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     remaining = (
         e_all.select(F.col("_s").alias("id"))
@@ -173,7 +176,7 @@ def strongly_connected_components(
         .union(edges.select(F.col(src).alias("id")))  # keeps self-loop-only nodes
         .union(edges.select(F.col(dst).alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     assigned = None
     for _ in range(max_peels):
@@ -182,11 +185,11 @@ def strongly_connected_components(
         e = (
             e_all.join(remaining.select(F.col("id").alias("_s")), "_s", "left_semi")
             .join(remaining.select(F.col("id").alias("_d")), "_d", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # forward min-color fixpoint
         color = remaining.select("id", F.col("id").alias("color")).localCheckpoint(
-            eager=True
+            eager=False
         )
         for _p in range(max_prop):
             cand = color.join(e, color["id"] == e["_s"]).select(
@@ -196,7 +199,7 @@ def strongly_connected_components(
                 color.unionByName(cand)
                 .groupBy("id")
                 .agg(F.min("color").alias("color"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             changed = nxt.join(
                 color.select("id", F.col("color").alias("_old")), "id"
@@ -210,7 +213,7 @@ def strongly_connected_components(
         # backward confirmation from all pivots at once, within color
         memb = color.where(F.col("id") == F.col("color")).select(
             "id", F.col("color").alias("scc_id")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         frontier = memb
         while True:
             step = (
@@ -223,23 +226,23 @@ def strongly_connected_components(
                 .select("id", "scc_id")
                 .distinct()
                 .join(memb.select("id"), "id", "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             if step.isEmpty():
                 break
-            memb = memb.union(step).localCheckpoint(eager=True)
+            memb = memb.union(step).localCheckpoint(eager=False)
             frontier = step
         assigned = memb if assigned is None else assigned.union(memb)
         remaining = remaining.join(
             memb.select("id"), "id", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     if not remaining.isEmpty():
         raise RuntimeError("SCC peeling exhausted max_peels with nodes left")
     if assigned is None:
         schema = f"{id_col} string, scc_id string"
         return edges.sparkSession.createDataFrame([], schema)
     return assigned.select(F.col("id").alias(id_col), "scc_id").localCheckpoint(
-        eager=True
+        eager=False
     )
 
 
@@ -279,11 +282,11 @@ def topo_layers(
         .where(F.col("_cs") != F.col("_cd"))
         .select(F.col("_cs").alias("_s"), F.col("_cd").alias("_d"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     layer = (
         scc.select("scc_id").distinct().select("scc_id", F.lit(0).alias("layer"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_rounds):
         cand = layer.join(e_c, layer["scc_id"] == e_c["_s"]).select(
@@ -293,7 +296,7 @@ def topo_layers(
             layer.unionByName(cand)
             .groupBy("scc_id")
             .agg(F.max("layer").alias("layer"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = nxt.join(
             layer.select("scc_id", F.col("layer").alias("_old")), "scc_id"

@@ -60,7 +60,7 @@ def kcore(
         )
         .where(F.col("a") != F.col("b"))
         .dropDuplicates()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_edges = und.count()
     for _ in range(max_iter):
@@ -70,7 +70,7 @@ def kcore(
         und = (
             und.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n_now = und.count()
         if n_now == n_edges:  # fixpoint: every remaining node has deg >= k

@@ -56,7 +56,7 @@ def ktruss(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_n = und.count()
     sup = None
@@ -107,7 +107,7 @@ def ktruss(
             und.join(sup, ["a", "b"])
             .where(F.col("support") >= k - 2)
             .select("a", "b")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n = und.count()
         if n == prev_n:

@@ -43,16 +43,22 @@ def pagerank(
     symmetrize before calling for undirected semantics). Returns
     (id, rank) with exact float64 ranks — round at the consumer."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # lazy local checkpoints (eager=False): the logical plan is truncated
+    # at once, but materialization folds into the next real job — the
+    # fixed-iteration loop has no driver-side decisions, so the whole run
+    # collapses into the n-count job plus ONE final job whose stages
+    # compute each checkpointed RDD exactly once (RDD-level cache
+    # sharing), instead of one eager job per checkpoint.
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # one persisted (src, dst, deg) table reused every iteration
-    ed = e.join(deg, "src").localCheckpoint()
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):
@@ -69,7 +75,7 @@ def pagerank(
             ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -135,13 +141,17 @@ def hits(
     (kg_hits 9.0 → ~5 s at sf0.1, min-of-2).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # lazy checkpoints (see pagerank): fixed iteration count, no driver
+    # decisions — all 8 iterations execute inside ONE job, each
+    # half-step's RDD computed once and cache-shared between its norm
+    # aggregate and the next half-step's join
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    e = e.localCheckpoint()
+    e = e.localCheckpoint(eager=False)
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
         norm = raw.agg(
@@ -164,7 +174,7 @@ def hits(
                 "left",
             )
             .select("id", F.coalesce("auth", F.lit(0.0)).alias("auth"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         a = _normalize(a_raw, "auth")
         h_raw = (
@@ -177,7 +187,7 @@ def hits(
                 "left",
             )
             .select("id", F.coalesce("hub", F.lit(0.0)).alias("hub"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         h = _normalize(h_raw, "hub")
     return nodes.join(h, "id", "left").join(a, "id", "left").select(
@@ -265,20 +275,22 @@ def personalized_pagerank(
     cf. Page et al. 1999 §6 personalized vectors.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # lazy checkpoints (see pagerank): only the seed count reaches the
+    # driver; everything else folds into the final job
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     s = seeds.select(F.col(id_col).alias("id")).distinct()
     n_seeds = s.count()
     p = nodes.join(F.broadcast(s.withColumn("_p", F.lit(1.0 / n_seeds))),
                    "id", "left").select(
         "id", F.coalesce(F.col("_p"), F.lit(0.0)).alias("p")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = e.join(deg, "src").localCheckpoint()
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
     ranks = p.select("id", F.col("p").alias("rank"))
     for i in range(iters):
         sums = (
@@ -296,7 +308,7 @@ def personalized_pagerank(
             ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("id", "rank")
 
 

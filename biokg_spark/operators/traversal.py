@@ -65,7 +65,7 @@ def bfs_distances(
         seeds.select(F.col(id_col).alias("id"))
         .distinct()
         .withColumn("dist", F.lit(0))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = dist.select("id")
     for h in range(1, max_hops + 1):
@@ -75,9 +75,12 @@ def bfs_distances(
             .distinct()
             .join(dist.select("id"), "id", "left_anti")
             .withColumn("dist", F.lit(h))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        # full count, not isEmpty: ONE job both materializes the lazy
+        # checkpoint and answers the convergence question (a limit-style
+        # probe would partially compute, then pay a catch-up job)
+        if nxt.count() == 0:
             break
         # plain union of already-checkpointed legs: re-checkpointing the
         # union copied the whole state every round (one extra job + one
@@ -140,7 +143,7 @@ def bfs_distances_per_seed(
         seeds.select(F.col(id_col).alias("seed"))
         .distinct()
         .select("seed", F.col("seed").alias("id"), F.lit(0).alias("dist"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = dist.select("seed", "id")
     for h in range(1, max_hops + 1):
@@ -150,9 +153,9 @@ def bfs_distances_per_seed(
             .distinct()
             .join(dist.select("seed", "id"), ["seed", "id"], "left_anti")
             .withColumn("dist", F.lit(h))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:  # one job: materialize + convergence (see bfs)
             break
         # plain union of checkpointed legs (see bfs_distances)
         dist = dist.union(nxt)
@@ -270,7 +273,7 @@ def betweenness_sampled(
             F.lit(0).alias("dist"),
             F.lit(1).cast("long").alias("sigma"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = state.select("seed", "id", "sigma")
     for h in range(1, max_hops + 1):
@@ -281,9 +284,9 @@ def betweenness_sampled(
             .agg(F.sum("sigma").alias("sigma"))
             .join(state.select("seed", "id"), ["seed", "id"], "left_anti")
             .select("seed", "id", F.lit(h).alias("dist"), "sigma")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:  # one job: materialize + convergence (see bfs)
             break
         # plain union of checkpointed legs (see bfs_distances)
         state = state.union(nxt)
@@ -311,7 +314,7 @@ def betweenness_sampled(
             & (dw["_dw"] == dv["_dv"] + 1),
         )
         .select(dv["seed"], "_v", "_dv", "_sv", "_w", "_dw", "_sw")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # backward: δ at the deepest level is 0; walk levels down
     spark_zero = F.lit(0.0)
@@ -337,7 +340,7 @@ def betweenness_sampled(
                     * (F.lit(1.0) + F.coalesce(F.col("_dl"), spark_zero))
                 ).alias("delta")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         delta_prev = dlev
         if lev >= 1:  # level-0 nodes are the seeds themselves — excluded
@@ -462,7 +465,7 @@ def weighted_distances(
         seeds.select(F.col(id_col).alias("id"))
         .distinct()
         .select("id", F.lit(0.0).alias("dist"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_rounds):
         cand = (
@@ -473,12 +476,14 @@ def weighted_distances(
             dist.unionByName(cand)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         improved = merged.join(
             dist.select("id", F.col("dist").alias("_old")), "id", "left"
         ).where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
-        if improved.isEmpty():
+        # full count: one job materializes the lazy merged checkpoint AND
+        # answers the improvement question (see bfs_distances)
+        if improved.count() == 0:
             dist = merged
             break
         dist = merged

@@ -115,13 +115,13 @@ def random_walks(
     # and joining them into the same step plan is then ambiguous.
     ranked = (
         _dense_neighbor_ranks(e, salt_partitions)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
         .toDF("_s", "_d", "_r")
     )
     deg = (
         e.groupBy("_s")
         .agg(F.count(F.lit(1)).alias("_deg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
         .toDF("_s", "_deg")
     )
 
@@ -158,7 +158,7 @@ def random_walks(
             # the output union; without the checkpoint the join chain
             # re-evaluates from step 0 once per union branch — O(length²)
             # joins for O(length) useful work.
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(
             frontier.withColumn("step", F.lit(t)).select(
@@ -334,7 +334,7 @@ def node2vec_walks(
     # e is referenced twice per step (candidate fan-out + adjacency
     # probe) plus by ranked/deg; materialize the distinct edge set once
     # so its shuffle does not re-run per reference (no cross-branch CSE).
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=False)
     ranked = _dense_neighbor_ranks(e, None)
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
 
@@ -372,7 +372,7 @@ def node2vec_walks(
         )
         # per-step frontier checkpoint: see random_walks — the union of
         # steps otherwise re-evaluates the whole chain per branch.
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     out = out.unionByName(
         frontier.withColumn("step", F.lit(1)).select(
@@ -427,7 +427,7 @@ def node2vec_walks(
         frontier = picked.select(
             "start", "walk_ix",
             F.col("node").alias("prev"), F.col("cand").alias("node"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         out = out.unionByName(
             frontier.withColumn("step", F.lit(t)).select(
                 "start", "walk_ix", "step", "node"

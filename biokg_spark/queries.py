@@ -842,7 +842,7 @@ def _kg_links(spark, sf_dir):
     # reference re-ran the groupBy+explode+distinct derivation (and,
     # before kg_mentions checkpointed, the Arrow scan under it).
     return cooccurrence_links(ents, keys=["conv_id", "turn_idx"]).localCheckpoint(
-        eager=True
+        eager=False
     )
 
 

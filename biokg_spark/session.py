@@ -126,6 +126,17 @@ def get_spark(
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)
+    # Parameterised deploy/tuning overrides (guide §9: configs are
+    # environment-specific, so they must not be hard-coded):
+    #   SPARK_GRAFT_EXTRA_CONF="spark.locality.wait=0s;spark.foo=bar"
+    # Env wins over code defaults so the same entrypoints retune per
+    # host/cluster without edits (the A/B harness for this round's
+    # config measurements, and the hook a real deployment would use).
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in env_conf.split(";"):
+        k, _, v = kv.partition("=")
+        if k.strip():
+            conf[k.strip()] = v.strip()
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
