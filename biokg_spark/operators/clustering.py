@@ -225,11 +225,11 @@ def semantic_dedup(
     """
     from biokg_spark.operators.similarity import cosine_similarity
 
-    assign = kmeans_assign(emb, id_col, vec_col, k, iterations).localCheckpoint(eager=False)
+    assign = kmeans_assign(emb, id_col, vec_col, k, iterations).localCheckpoint(eager=True)
     # both sides of the within-cluster self-join read pts; materialize it
     # once so the emb-scan + assignment join runs once (no cross-branch CSE).
     pts = emb.select(id_col, vec_col).join(assign, id_col).localCheckpoint(
-        eager=False
+        eager=True
     )
     if max_cluster_size is not None:
         ok = (

@@ -198,7 +198,7 @@ def minhash_lsh_candidates(
     # query's dominant cost) executed once PER REFERENCE (measured 3x at
     # sf0.1). The checkpointed frame is |docs|·bands small rows; the
     # expensive signature stage above it runs exactly once per call.
-    bucketed = bucketed.localCheckpoint(eager=False)
+    bucketed = bucketed.localCheckpoint(eager=True)
     if max_bucket_size is not None:
         ok = (
             bucketed.groupBy("band_idx", "band_key")
@@ -252,7 +252,7 @@ def ngram_jaccard_pairs(
     # explode runs one time instead of up to four.
     sh = df.select(
         F.col(id_col), F.explode(shingles(text_col, width)).alias("sh")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     if max_doc_freq is not None:
         ok = (
             sh.groupBy("sh")
@@ -314,7 +314,7 @@ def ngram_containment_pairs(
     # explode runs one time instead of up to four.
     sh = df.select(
         F.col(id_col), F.explode(shingles(text_col, width)).alias("sh")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     if max_doc_freq is not None:
         ok = (
             sh.groupBy("sh")
@@ -424,7 +424,7 @@ def embedding_near_dup_pairs(
         F.col(id_col),
         F.col(vec_col),
         sign_bucket(F.col(vec_col), sign_bits).alias("bucket"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     if max_bucket_size is not None:
         ok = (
             b.groupBy("bucket")
@@ -543,7 +543,7 @@ def chunk_dup_stats(
     # materialize once so the chunk explode + md5 runs one time.
     exploded = df.select(
         F.col(id_col), F.explode(chunks).alias("chunk_hash")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     counts = exploded.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("occ"))
     return (
         exploded.join(counts, "chunk_hash")
@@ -672,7 +672,7 @@ def slice_overlap(
     # both sides of the pairwise seed-join read this (#slices x k)-row
     # frame; materialize it once so the corpus-wide shingle explode +
     # signature aggregate above does not run twice (no cross-branch CSE).
-    long_form = long_form.localCheckpoint(eager=False)
+    long_form = long_form.localCheckpoint(eager=True)
     a = long_form.select(
         F.col("slice").alias("slice_a"), "seed", F.col("mh").alias("mh_a")
     )
@@ -979,8 +979,8 @@ def blocking_metrics(
     """
     # each frame feeds two of the counts below; materialize once so the
     # candidate generator / truth join runs once, not per count.
-    candidates = candidates.localCheckpoint(eager=False)
-    truth_pairs = truth_pairs.localCheckpoint(eager=False)
+    candidates = candidates.localCheckpoint(eager=True)
+    truth_pairs = truth_pairs.localCheckpoint(eager=True)
     n = df.select(F.col(id_col)).distinct().count()
     total_pairs = n * (n - 1) // 2
     n_cand = candidates.count()

@@ -139,7 +139,7 @@ def _emb0_wide(triples: DataFrame, dim: int) -> DataFrame:
         .distinct()
         .select(F.lit("R").alias("kind"), "id")
     )
-    return _init_wide(ids, dim).localCheckpoint(eager=False)
+    return _init_wide(ids, dim).localCheckpoint(eager=True)
 
 
 def _join_embeddings_wide(
@@ -219,7 +219,7 @@ def transe_train(
                 *[F.signum(pdiff[j]).cast("int").alias(f"sp{j}") for j in range(dim)],
                 *[F.signum(ndiff[j]).cast("int").alias(f"sn{j}") for j in range(dim)],
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
 
         def leg(kind: str, key: str, cexprs) -> DataFrame:
@@ -250,7 +250,7 @@ def transe_train(
                     for j in range(dim)
                 ],
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
 
     return _stack_long(emb, dim)
@@ -296,7 +296,7 @@ def transe_eval(
                 for j in range(dim)
             ]
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     eW = wide.where(F.col("kind") == "E").drop("kind")
     rW = wide.where(F.col("kind") == "R").drop("kind")
@@ -579,7 +579,7 @@ def distmult_train(
         )
         # margin-active triples keep their raw h/r/t/tn vectors -- the
         # product gradients need the values, unlike TransE's signs
-        ct = joined.where(F.lit(margin) - sp + sn > 0).localCheckpoint(eager=False)
+        ct = joined.where(F.lit(margin) - sp + sn > 0).localCheckpoint(eager=True)
 
         def leg(kind: str, key: str, cexprs) -> DataFrame:
             return ct.select(
@@ -624,7 +624,7 @@ def distmult_train(
                     for j in range(dim)
                 ],
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return _stack_long(emb, dim)
 
