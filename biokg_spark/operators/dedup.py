@@ -138,7 +138,21 @@ def minhash_signatures(
         F.col(id_col), F.explode(shingles(text_col, width)).alias("sh")
     )
     if shingle_partitions is not None:
-        sh = sh.repartition(shingle_partitions)
+        # deterministic hash repartition, NOT round-robin: keyless
+        # repartition(n) first local-sorts its input so task retries
+        # reproduce the same row placement (spark.sql.execution.
+        # sortBeforeRepartition) — a full sort of the exploded shingle
+        # table bought nothing here because the downstream min/count
+        # aggregates are order-free. A deterministic key with ~32x more
+        # distinct values than partitions spreads evenly (guide §2.5)
+        # and is retry-safe by construction.
+        sh = sh.repartition(
+            shingle_partitions,
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.col("sh")),
+                F.lit(shingle_partitions * 32),
+            ),
+        )
     aggs = [
         F.min(_seed_hash(s, F.col("sh"), hash_family)).alias(f"_h{s}")
         for s in range(num_hashes)
@@ -654,7 +668,16 @@ def slice_overlap(
         F.col(slice_col).alias("slice"), F.explode(shingles(text_col, width)).alias("sh")
     )
     if shingle_partitions is not None:
-        sh = sh.repartition(shingle_partitions)
+        # deterministic hash fan-out, not round-robin (see
+        # minhash_signatures: avoids the sort-before-repartition pass
+        # and is retry-safe; aggregates are order-free)
+        sh = sh.repartition(
+            shingle_partitions,
+            F.pmod(
+                F.xxhash64(F.col("slice"), F.col("sh")),
+                F.lit(shingle_partitions * 32),
+            ),
+        )
     aggs = [
         F.min(_seed_hash(s, F.col("sh"), hash_family)).alias(f"_h{s}")
         for s in range(num_hashes)
