@@ -102,3 +102,23 @@ def test_semantic_dedup_exact_copies_tie_break_and_cap(spark):
         ).collect()
     }
     assert capped == {1: True, 2: True, 7: True, 8: True}
+
+
+def test_semantic_dedup_bucket_split_finds_cross_bucket_pairs(spark):
+    """The salted pair join (b-side hash bucket, a-side bucket explode)
+    must pair points REGARDLESS of which bucket each lands in: a cluster
+    wider than defaultParallelism/k spans several buckets, and every
+    near-dup pair must still surface exactly once."""
+    from biokg_spark.operators.clustering import semantic_dedup
+
+    # 70 points in one tight blob (every pair cosine ~1.0) + 2 far seeds
+    # so k=2 init separates; bucket count B = ceil(parallelism/2) > 1.
+    rows = [(i, [1.0, 1.0 + i * 1e-9]) for i in range(70)]
+    rows += [(100, [-50.0, 40.0]), (101, [-50.0, 41.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["keep"] for r in
+           semantic_dedup(df, k=2, iterations=2, threshold=0.999).collect()}
+    blob = {i: out[i] for i in range(70)}
+    # exactly ONE survivor in the blob: all 70 are mutual near-dups, so
+    # a missed cross-bucket pair would leave extra keepers
+    assert sum(blob.values()) == 1, blob
