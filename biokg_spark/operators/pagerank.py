@@ -136,9 +136,9 @@ def hits(
     references its input twice (the 1-row aggregate + the projection),
     so checkpointing after normalization — the previous layout — still
     re-evaluated each raw subtree twice per half-step and the next
-    half-step's join a third time; raw-first placement keeps the same
-    two jobs per iteration but evaluates every subtree exactly once
-    (kg_hits 9.0 → ~5 s at sf0.1, min-of-2).
+    half-step's join a third time; raw-first placement evaluates every
+    subtree exactly once (kg_hits 9.5 → 6.2 s at sf0.1, min-of-3,
+    jointly with the lazy-checkpoint materialization below).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     # lazy checkpoints (see pagerank): fixed iteration count, no driver
