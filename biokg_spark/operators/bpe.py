@@ -239,13 +239,25 @@ def bpe_encode_arrow(
         for pdf in batches:
             out_id, out_ws, out_bpe, out_fp = [], [], [], []
             for i, raw in zip(pdf[id_col], pdf[text_col]):
+                if raw is None:
+                    # bpe_encode's Column chain propagates NULL text to
+                    # NULL outputs; str(None) would tokenize as 'none'
+                    # (ADVICE r5 parity edge)
+                    out_id.append(i)
+                    out_ws.append(None)
+                    out_bpe.append(None)
+                    out_fp.append(None)
+                    continue
                 toks = str(raw).lower().strip().split()
                 s = " " + " ".join(toks) + " "
                 for pat, rep in rules:
                     s = s.replace(pat, rep).replace(pat, rep)
                 enc = s.strip()
                 out_id.append(i)
-                out_ws.append(len(toks))
+                # Spark's split('', '\\s+') yields [''] (size 1), while
+                # Python ''.split() yields [] — pin the Spark semantics
+                # for empty/whitespace-only text (ADVICE r5)
+                out_ws.append(len(toks) or 1)
                 out_bpe.append(len(enc.split(" ")))
                 out_fp.append(hashlib.md5(enc.encode()).hexdigest())
             yield pd.DataFrame(

@@ -352,13 +352,18 @@ def ngram_containment_pairs(
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    # threshold on the RAW ratio, matching the DuckDB oracle's WHERE
+    # (n_inter/n_a >= t); the emitted containment column stays 4-dp
+    # rounded. Filtering on the rounded value kept pairs whose raw
+    # ratio sat in [t - 0.00005, t) — a latent cross-engine boundary
+    # mismatch (ADVICE r5, medium).
     return (
         inter.join(sz_a, "id_a")
+        .where(F.col("n_inter") * F.lit(1.0) / F.col("n_a") >= threshold)
         .withColumn(
             "containment",
             F.round(F.col("n_inter") * F.lit(1.0) / F.col("n_a"), 4),
         )
-        .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", "n_a", "n_inter", "containment")
     )
 

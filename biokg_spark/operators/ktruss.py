@@ -60,6 +60,7 @@ def ktruss(
     )
     prev_n = und.count()
     sup = None
+    converged = False
     for _ in range(max_iter):
         deg = (
             und.select(F.col("a").alias("node"))
@@ -111,8 +112,18 @@ def ktruss(
         )
         n = und.count()
         if n == prev_n:
+            converged = True
             break
         prev_n = n
+    if not converged:
+        # matching the SCC/topo convergence discipline (and the oracle's
+        # e{p}=e{p-1} guard): exhausting max_iter would return a
+        # non-fixpoint edge set with supports from the penultimate round
+        # — an undetected wrong result downstream (ADVICE r5).
+        raise RuntimeError(
+            f"ktruss did not reach its fixpoint within {max_iter} peels; "
+            "raise max_iter"
+        )
     return und.join(sup, ["a", "b"]) if sup is not None else und.withColumn(
         "support", F.lit(0).cast("long")
     )

@@ -371,7 +371,13 @@ def betweenness_oracle_sql(
     equals the min (shortest walks are exactly the shortest paths).
     Backward δ as one chained CTE per level, deepest first — the same
     level-synchronous accumulation the Spark side runs.
+
+    ``max_hops`` must be ≥ 2: at 1 there are no interior vertices, so
+    the level-CTE block and the final UNION ALL would be empty and the
+    template would emit invalid SQL (dangling comma) — assert rather
+    than generate garbage (ADVICE r5).
     """
+    assert max_hops >= 2, "betweenness_oracle_sql needs max_hops >= 2"
     lvl_ctes = []
     prev = None
     for lev in range(max_hops - 1, 0, -1):

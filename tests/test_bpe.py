@@ -99,3 +99,25 @@ def test_bpe_encode_empty_merge_table(spark):
     )
     r = bpe_encode(docs, empty, "text", "doc_id").collect()[0]
     assert (r.n_ws, r.n_bpe) == (3, 3)
+
+
+def test_bpe_encode_arrow_parity_on_null_and_empty_text(spark):
+    """The Arrow twin must reproduce bpe_encode's Column semantics on
+    the edges: NULL text propagates NULL outputs; empty/whitespace-only
+    text counts one (empty) whitespace token like Spark's split."""
+    from biokg_spark.operators.bpe import bpe_encode, bpe_encode_arrow, bpe_train
+
+    train = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    merges = bpe_train(spark, train, "text", n_merges=2)
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, ""), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, bpe_encode(docs, merges, "text", "doc_id").collect()))
+    b = sorted(
+        map(tuple, bpe_encode_arrow(docs, merges, "text", "doc_id").collect()),
+        key=lambda t: t[0],
+    )
+    assert a == sorted(b, key=lambda t: t[0])
