@@ -381,6 +381,7 @@ def transe_oracle_ctes(
     epochs: int = 2,
     links_name: str = "links",
     final_select: bool = True,
+    margin: float = 1.0,
 ) -> str:
     """DuckDB twin over a ``links(subj, pred, obj)`` CTE chain: the
     identical init, negative indexing, and ``epochs`` unrolled
@@ -422,7 +423,7 @@ def transe_oracle_ctes(
       FROM pd{t} p SEMI JOIN (
         SELECT subj, pred, obj, neg FROM pd{t}
         GROUP BY 1, 2, 3, 4
-        HAVING 1.0 + sum(abs(pdiff)) - sum(abs(ndiff)) > 0) a
+        HAVING {margin!r} + sum(abs(pdiff)) - sum(abs(ndiff)) > 0) a
       ON p.subj = a.subj AND p.pred = a.pred
          AND p.obj = a.obj AND p.neg = a.neg),
     ge{t} AS MATERIALIZED (
@@ -630,7 +631,7 @@ def distmult_train(
 
 
 def distmult_oracle_ctes(
-    links_cte: str, dim: int = 4, epochs: int = 2
+    links_cte: str, dim: int = 4, epochs: int = 2, margin: float = 1.0
 ) -> str:
     """DuckDB twin of :func:`distmult_train` — unrolled MATERIALIZED
     epochs with the identical product gradients and floor
@@ -665,7 +666,7 @@ def distmult_oracle_ctes(
       SELECT p.* FROM dpd{t} p SEMI JOIN (
         SELECT subj, pred, obj, neg FROM dpd{t}
         GROUP BY 1, 2, 3, 4
-        HAVING 1.0 - sum(hv * rv * tv) + sum(hv * rv * nv) > 0) a
+        HAVING {margin!r} - sum(hv * rv * tv) + sum(hv * rv * nv) > 0) a
       ON p.subj = a.subj AND p.pred = a.pred
          AND p.obj = a.obj AND p.neg = a.neg),
     dge{t} AS MATERIALIZED (
